@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory.
+  *
+  * One place for the configs every entry point (Verify, Bench, tests,
+  * apps) must agree on:
+  *
+  *  - `spark.sql.session.timeZone=UTC` — DuckDB-oracle parity: the
+  *    fixture timestamps are naive (parquet TIMESTAMP without UTC
+  *    adjustment → Spark `timestamp_ntz`), so no wall-clock shifting
+  *    may happen anywhere.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true` — the `events`
+  *    fixture stores `ts` as parquet TIMESTAMP(NANOS); Spark has no
+  *    nanosecond timestamp type, so we read the raw int64 nanos and
+  *    convert explicitly (see [[Tables.events]]).
+  *  - shuffle partitions sized to the local core count, not the 200
+  *    default (local[N] = one JVM; 200 tiny partitions just adds task
+  *    overhead). On a real cluster this is overridden by AQE
+  *    (`spark.sql.adaptive.coalescePartitions.enabled`), which we
+  *    leave on.
+  */
+object GraftSession {
+  def local(cores: String, shufflePartitions: String): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Session sized from the driver's env contract. */
+  def fromEnv(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    local(cpus, cpus)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loader (schemas in FIXTURES.md §1).
+  *
+  * All readers go through here so that scan-level concerns live in one
+  * place: Parquet (columnar, predicate pushdown + column pruning reach
+  * the row-group level for free), and the one schema fix-up the
+  * fixtures need (`events.ts` is parquet TIMESTAMP(NANOS) → read as
+  * int64 nanos, exposed both raw and as a micros-precision
+  * `timestamp_ntz`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // ts arrives as int64 nanoseconds (see GraftSession scaladoc).
+      // Keep the exact nanos (ts_ns) for oracle parity (DuckDB
+      // epoch_ns), and a truncated-to-micros NTZ timestamp for
+      // window/date functions.
+      raw
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn(
+          "ts",
+          timestamp_micros((col("ts_ns") / 1000L).cast("long"))
+            .cast("timestamp_ntz"))
+    } else raw
+  }
+
+  /** Register every fixture table as a temp view for spark.sql use. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,489 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Relational operator tier (SURVEY.md §2.2–§2.7): scans with
+  * pushdown, projections/filters, every join kind, hash aggregation
+  * with partial agg, rollup/cube, window functions, set ops, sorts and
+  * top-k, and the scalar-function families — each expressed purely in
+  * `Dataset`/`Column` built-ins so Catalyst plans them (predicate
+  * pushdown to parquet, broadcast-vs-shuffle join selection, partial
+  * aggregation, TakeOrderedAndProject for top-k, AQE at runtime).
+  *
+  * Every query here is paired with ANSI SQL in
+  * [[Relational.oracles]] for the DuckDB differential gate. Float
+  * discipline per [[Exact]]; all computed integers are surfaced as
+  * BIGINT in both engines; every query ends in a total order so the
+  * comparison is row-order insensitive.
+  *
+  * Scale notes are inline per query — the fixture is small but each
+  * plan is written for the 1000-executor / 100 TB case.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Reference `events.ts` (int64 nanos) ↔ order dates, as exact i64
+    * nanos on both sides.
+    */
+  private def ntzToNs(c: Column): Column =
+    unix_micros(c.cast("timestamp")) * lit(1000L)
+
+  // ---------------------------------------------------------------
+  // q1: full-table hash aggregation (TPC-H Q1 shape).
+  // Scale: partial agg (map-side combine) means the shuffle carries
+  // 6 groups × partial buffers, not 600M rows; filter pushed to scan.
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '2001-09-02 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(money(col("l_quantity"))).as("sum_qty"),
+        dsum(money(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .as("sum_disc_price"),
+        dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+          * (one + rate(col("l_tax")))).as("sum_charge"),
+        davg(money(col("l_quantity"))).as("avg_qty"),
+        davg(money(col("l_extendedprice"))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // q2: projection + filter; predicate and column pruning must reach
+  // the parquet scan (verified via explain in RelationalSpec).
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_u"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("long").as("name_len"),
+        col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
+  // q3: selective dims → fact join → agg → top-k (TPC-H Q3 shape).
+  // Scale: customer-filter joined broadcast-style when small; top-k is
+  // TakeOrderedAndProject (no global sort materialization).
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        col("o_orderpriority"))
+      .agg(dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  // q4: left-semi join (EXISTS) feeding an aggregation.
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // q5: multiway star join through region→nation→customer→orders→
+  // lineitem. Scale: region/nation are broadcast (tiny dims); the
+  // customer⋈orders⋈lineitem chain shuffles on the join keys once
+  // each, and AQE re-plans if a side turns out broadcastable.
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nat = broadcast(
+      t(s, dir, "nation").join(
+        broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey")))
+    val cust = t(s, dir, "customer")
+      .join(nat, col("c_nationkey") === nat("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  // q6: left-anti join (NOT EXISTS) — customers with no in-progress
+  // ('P') order.
+  def q6CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "P").select("o_custkey")
+    t(s, dir, "customer")
+      .join(ord, col("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  // q7: global top-k → physical TakeOrderedAndProject: each partition
+  // keeps k rows, driver merges n_partitions×k — no full sort at scale.
+  def q7TopOrderValues(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  // q8: ranking window + per-group top-k.
+  def q8TopCustomersPerNation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  // q9: running-frame aggregation window (exact decimal running sum).
+  def q9RunningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 5)
+      .select(
+        col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        col("l_orderkey"), col("l_linenumber"),
+        sum(money(col("l_extendedprice"))).over(w).cast("double")
+          .as("running_rev"))
+      .orderBy(col("l_suppkey"), col("ship_day"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  // q10: lag/lead analytics windows.
+  def q10OrderGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        (ntzToNs(col("o_orderdate"))
+          - ntzToNs(lag(col("o_orderdate"), 1).over(w)))
+          .as("ns_since_prev"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .orderBy(col("o_custkey"), col("order_day"), col("o_orderkey"))
+  }
+
+  // q11: rollup (hierarchical grouping sets).
+  def q11Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(money(col("l_quantity"))).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  // q12: cube (all grouping-set combinations).
+  def q12Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(money(col("o_totalprice"))).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  // q13: set operations (INTERSECT / EXCEPT have SQL set semantics —
+  // distinct — in both engines).
+  def q13SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    def keys(status: String) =
+      ord.filter(col("o_orderstatus") === status).select("o_custkey")
+    keys("F").intersect(keys("O")).except(keys("P"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // q14: CASE expression + aggregation.
+  def q14CaseBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("big").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(money(col("o_totalprice"))).as("total"))
+      .orderBy(col("bucket"))
+
+  // q15: date/time scalar functions + group by calendar month.
+  def q15MonthlyOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(money(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("y"), col("m"))
+
+  // q16: string scalar functions.
+  def q16StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(element_at(split(col("p_name"), " "), 1).as("first_word"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(length(col("p_name"))).cast("long").as("min_len"),
+        max(upper(col("p_name"))).as("max_name_u"))
+      .orderBy(col("first_word"))
+
+  // q17: math scalar functions (only IEEE-exact ones — sqrt, abs,
+  // floor, ceil — so the oracle compare is bit-stable).
+  def q17MathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        abs(col("l_quantity") - 25).as("abs_dev"),
+        floor(col("l_extendedprice")).cast("long").as("floor_price"),
+        ceil(col("l_extendedprice")).cast("long").as("ceil_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // q18: JSON extraction (events.props) + aggregation.
+  def q18JsonEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  // q19: as-of join — for each order, the most recent event of that
+  // customer at-or-before the order date. No built-in Spark operator:
+  // implemented scale-correctly in [[AsOfJoin]] via union + ordered
+  // window (one shuffle on the key; never a per-row range scan).
+  def q19AsOfLastEvent(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntzToNs(col("o_orderdate")).as("t_ns"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts_ns"))
+    AsOfJoin
+      .lastValueAtOrBefore(
+        left = ord, leftKey = "o_custkey", leftTime = "t_ns",
+        right = ev, rightKey = "user_id", rightTime = "ts_ns",
+        valueCol = "ts_ns", as = "last_ev_ns")
+      .select(col("o_orderkey"),
+        coalesce(col("last_ev_ns"), lit(-1L)).as("last_ev_ns"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // q20: range join — events within 24h after the order, same user.
+  // Scale: the user-id equi key carries the shuffle; the time range is
+  // a residual filter on the equi join, NOT a nested-loop join.
+  def q20RangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntzToNs(col("o_orderdate")).as("od_ns"))
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts_ns"),
+      col("event_id"))
+    ord.join(ev,
+        ev("user_id") === ord("o_custkey") &&
+        ev("ts_ns") >= ord("od_ns") &&
+        ev("ts_ns") < ord("od_ns") + lit(dayNs), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("event_id")).as("n_ev"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_filter_project" -> q2FilterProject,
+    "q3_top_orders" -> q3TopOrders,
+    "q4_priority_exists" -> q4PriorityExists,
+    "q5_nation_revenue" -> q5NationRevenue,
+    "q6_cust_without_orders" -> q6CustomersWithoutOrders,
+    "q7_top_order_values" -> q7TopOrderValues,
+    "q8_top_cust_per_nation" -> q8TopCustomersPerNation,
+    "q9_running_revenue" -> q9RunningRevenue,
+    "q10_order_gaps" -> q10OrderGaps,
+    "q11_rollup" -> q11Rollup,
+    "q12_cube" -> q12Cube,
+    "q13_setops" -> q13SetOps,
+    "q14_case_buckets" -> q14CaseBuckets,
+    "q15_monthly_orders" -> q15MonthlyOrders,
+    "q16_string_funcs" -> q16StringFuncs,
+    "q17_math_funcs" -> q17MathFuncs,
+    "q18_json_events" -> q18JsonEvents,
+    "q19_asof_last_event" -> q19AsOfLastEvent,
+    "q20_range_join_events" -> q20RangeJoinEvents,
+  )
+
+  // DuckDB oracle SQL. Same aliases, same exact-decimal discipline,
+  // same total order as the Spark plans above.
+  private val sumDisc =
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST($sumDisc AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_filter_project" ->
+      """SELECT p_partkey, upper(p_name) AS name_u,
+         concat_ws('/', p_brand, p_type) AS brand_type,
+         CAST(length(p_name) AS BIGINT) AS name_len, p_retailprice
+         FROM part WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+         ORDER BY p_partkey""",
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+         o_orderpriority, CAST($sumDisc AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_orderkey, order_day, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, CAST($sumDisc AS DOUBLE) AS revenue
+         FROM region, nation, customer, orders, lineitem
+         WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+           AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+           AND l_orderkey = o_orderkey
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q6_cust_without_orders" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q7_top_order_values" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q8_top_cust_per_nation" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+           FROM customer) WHERE rn <= 3
+         ORDER BY c_nationkey, rn""",
+    "q9_running_revenue" ->
+      """SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+         l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_rev
+         FROM lineitem WHERE l_suppkey <= 5
+         ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber""",
+    "q10_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+         epoch_ns(o_orderdate) - epoch_ns(lag(o_orderdate, 1) OVER w)
+           AS ns_since_prev,
+         lead(o_orderkey, 1) OVER w AS next_orderkey
+         FROM orders WHERE o_custkey <= 50
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, order_day, o_orderkey""",
+    "q11_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         COALESCE(l_linestatus, 'ALL') AS linestatus,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q12_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         COALESCE(o_orderpriority, 'ALL') AS priority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q13_setops" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY o_custkey""",
+    "q14_case_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                     WHEN o_totalprice < 150000 THEN 'mid'
+                     ELSE 'big' END AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY bucket ORDER BY bucket""",
+    "q15_monthly_orders" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY y, m ORDER BY y, m""",
+    "q16_string_funcs" ->
+      """SELECT split_part(p_name, ' ', 1) AS first_word, COUNT(*) AS n,
+         CAST(MIN(length(p_name)) AS BIGINT) AS min_len,
+         MAX(upper(p_name)) AS max_name_u
+         FROM part GROUP BY first_word ORDER BY first_word""",
+    "q17_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, sqrt(l_quantity) AS sqrt_qty,
+         abs(l_quantity - 25) AS abs_dev,
+         CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price
+         FROM lineitem WHERE l_orderkey <= 100
+         ORDER BY l_orderkey, l_linenumber""",
+    "q18_json_events" ->
+      """SELECT event_type, COUNT(*) AS n,
+         MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q19_asof_last_event" ->
+      """SELECT o_orderkey, COALESCE(
+           (SELECT MAX(epoch_ns(e.ts)) FROM events e
+            WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate),
+           -1) AS last_ev_ns
+         FROM orders o ORDER BY o_orderkey""",
+    "q20_range_join_events" ->
+      """SELECT o_orderkey, COUNT(e.event_id) AS n_ev
+         FROM orders o LEFT JOIN events e
+           ON e.user_id = o.o_custkey
+          AND epoch_ns(e.ts) >= epoch_ns(o.o_orderdate)
+          AND epoch_ns(e.ts) < epoch_ns(o.o_orderdate) + 86400000000000
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+  )
+}
