@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Relational
-import graft.text.TextQueries
+import graft.text.{TextAnalysis, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +19,7 @@ object SparkEntry {
       Map[String, String])] = Seq(
     (TextQueries.queries, TextQueries.oracles),
     (Relational.queries, Relational.oracles),
+    (TextAnalysis.queries, TextAnalysis.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,271 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+
+/** Text-analysis operator tier over the `documents` fixture
+  * (north-star [ext] rows of SURVEY.md §2: language-ID, quality
+  * scoring, token counting, fingerprinting, TF-IDF, n-grams — the
+  * per-document passes a 100 TB training-data pipeline runs before
+  * dedup/filtering).
+  *
+  * Every query is a single narrow scan-side pass (higher-order array
+  * functions, no UDFs, no joins except TF-IDF's broadcast-sized term
+  * table), so at scale each is one pipeline over the corpus with
+  * column pruning to `doc_id, text`. All arithmetic follows the
+  * cross-engine determinism rules of [[TextHash]] so each query has a
+  * full DuckDB oracle.
+  */
+object TextAnalysis {
+  import TextHash._
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Tiny per-language marker-word lists drawn from the fixture
+    * vocabulary. The corpus text is synthetic word-salad, so this is
+    * a mechanism test (deterministic argmax scoring), not a model.
+    */
+  val MarkerWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data", "value"),
+    "es" -> Seq("customer", "query", "table"),
+    "de" -> Seq("window", "batch", "group"),
+    "fr" -> Seq("stream", "line", "merge"),
+    "zh" -> Seq("spark", "vector", "hash"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => array_contains(array(words.map(lit): _*), w)))
+      .cast("long")
+
+  // -----------------------------------------------------------------
+  // ta_lang_id: marker-word occurrence scoring + fixed-priority argmax.
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs(s, dir).select(
+      col("doc_id") +: MarkerWords.map { case (l, ws) =>
+        hits(toks, ws).as(s"s_$l")
+      }: _*)
+    val langs = MarkerWords.map(_._1)
+    // argmax with ties broken by list order (en > es > de > fr > zh).
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), els) =>
+        if (i == langs.size - 1) els
+        else when(langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), l)
+          .otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred).orderBy("doc_id")
+  }
+
+  // -----------------------------------------------------------------
+  // ta_quality: length/ratio heuristics — the classic pre-training
+  // quality gates (token counts, mean token length, alpha ratio,
+  // stopword ratio, boolean keep-decision).
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("text_len"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+          .as("tok_chars"),
+        hits(col("toks"), MarkerWords.head._2).as("stop_hits"))
+      .select(
+        col("doc_id"), col("text_len"), col("n_tokens"), col("tok_chars"),
+        (col("tok_chars").cast("double") / nullif(col("n_tokens"), lit(0L)))
+          .as("mean_tok_len"),
+        (col("tok_chars").cast("double") / nullif(col("text_len"), lit(0L)))
+          .as("alpha_ratio"),
+        (col("stop_hits").cast("double") / nullif(col("n_tokens"), lit(0L)))
+          .as("stop_ratio"),
+        (col("n_tokens").between(5L, 1000L) &&
+          (col("tok_chars") * 1L).between(col("n_tokens") * 2L,
+            col("n_tokens") * 12L)).as("quality_ok"))
+      .orderBy("doc_id")
+  }
+
+  // -----------------------------------------------------------------
+  // ta_token_count: whitespace tokens, BPE-ish piece count (letter
+  // runs / digit runs / single punctuation), distinct-token count.
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+          .cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("bpe_pieces"),
+        size(array_distinct(tokens(col("text")))).cast("long")
+          .as("distinct_tokens"))
+      .orderBy("doc_id")
+
+  // -----------------------------------------------------------------
+  // ta_fingerprint: order-sensitive rolling hash of the token-hash
+  // stream + content-sampled min-shingle (both per [[TextHash]]).
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val hs = tokenHashes(tokens(col("text")))
+    docs(s, dir)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(
+        col("doc_id"),
+        rollingFingerprint(col("hs")).as("fp"),
+        coalesce(array_min(shingles3(col("hs"))), lit(-1L))
+          .as("min_shingle"))
+      .orderBy("doc_id")
+  }
+
+  // -----------------------------------------------------------------
+  // ta_tfidf: top-3 terms per document by tf-idf.
+  // Scale: the term→df table is vocabulary-sized (broadcast join);
+  // the doc-count scalar rides a broadcast cross join — the corpus
+  // itself is touched in one exploded pass with partial aggregation.
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = d.agg(count(lit(1)).as("nd"))
+    val tf = d
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "n_toks", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("term"))
+    tf.join(broadcast(dfc), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf").cast("double") / col("n_toks")) *
+          ((col("nd") + 1).cast("double") / (col("df") + 1)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "rank", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  // -----------------------------------------------------------------
+  // ta_bigrams: global top-20 word bigrams (count desc, bigram asc —
+  // a total order, so the LIMIT frontier is deterministic).
+  def bigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, dir)
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2), i =>
+          concat(element_at(toks, i + 1), lit(" "),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lang_id" -> langId,
+    "ta_quality" -> quality,
+    "ta_token_count" -> tokenCount,
+    "ta_fingerprint" -> fingerprint,
+    "ta_tfidf" -> tfidf,
+    "ta_bigrams" -> bigrams,
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles. Shared SQL fragments mirror TextHash exactly.
+  private val Toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val P = Prime
+
+  /** DuckDB 31-bit word hash (mirror of [[TextHash.hash31]]). */
+  private def dH31(w: String): String =
+    s"CAST(('0x' || substr(md5($w), 1, 15)) AS BIGINT) % $P"
+
+  private def dHits(words: Seq[String]): String =
+    s"len(list_filter(toks, w -> list_contains(${
+      words.mkString("['", "','", "']")}, w)))"
+
+  val oracles: Map[String, String] = {
+    val langs = MarkerWords.map(_._1)
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    Map(
+      "ta_lang_id" ->
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           s AS (SELECT doc_id, ${MarkerWords.map { case (l, ws) =>
+              s"${dHits(ws)} AS s_$l" }.mkString(", ")} FROM d)
+           SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+             CASE $caseChain ELSE '${langs.last}' END AS pred_lang
+           FROM s ORDER BY doc_id""",
+      "ta_quality" ->
+        s"""WITH d AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+           b AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS text_len,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_prepend(0, list_transform(toks,
+               t -> length(t)))) AS BIGINT) AS tok_chars,
+             ${dHits(MarkerWords.head._2)} AS stop_hits FROM d)
+           SELECT doc_id, text_len, n_tokens, tok_chars,
+             CAST(tok_chars AS DOUBLE) / nullif(n_tokens, 0) AS mean_tok_len,
+             CAST(tok_chars AS DOUBLE) / nullif(text_len, 0) AS alpha_ratio,
+             CAST(stop_hits AS DOUBLE) / nullif(n_tokens, 0) AS stop_ratio,
+             (n_tokens BETWEEN 5 AND 1000 AND
+              tok_chars BETWEEN n_tokens * 2 AND n_tokens * 12) AS quality_ok
+           FROM b ORDER BY doc_id""",
+      "ta_token_count" ->
+        s"""SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_pieces,
+           CAST(len(list_distinct($Toks)) AS BIGINT) AS distinct_tokens
+           FROM documents ORDER BY doc_id""",
+      "ta_fingerprint" ->
+        s"""WITH d AS (SELECT doc_id,
+             list_transform($Toks, w -> ${dH31("w")}) AS hs FROM documents),
+           sh AS (SELECT doc_id, hs,
+             CASE WHEN len(hs) >= 3 THEN list_distinct(
+               list_transform(range(1, len(hs) - 1), i ->
+                 ((hs[i]*131 + hs[i+1]) % $P * 131 + hs[i+2]) % $P))
+             ELSE [] END AS shingles FROM d)
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+               (acc, h) -> (acc*131 + h) % $P) AS fp,
+             COALESCE(list_min(shingles), -1) AS min_shingle
+           FROM sh ORDER BY doc_id""",
+      "ta_tfidf" ->
+        """WITH d AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+             unnest(toks) AS term FROM d),
+           tfc AS (SELECT doc_id, n_toks, term, COUNT(*) AS tf
+             FROM t GROUP BY 1, 2, 3),
+           dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+           n AS (SELECT COUNT(*) AS nd FROM d),
+           sc AS (SELECT doc_id, term,
+             (CAST(tf AS DOUBLE) / n_toks) *
+               (CAST(nd + 1 AS DOUBLE) / (df + 1)) AS score
+             FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+           rk AS (SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS BIGINT) AS rank FROM sc)
+           SELECT doc_id, term, rank, score FROM rk
+           WHERE rank <= 3 ORDER BY doc_id, rank""",
+      "ta_bigrams" ->
+        """WITH d AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           b AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END) AS bigram FROM d)
+           SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
+           ORDER BY cnt DESC, bigram LIMIT 20""",
+    )
+  }
+}

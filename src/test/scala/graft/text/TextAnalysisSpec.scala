@@ -1,0 +1,79 @@
+package graft.text
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextHash
+
+class TextAnalysisSpec extends SparkSpec {
+
+  /** Pure-Scala mirror of TextHash.hash31 — independent of Spark. */
+  private def h31(w: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % TextHash.Prime
+  }
+
+  test("fingerprint matches a pure-Scala reimplementation") {
+    val row = TextAnalysis.fingerprint(spark, sf)
+      .filter(col("doc_id") === 0).head()
+    val text = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+    val hs = toks.map(h31)
+    val expectedFp = hs.foldLeft(0L)((acc, h) =>
+      (acc * 131 + h) % TextHash.Prime)
+    assert(row.getAs[Long]("fp") === expectedFp)
+    val shingles = hs.sliding(3).filter(_.size == 3).map { s =>
+      ((s(0) * 131 + s(1)) % TextHash.Prime * 131 + s(2)) % TextHash.Prime
+    }.toSeq
+    val expectedMin = if (shingles.isEmpty) -1L else shingles.min
+    assert(row.getAs[Long]("min_shingle") === expectedMin)
+  }
+
+  test("lang_id scores are consistent with the argmax pick") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val scores = TextAnalysis.MarkerWords.map { case (l, _) =>
+        l -> r.getAs[Long](s"s_$l")
+      }
+      val best = scores.map(_._2).max
+      assert(r.getAs[String]("pred_lang") === scores.find(_._2 == best).get._1)
+    }
+  }
+
+  test("quality invariants hold for every document") {
+    TextAnalysis.quality(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("tok_chars") <= r.getAs[Long]("text_len"))
+      val mean = r.getAs[Double]("mean_tok_len")
+      assert(mean > 0 && mean < 30)
+    }
+  }
+
+  test("token counts: distinct <= whitespace, bpe >= whitespace") {
+    TextAnalysis.tokenCount(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("distinct_tokens") <= r.getAs[Long]("ws_tokens"))
+      assert(r.getAs[Long]("bpe_pieces") >= r.getAs[Long]("ws_tokens"))
+    }
+  }
+
+  test("tfidf: exactly 3 ranked terms per doc, scores non-increasing") {
+    val rows = TextAnalysis.tfidf(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L))
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bigrams: top-20 with non-increasing counts") {
+    val rows = TextAnalysis.bigrams(spark, sf).collect()
+    assert(rows.length === 20)
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+}
