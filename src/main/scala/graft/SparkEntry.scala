@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.Dedup
 import graft.operators.Relational
 import graft.text.{TextAnalysis, TextQueries}
 
@@ -20,6 +21,7 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracles),
     (Relational.queries, Relational.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
+    (Dedup.queries, Dedup.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

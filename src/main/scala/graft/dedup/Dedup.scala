@@ -1,0 +1,261 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash._
+
+/** Deduplication operator tier over the `documents` and `embeddings`
+  * fixtures (north-star [ext] rows of SURVEY.md §2): the operations a
+  * 100 TB training-data pipeline runs to remove exact and near
+  * duplicates.
+  *
+  * Five operators, in increasing fuzziness:
+  *
+  *  - [[exact]]        — content-hash group-by (one shuffle of hashes).
+  *  - [[minhashLsh]]   — MinHash(K=32) + LSH banding (8 bands × 4
+  *                       rows, s-curve threshold ≈ 0.6) with an exact
+  *                       Jaccard verify at 0.7.
+  *  - [[simhash]]      — 60-bit SimHash + 16-bit-chunk blocking
+  *                       (pigeonhole: Hamming ≤ 3 ⇒ one of 4 chunks
+  *                       equal) with an exact Hamming verify.
+  *  - [[ngramJaccard]] — exact 3-gram Jaccard join blocked on the
+  *                       min-shingle (MinHash with one function: two
+  *                       docs at Jaccard J share the key with prob J).
+  *  - [[embedCosine]]  — exact cosine-threshold self-join on the
+  *                       embedding column (the quadratic verify tier;
+  *                       the sub-quadratic candidate path is the
+  *                       sketch-based search in `graft.sim`).
+  *
+  * Scale shape (the part that must survive 100 TB): every operator
+  * shuffles *derived small keys* (hashes, band keys, chunks), never
+  * raw text; candidate generation is equi-join-able so Catalyst plans
+  * hash joins; the verify step re-reads shingle arrays only for
+  * candidate pairs. Empty-shingle docs are filtered before banding so
+  * the all-sentinel signature cannot form a mega-bucket (skew guard).
+  * All arithmetic follows [[graft.functions.TextHash]] so each query
+  * has a full DuckDB oracle.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** doc_id → distinct-3-shingle array (docs with ≥3 tokens only). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        shingles3(tokenHashes(tokens(col("text")))).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  // -----------------------------------------------------------------
+  // dd_exact: exact duplicate removal — group by content hash, keep
+  // the smallest doc_id, report the group size. One shuffle of
+  // (md5, id); partial agg means the fixture's 500 rows or a 100 TB
+  // corpus both move only (hash, min-id, count) partials.
+  def exact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  // -----------------------------------------------------------------
+  // dd_minhash_lsh: near-duplicate pairs via MinHash + LSH banding.
+  val K = 32; val Bands = 8
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val bd = sh
+      .select(col("doc_id"),
+        posexplode(bandKeys(minhashSignature(col("shingles"), K), K, Bands))
+          .as(Seq("bi", "bh")))
+    val cand = bd.as("a")
+      .join(bd.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val x = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sha"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("shingles").as("shb"))
+    cand.join(x, "doc_a").join(y, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long")
+          .as("inter"),
+        (size(col("sha")) + size(col("shb"))
+          - size(array_intersect(col("sha"), col("shb")))).cast("long")
+          .as("uni"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -----------------------------------------------------------------
+  // dd_simhash: near-duplicate pairs by SimHash Hamming distance ≤ 3,
+  // blocked on the four 16-bit chunks (pigeonhole-complete for ≤ 3).
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"),
+        simhash60(transform(tokens(col("text")), w => hash60(w))).as("sh"))
+    val ch = sh.select(col("doc_id"), col("sh"),
+      posexplode(simhashChunks(col("sh"))).as(Seq("j", "chunk")))
+    ch.as("a")
+      .join(ch.as("b"),
+        col("a.j") === col("b.j") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -----------------------------------------------------------------
+  // dd_ngram_jaccard: exact n-gram Jaccard ≥ 0.7, blocked on the
+  // min-shingle. Single-key blocking keeps buckets tiny (the key is
+  // content-derived, so duplicates collide and unrelated docs don't).
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val keyed = shingled(s, dir)
+      .select(col("doc_id"), col("shingles"),
+        array_min(col("shingles")).as("mk"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.shingles"), col("b.shingles")))
+          .cast("long").as("inter"),
+        (size(col("a.shingles")) + size(col("b.shingles"))
+          - size(array_intersect(col("a.shingles"), col("b.shingles"))))
+          .cast("long").as("uni"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -----------------------------------------------------------------
+  // dd_embed_cosine: exact cosine-threshold near-dup pairs over the
+  // embedding column. Dot products are strict left-to-right double
+  // folds (bit-identical to the DuckDB oracle). Quadratic by design —
+  // this is the verify tier; candidate pruning at scale lives in
+  // graft.sim (sketch buckets).
+  val CosineThreshold = 0.45
+
+  def embedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)).as("nrm"))
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0d), (acc, p) => acc + p)
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> exact,
+    "dd_minhash_lsh" -> minhashLsh,
+    "dd_simhash" -> simhash,
+    "dd_ngram_jaccard" -> ngramJaccard,
+    "dd_embed_cosine" -> embedCosine,
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles — literal restatements of the arithmetic above.
+  private val P = Prime
+
+  /** doc_id → token-31-bit-hash list. */
+  private val DHs =
+    s"""SELECT doc_id, list_transform(
+       regexp_extract_all(lower(text), '[a-z0-9]+'),
+       w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $P) AS hs
+       FROM documents"""
+
+  /** hs → distinct 3-shingles (nonempty only). */
+  private val DShingles =
+    s"""SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 1),
+       i -> ((hs[i]*131 + hs[i+1]) % $P * 131 + hs[i+2]) % $P)) AS shingles
+       FROM d WHERE len(hs) >= 3"""
+
+  private val DVerify =
+    """SELECT da AS doc_a, db AS doc_b,
+       CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS inter,
+       CAST(len(x.shingles) + len(y.shingles)
+         - len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS uni
+       FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db"""
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "dd_minhash_lsh" ->
+      s"""WITH d AS ($DHs),
+         sh AS ($DShingles),
+         sg AS (SELECT doc_id, list_transform(range(0, $K), i ->
+             coalesce(list_min(list_transform(shingles,
+               s -> ((37 + 101*i)*s + 17 + 131*i) % $P)), $P)) AS sig
+           FROM sh),
+         bd AS (SELECT doc_id, unnest(range(0, $Bands)) AS bi,
+             unnest(list_transform(range(0, $Bands), b ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 sig[b*4+1:b*4+4]), (acc, x) -> (acc*131 + x) % $P))) AS bh
+           FROM sg),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM bd a JOIN bd b
+           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         ver AS ($DVerify)
+         SELECT doc_a, doc_b, inter, uni FROM ver
+         WHERE inter * 10 >= uni * 7 ORDER BY doc_a, doc_b""",
+    "dd_simhash" ->
+      s"""WITH d AS (SELECT doc_id, list_transform(
+           regexp_extract_all(lower(text), '[a-z0-9]+'),
+           w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+           FROM documents),
+         s AS (SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), range(59, -1, -1)),
+             (acc, b) -> acc*2 + CASE WHEN 2*list_sum(list_transform(hs,
+               h -> (h >> b) & 1)) > len(hs) THEN 1 ELSE 0 END) AS sh
+           FROM d),
+         c AS (SELECT doc_id, sh, unnest(range(0, 4)) AS j,
+           unnest(list_transform(range(0, 4),
+             j -> (sh >> CAST(16*j AS INTEGER)) & 65535)) AS chunk
+           FROM s),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             a.sh AS sa, b.sh AS sb
+           FROM c a JOIN c b
+           ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT da AS doc_a, db AS doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         ORDER BY doc_a, doc_b""",
+    "dd_ngram_jaccard" ->
+      s"""WITH d AS ($DHs),
+         sh AS ($DShingles),
+         k AS (SELECT doc_id, shingles, list_min(shingles) AS mk FROM sh),
+         cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+           FROM k a JOIN k b ON a.mk = b.mk AND a.doc_id < b.doc_id),
+         ver AS ($DVerify)
+         SELECT doc_a, doc_b, inter, uni FROM ver
+         WHERE inter * 10 >= uni * 7 ORDER BY doc_a, doc_b""",
+    "dd_embed_cosine" ->
+      s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_sum(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(v, x -> x*x)))) AS nrm FROM e),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_sum(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, 65), i -> a.v[i] * b.v[i])))
+             / (a.nrm * b.nrm) AS cos
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, cos FROM p
+         WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b""",
+  )
+}
