@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.operators.Relational
+import graft.sim.VectorSearch
 import graft.text.{TextAnalysis, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,6 +23,7 @@ object SparkEntry {
     (Relational.queries, Relational.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Dedup.queries, Dedup.oracles),
+    (VectorSearch.queries, VectorSearch.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,176 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` fixture (north-star [ext]:
+  * approximate-nearest-neighbor for training-data curation).
+  *
+  * Two operators:
+  *
+  *  - [[cosineTopK]] — exact brute-force cosine top-k for a query set:
+  *    the correctness baseline. One broadcast of the (small) query
+  *    set, one narrow pass over the corpus scoring Q×N pairs, then a
+  *    per-query top-k window. Cost is linear in N per query — the
+  *    right tool when Q is small or recall must be 1.0.
+  *
+  *  - [[ivfTopK]] — IVF-Flat, the sub-linear scale path: a fixed set
+  *    of C centroids (deterministically seeded from the first C
+  *    vectors — no iterative training, so both engines agree exactly),
+  *    every vector assigned to its nearest centroid, and each query
+  *    probing only the `NProbe` nearest centroid lists. At 100 TB the
+  *    corpus is written partitioned by `cid`, so a probe is partition
+  *    pruning — each query touches NProbe/C of the data instead of a
+  *    full scan. Recall < 1.0 by construction; the exact variant
+  *    above is the verify tier.
+  *
+  * All dot products are strict left-to-right double folds over
+  * double-cast floats (same IEEE op sequence as the DuckDB oracle —
+  * bit-identical results, see `graft.dedup.Dedup`). Ranks break ties
+  * by neighbor id, so orderings agree across engines even at equal
+  * cosine.
+  */
+object VectorSearch {
+
+  val NumQueries = 8   // query set: vec_id < 8
+  val TopK = 5
+  val NumCentroids = 16 // IVF: centroids seeded from vec_id < 16
+  val NProbe = 2
+
+  /** vec_id, v (double array), nrm (L2 norm). */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)).as("nrm"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, p) => acc + p)
+
+  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    dot(va, vb) / (na * nb)
+
+  // -----------------------------------------------------------------
+  // ss_cosine_topk: exact top-k neighbors for each query vector.
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  // -----------------------------------------------------------------
+  // ss_ivf_topk: IVF-Flat approximate top-k (probe NProbe lists).
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+
+    // Assignment: nearest centroid per vector (one narrow pass; the
+    // centroid table is broadcast).
+    val wa = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val assign = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("ccos"))
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+
+    // Probes: the NProbe nearest centroids per query.
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wp = Window.partitionBy("query_id").orderBy(desc("pcos"), asc("cid"))
+    val probes = q.join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("pcos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+
+    // Search only the probed lists (at scale: partition pruning on cid).
+    val wr = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_cosine_topk" -> cosineTopK,
+    "ss_ivf_topk" -> ivfTopK,
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles — same arithmetic, same tie-breaks.
+  private val DVecs =
+    """SELECT vec_id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       sqrt(list_sum(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)), x -> x*x)))) AS nrm
+       FROM embeddings"""
+
+  private def dCos(av: String, bv: String, an: String, bn: String) =
+    s"""list_sum(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(range(1, 65), i -> $av[i] * $bv[i]))) / ($an * $bn)"""
+
+  val oracles: Map[String, String] = Map(
+    "ss_cosine_topk" ->
+      s"""WITH e AS ($DVecs),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+           WHERE vec_id < $NumQueries),
+         sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+             ${dCos("qv", "e.v", "qn", "e.nrm")} AS cos
+           FROM q JOIN e ON e.vec_id <> q.query_id),
+         rk AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+         SELECT query_id, neighbor_id, rank, cos FROM rk
+         WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "ss_ivf_topk" ->
+      s"""WITH e AS ($DVecs),
+         cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+           WHERE vec_id < $NumCentroids),
+         asg AS (SELECT vec_id, v, nrm, cid FROM (
+             SELECT e.vec_id, e.v, e.nrm, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${dCos("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+           WHERE vec_id < $NumQueries),
+         pr AS (SELECT query_id, qv, qn, cid FROM (
+             SELECT q.query_id, q.qv, q.qn, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 ${dCos("qv", "cv", "qn", "cn")} DESC, cid) AS rn
+             FROM q CROSS JOIN cent) WHERE rn <= $NProbe),
+         sc AS (SELECT query_id, asg.vec_id AS neighbor_id,
+             ${dCos("qv", "asg.v", "qn", "asg.nrm")} AS cos
+           FROM pr JOIN asg USING (cid)
+           WHERE asg.vec_id <> pr.query_id),
+         rk AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+         SELECT query_id, neighbor_id, rank, cos FROM rk
+         WHERE rank <= $TopK ORDER BY query_id, rank""",
+  )
+}

@@ -1,0 +1,73 @@
+package graft.sim
+
+import graft.{SparkSpec, Tables}
+
+class VectorSearchSpec extends SparkSpec {
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) dot += a(i) * b(i)
+    for (x <- a) na += x * x
+    for (x <- b) nb += x * x
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def bruteTopK(q: Long, k: Int): Seq[Long] =
+    vecs.toSeq.filter(_._1 != q)
+      .map { case (id, v) => (id, cos(vecs(q), v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k).map(_._1)
+
+  test("brute-force top-k matches a driver-side recompute exactly") {
+    val rows = VectorSearch.cosineTopK(spark, sf).collect()
+    assert(rows.length === VectorSearch.NumQueries * VectorSearch.TopK)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      val got = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id"))
+      assert(got.toSeq === bruteTopK(q, VectorSearch.TopK))
+      rs.foreach { r =>
+        assert(r.getAs[Double]("cos") ===
+          cos(vecs(q), vecs(r.getAs[Long]("neighbor_id"))))
+      }
+    }
+  }
+
+  test("ivf top-k: valid structure and measured recall vs brute force") {
+    val rows = VectorSearch.ivfTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === VectorSearch.NumQueries)
+    var hit = 0; var total = 0
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length <= VectorSearch.TopK)
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to rs.length).toSeq)
+      rs.foreach { r =>
+        assert(r.getAs[Double]("cos") ===
+          cos(vecs(q), vecs(r.getAs[Long]("neighbor_id"))))
+      }
+      val brute = bruteTopK(q, VectorSearch.TopK).toSet
+      hit += rs.count(r => brute(r.getAs[Long]("neighbor_id")))
+      total += VectorSearch.TopK
+    }
+    val recall = hit.toDouble / total
+    info(f"IVF recall@${VectorSearch.TopK} (nprobe=${VectorSearch.NProbe}" +
+      f"/${VectorSearch.NumCentroids}): $recall%.2f")
+    // Probing 2/16 lists must beat random chance by a wide margin but
+    // cannot reach 1.0; assert a sane floor only.
+    assert(recall > 0.2)
+  }
+
+  test("ivf plan broadcasts the centroid table") {
+    val plan = VectorSearch.ivfTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
