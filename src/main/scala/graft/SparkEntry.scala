@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.operators.Relational
 import graft.sim.VectorSearch
+import graft.streaming.EventOps
 import graft.text.{TextAnalysis, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,6 +26,8 @@ object SparkEntry {
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Dedup.queries, Dedup.oracles),
     (VectorSearch.queries, VectorSearch.oracles),
+    (Multimodal.queries, Multimodal.oracles),
+    (EventOps.queries, EventOps.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

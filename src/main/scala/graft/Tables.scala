@@ -19,19 +19,22 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") {
-      // ts arrives as int64 nanoseconds (see GraftSession scaladoc).
-      // Keep the exact nanos (ts_ns) for oracle parity (DuckDB
-      // epoch_ns), and a truncated-to-micros NTZ timestamp for
-      // window/date functions.
-      raw
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn(
-          "ts",
-          timestamp_micros((col("ts_ns") / 1000L).cast("long"))
-            .cast("timestamp_ntz"))
-    } else raw
+    if (name == "events") eventsFixup(raw) else raw
   }
+
+  /** events.ts arrives as int64 nanoseconds (see GraftSession
+    * scaladoc). Keep the exact nanos (ts_ns) for oracle parity
+    * (DuckDB epoch_ns), and a truncated-to-micros NTZ timestamp for
+    * window/date functions. Shared by batch reads and the streaming
+    * file source (which reads the same parquet schema).
+    */
+  def eventsFixup(raw: DataFrame): DataFrame =
+    raw
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn(
+        "ts",
+        timestamp_micros((col("ts_ns") / 1000L).cast("long"))
+          .cast("timestamp_ntz"))
 
   /** Register every fixture table as a temp view for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Streaming tier over the `events` fixture (north-star [ext];
+  * entirely absent in the reference, which is single-file batch —
+  * SURVEY.md §2.9).
+  *
+  * The same transforms run in BOTH execution modes — that is
+  * Structured Streaming's contract and the reason this module is
+  * plain `DataFrame => DataFrame` functions:
+  *
+  *  - batch: [[tumblingHour]] / [[slidingHalfHour]] / [[sessionAgg]]
+  *    applied to the parquet table, DuckDB-oracle-checked
+  *    (`st_*` queries below);
+  *  - streaming: the exact same functions applied to a
+  *    `readStream`/`MemoryStream` source in `EventsStreamingSpec`,
+  *    plus the streaming-only surfaces (watermarks, append-mode
+  *    finalization, `dropDuplicatesWithinWatermark`, and
+  *    `flatMapGroupsWithState` sessionization) which have no batch
+  *    oracle and are spec-tested instead.
+  *
+  * Scale shape: tumbling/sliding aggregation is hash-partitioned by
+  * (window, key) with partial aggregation; session windows shuffle by
+  * user then sort-merge locally; state stores are per-key and bounded
+  * by the watermark — the standard Structured Streaming story, which
+  * is exactly what holds at 100 TB/day ingest.
+  *
+  * All value sums go through decimal (the fixture `value` has 2
+  * decimal digits) per the [[graft.operators.Exact]] discipline.
+  */
+object EventOps {
+
+  private val Val = DecimalType(14, 2)
+
+  /** Tumbling 1-hour windows: count + min/max + exact sum of value. */
+  def tumblingHour(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Val)).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"), col("n"),
+        col("sum_value"), col("min_value"), col("max_value"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
+  def slidingHalfHour(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Val)).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("n"), col("sum_value"))
+
+  /** Per-user session windows with a 30-minute inactivity gap. */
+  def sessionAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Val)).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"), col("n_events"), col("sum_value"))
+
+  // -----------------------------------------------------------------
+  // Batch entry points (the driver's oracle gate runs these).
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  def stTumbling(s: SparkSession, dir: String): DataFrame =
+    tumblingHour(events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  def stSliding(s: SparkSession, dir: String): DataFrame =
+    slidingHalfHour(events(s, dir))
+      .orderBy("window_start")
+
+  def stSession(s: SparkSession, dir: String): DataFrame =
+    sessionAgg(events(s, dir))
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_tumbling_hour" -> stTumbling,
+    "st_sliding_halfhour" -> stSliding,
+    "st_session_30m" -> stSession,
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles. The fixture `ts` is TIMESTAMP(ns); Spark reads it
+  // as int64 nanos and truncates to microseconds (Tables.apply), so
+  // the oracles bucket on the micro-truncated timestamp too —
+  // epoch_ns(ts) // 1000 microseconds — to keep boundary behavior
+  // identical.
+  private val TsUs = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
+  private val HourUs = 3600L * 1000 * 1000
+  private val HalfUs = 1800L * 1000 * 1000
+
+  private def fmtUs(expr: String) =
+    s"strftime(make_timestamp($expr), '%Y-%m-%d %H:%M:%S')"
+
+  val oracles: Map[String, String] = Map(
+    "st_tumbling_hour" ->
+      s"""WITH e AS (SELECT $TsUs AS us, event_type, value FROM events)
+         SELECT ${fmtUs(s"us // $HourUs * $HourUs")} AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+         FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "st_sliding_halfhour" ->
+      s"""WITH e AS (SELECT $TsUs AS us, value FROM events),
+         x AS (SELECT unnest([us // $HalfUs * $HalfUs,
+             us // $HalfUs * $HalfUs - $HalfUs]) AS ws, value FROM e)
+         SELECT ${fmtUs("ws")} AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+         FROM x GROUP BY ws ORDER BY window_start""",
+    "st_session_30m" ->
+      s"""WITH e AS (SELECT user_id, $TsUs AS us, value FROM events),
+         g AS (SELECT user_id, us, value,
+           CASE WHEN us - lag(us) OVER w >= $HalfUs OR
+             lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         sid AS (SELECT user_id, us, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM g)
+         SELECT user_id, ${fmtUs("MIN(us)")} AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+         FROM sid GROUP BY user_id, sess
+         ORDER BY user_id, session_start""",
+  )
+}

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, Trigger}
+
+import graft.{SparkSpec, Tables}
+
+/** Streaming-only surfaces: watermarks + append finalization,
+  * watermark-bounded dedup, custom state machines, and the file
+  * source — none oracle-able in DuckDB, so they are spec-tested with
+  * deterministic micro-batches (SURVEY.md §5.2.5).
+  *
+  * The batch/stream unification claim of [[EventOps]] is tested
+  * directly: the same transform runs over the parquet fixture twice —
+  * once via `spark.read`, once via `readStream` + AvailableNow — and
+  * must produce identical rows.
+  */
+class EventsStreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window + watermark: append emits only finalized " +
+    "windows and drops late rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "value")
+    val agg = EventOps.tumblingHour(df.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((ts("2026-01-01 10:05:00"), "click", 1.0),
+        (ts("2026-01-01 10:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      // Watermark = 10:20 - 10' = 10:10 < window end — nothing final.
+      assert(spark.table("tumbling").count() === 0)
+
+      ms.addData((ts("2026-01-01 11:30:00"), "view", 5.0))
+      q.processAllAvailable()
+      ms.addData((ts("2026-01-01 11:31:00"), "view", 1.0))
+      q.processAllAvailable()
+      // Watermark 11:20 ≥ 11:00 → the 10:00 window finalizes.
+      val done = spark.table("tumbling").collect()
+      assert(done.length === 1)
+      assert(done.head.getAs[String]("window_start")
+        .endsWith("10:00:00"))
+      assert(done.head.getAs[Long]("n") === 2L)
+      assert(done.head.getAs[Double]("sum_value") === 3.0)
+
+      // A late row behind the watermark must not resurrect the window.
+      ms.addData((ts("2026-01-01 10:40:00"), "click", 100.0))
+      ms.addData((ts("2026-01-01 12:45:00"), "view", 7.0))
+      q.processAllAvailable()
+      val after = spark.table("tumbling").collect()
+      // 11:00 window finalized with ONLY the on-time rows.
+      val w11 = after.filter(_.getAs[String]("window_start")
+        .endsWith("11:00:00"))
+      assert(w11.map(_.getAs[Long]("n")).sum === 2L)
+      assert(!after.exists(r => r.getAs[String]("window_start")
+        .endsWith("10:00:00") && r.getAs[Long]("n") != 2L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes cross-batch duplicates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val df = ms.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = df.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((1L, ts("2026-01-01 10:00:00")),
+        (2L, ts("2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      ms.addData((1L, ts("2026-01-01 10:02:00")),
+        (3L, ts("2026-01-01 10:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps a running per-user count") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val counted = ms.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          Iterator.single((user, n, v))
+      }
+      .toDF("user_id", "n", "total")
+    val q = counted.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData((7L, 1.5), (7L, 2.5), (8L, 4.0))
+      q.processAllAvailable()
+      ms.addData((7L, 6.0))
+      q.processAllAvailable()
+      val last = spark.table("running").collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rs) => u -> rs.maxBy(_.getLong(1)) }
+      assert(last(7L).getLong(1) === 3L && last(7L).getDouble(2) === 10.0)
+      assert(last(8L).getLong(1) === 1L && last(8L).getDouble(2) === 4.0)
+    } finally q.stop()
+  }
+
+  test("file-source stream computes the same tumbling agg as batch") {
+    val dir = Files.createTempDirectory("graft_stream_src")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val raw = spark.read.parquet(dir.toString)
+    val stream = Tables.eventsFixup(
+      spark.readStream.schema(raw.schema).parquet(dir.toString))
+    val q = EventOps.tumblingHour(stream)
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("filesrc").collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    val batch = EventOps.tumblingHour(Tables(spark, sf, "events"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
