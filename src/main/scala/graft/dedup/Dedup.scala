@@ -42,12 +42,34 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** doc_id → distinct-3-shingle array (docs with ≥3 tokens only). */
+  /** doc_id → distinct-3-shingle array (docs with ≥3 tokens only).
+    *
+    * Three perf-critical structural choices, all measured at sf0.1:
+    *
+    *  1. hs → shingles staged through SEPARATE projections:
+    *     `shingles3` references its input 5 times, so feeding it the
+    *     raw md5-hash *expression* instead of a materialized column
+    *     re-evaluates the per-token md5 tree once per reference per
+    *     shingle (~100× slowdown).
+    *  2. The ≥3-token guard is applied BEFORE any derived column, as
+    *     a predicate on the tokenizer output. A `filter` placed above
+    *     the shingle projection gets pushdown-substituted through the
+    *     aliases — Catalyst re-inlines the whole md5→shingle tree
+    *     into the filter and every consumer re-pays it (55 s/pass
+    *     measured).
+    *  3. `repartition(doc_id)` materializes the shingle table behind
+    *     one exchange: the LSH self-join and the two verify-join
+    *     probes then hit ReusedExchange instead of recomputing the
+    *     whole lineage per branch (4× the cost otherwise). At 100 TB
+    *     this is exactly "write the signature table once, read it
+    *     four times".
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"),
-        shingles3(tokenHashes(tokens(col("text")))).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+      .select(col("doc_id"), shingles3(col("hs")).as("shingles"))
+      .repartition(col("doc_id"))
 
   // -----------------------------------------------------------------
   // dd_exact: exact duplicate removal — group by content hash, keep
@@ -67,10 +89,18 @@ object Dedup {
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
+    // sig is materialized as its own column (bandKeys reads it via 32
+    // element_at calls — attribute access, not expression re-runs),
+    // computed by the native codegen'd expression (the interpreted
+    // K×|shingles| fold was the residual cost here), and behind its
+    // own exchange so the band self-join computes MinHash once, not
+    // once per join side (see shingled() notes).
+    import graft.functions.MinhashSig.minhashNative
     val bd = sh
+      .select(col("doc_id"), minhashNative(col("shingles"), K).as("sig"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
-        posexplode(bandKeys(minhashSignature(col("shingles"), K), K, Bands))
-          .as(Seq("bi", "bh")))
+        posexplode(bandKeys(col("sig"), K, Bands)).as(Seq("bi", "bh")))
     val cand = bd.as("a")
       .join(bd.as("b"),
         col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
@@ -94,9 +124,17 @@ object Dedup {
   // dd_simhash: near-duplicate pairs by SimHash Hamming distance ≤ 3,
   // blocked on the four 16-bit chunks (pigeonhole-complete for ≤ 3).
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    // hs60 staged as a column (the md5 transform must not re-run per
+    // bit), simhash via the native codegen'd expression (the HOF fold
+    // costs ~4 ms/row interpreted — graft.functions.Simhash60), and
+    // one exchange so the chunk self-join reuses the hash table
+    // instead of recomputing it per side.
+    import graft.functions.Simhash60.simhash60Native
     val sh = docs(s, dir)
       .select(col("doc_id"),
-        simhash60(transform(tokens(col("text")), w => hash60(w))).as("sh"))
+        transform(tokens(col("text")), w => hash60(w)).as("hs60"))
+      .select(col("doc_id"), simhash60Native(col("hs60")).as("sh"))
+      .repartition(col("doc_id"))
     val ch = sh.select(col("doc_id"), col("sh"),
       posexplode(simhashChunks(col("sh"))).as(Seq("j", "chunk")))
     ch.as("a")
@@ -118,9 +156,16 @@ object Dedup {
   // min-shingle. Single-key blocking keeps buckets tiny (the key is
   // content-derived, so duplicates collide and unrelated docs don't).
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // mk is wrapped in coalesce to make it NON-NULLABLE: joining on a
+    // nullable derived key makes Catalyst infer isnotnull(mk) and
+    // push it below the repartition exchange, alias-substituting the
+    // entire md5→shingle pipeline into a scan-side filter that
+    // re-evaluates the token transform per element_at reference
+    // (~50 s/side measured at sf0.1). shingles is never empty here
+    // (≥3-token pre-filter), so the -1 sentinel is unreachable.
     val keyed = shingled(s, dir)
       .select(col("doc_id"), col("shingles"),
-        array_min(col("shingles")).as("mk"))
+        coalesce(array_min(col("shingles")), lit(-1L)).as("mk"))
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
@@ -136,24 +181,24 @@ object Dedup {
 
   // -----------------------------------------------------------------
   // dd_embed_cosine: exact cosine-threshold near-dup pairs over the
-  // embedding column. Dot products are strict left-to-right double
-  // folds (bit-identical to the DuckDB oracle). Quadratic by design —
-  // this is the verify tier; candidate pruning at scale lives in
-  // graft.sim (sketch buckets).
+  // embedding column, via the native codegen'd dot product
+  // (graft.functions.DoubleDot — same strict left-to-right IEEE fold
+  // as the DuckDB oracle, bit-identical, ~20× the interpreted
+  // higher-order-function formulation). Quadratic by design — this is
+  // the verify tier; candidate pruning at scale lives in graft.sim.
   val CosineThreshold = 0.45
 
   def embedCosine(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{ddot, l2norm}
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .select(col("vec_id"), col("v"),
-        sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)).as("nrm"))
+      .select(col("vec_id"), col("v"), l2norm(col("v")).as("nrm"))
     e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0d), (acc, p) => acc + p)
-          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        (ddot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
       .filter(col("cos") >= CosineThreshold)
       .orderBy("vec_a", "vec_b")
   }
@@ -237,7 +282,8 @@ object Dedup {
     "dd_ngram_jaccard" ->
       s"""WITH d AS ($DHs),
          sh AS ($DShingles),
-         k AS (SELECT doc_id, shingles, list_min(shingles) AS mk FROM sh),
+         k AS (SELECT doc_id, shingles,
+           COALESCE(list_min(shingles), -1) AS mk FROM sh),
          cand AS (SELECT a.doc_id AS da, b.doc_id AS db
            FROM k a JOIN k b ON a.mk = b.mk AND a.doc_id < b.doc_id),
          ver AS ($DVerify)

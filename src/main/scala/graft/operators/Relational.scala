@@ -316,7 +316,80 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  // q21: SQL surface — the same engine exposed through spark.sql
+  // (Tables registered as temp views; Catalyst plans it identically
+  // to the DataFrame form). Supplier ⋈ nation with a broadcast dim.
+  def q21SupplierNation(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT n_name,
+             COUNT(*) AS n_supp,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")
+  }
+
+  // q22: full outer join on pre-aggregated sides (nulls surfaced as
+  // zero counts — nations having only customers or only suppliers).
+  def q22FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nk"), "full_outer")
+      .select(col("nk").as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  // q23: distinct aggregation — exact COUNT(DISTINCT) per group plus
+  // a global dropDuplicates count. (approx_count_distinct is the
+  // scale-path twin; being approximate it is spec-tested against the
+  // exact value rather than oracle-checked — see PlanAuditSpec.)
+  def q23DistinctCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  // q24: UNION ALL of two differently-shaped relations (tagged), then
+  // re-aggregated — the Dataset union surface.
+  def q24UnionBalances(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(lit("customer").as("side"),
+      col("c_acctbal").as("bal"))
+    val su = t(s, dir, "supplier").select(lit("supplier").as("side"),
+      col("s_acctbal").as("bal"))
+    c.unionByName(su)
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n"),
+        dsum(money(col("bal"))).as("sum_bal"),
+        min(col("bal")).as("min_bal"),
+        max(col("bal")).as("max_bal"))
+      .orderBy(col("side"))
+  }
+
+  // q25: pure theta join (inequality-only condition → broadcast
+  // nested loop; both sides are tiny dims, which is the only shape a
+  // nested-loop join should ever take at scale).
+  def q25ThetaNationPairs(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "nation").select(col("n_nationkey").as("ka"),
+      col("n_name").as("na"))
+    val b = t(s, dir, "nation").select(col("n_nationkey").as("kb"),
+      col("n_name").as("nb"))
+    a.join(b, col("ka") < col("kb") && length(col("na")) < length(col("nb")))
+      .select(col("na"), col("nb"))
+      .orderBy("na", "nb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_supplier_nation" -> q21SupplierNation,
+    "q22_full_outer" -> q22FullOuter,
+    "q23_distinct_customers" -> q23DistinctCustomers,
+    "q24_union_balances" -> q24UnionBalances,
+    "q25_theta_nation_pairs" -> q25ThetaNationPairs,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_project" -> q2FilterProject,
     "q3_top_orders" -> q3TopOrders,
@@ -346,6 +419,36 @@ object Relational {
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
 
   val oracles: Map[String, String] = Map(
+    "q21_supplier_nation" ->
+      """SELECT n_name, COUNT(*) AS n_supp,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q22_full_outer" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nationkey,
+         COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1) c
+         FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+               FROM supplier GROUP BY 1) s ON c.nk = s.nk
+         ORDER BY nationkey""",
+    "q23_distinct_customers" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+         COUNT(*) AS n_orders FROM orders
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q24_union_balances" ->
+      """SELECT side, COUNT(*) AS n,
+         CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+         MIN(bal) AS min_bal, MAX(bal) AS max_bal
+         FROM (SELECT 'customer' AS side, c_acctbal AS bal FROM customer
+               UNION ALL
+               SELECT 'supplier' AS side, s_acctbal AS bal FROM supplier)
+         GROUP BY side ORDER BY side""",
+    "q25_theta_nation_pairs" ->
+      """SELECT a.n_name AS na, b.n_name AS nb FROM nation a, nation b
+         WHERE a.n_nationkey < b.n_nationkey
+           AND length(a.n_name) < length(b.n_name)
+         ORDER BY na, nb""",
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -40,19 +40,20 @@ object VectorSearch {
   val NumCentroids = 16 // IVF: centroids seeded from vec_id < 16
   val NProbe = 2
 
+  import graft.functions.VectorFunctions.{ddot, l2norm}
+
   /** vec_id, v (double array), nrm (L2 norm). */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .select(col("vec_id"), col("v"),
-        sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)).as("nrm"))
+      .select(col("vec_id"), col("v"), l2norm(col("v")).as("nrm"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, p) => acc + p)
-
+  /** Native codegen'd dot product (graft.functions.DoubleDot) — same
+    * strict fold as the interpreted form and the DuckDB oracle.
+    */
   private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    dot(va, vb) / (na * nb)
+    ddot(va, vb) / (na * nb)
 
   // -----------------------------------------------------------------
   // ss_cosine_topk: exact top-k neighbors for each query vector.

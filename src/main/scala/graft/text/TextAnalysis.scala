@@ -44,11 +44,14 @@ object TextAnalysis {
   // -----------------------------------------------------------------
   // ta_lang_id: marker-word occurrence scoring + fixed-priority argmax.
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = docs(s, dir).select(
-      col("doc_id") +: MarkerWords.map { case (l, ws) =>
-        hits(toks, ws).as(s"s_$l")
-      }: _*)
+    // toks materialized once; the 5 per-language filters then read an
+    // attribute instead of re-running the tokenizer regexp 5×/row.
+    val scored = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id") +: MarkerWords.map { case (l, ws) =>
+          hits(col("toks"), ws).as(s"s_$l")
+        }: _*)
     val langs = MarkerWords.map(_._1)
     // argmax with ties broken by list order (en > es > de > fr > zh).
     val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
@@ -152,8 +155,9 @@ object TextAnalysis {
   // ta_bigrams: global top-20 word bigrams (count desc, bigram asc —
   // a total order, so the LIMIT frontier is deterministic).
   def bigrams(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks") // attribute: 2 element_at reads per index
     docs(s, dir)
+      .select(tokens(col("text")).as("toks"))
       .select(explode(when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2), i =>
           concat(element_at(toks, i + 1), lit(" "),

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Physical-plan audits: correctness is the oracle gate's job; this
+  * suite pins the *plan shapes* that make the same queries viable at
+  * 100 TB — filters reaching the parquet scan, column pruning,
+  * broadcast joins for dims, TakeOrderedAndProject for top-k, and
+  * map-side partial aggregation. A regression here means a silent
+  * 10–100× cost at scale long before any test fails on 60k rows.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q2: predicate pushdown and column pruning reach the scan") {
+    val p = plan(Relational.q2FilterProject(spark, sf))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("p_size") && p.contains("p_type"))
+    // Column pruning: the scan must not read p_brand-adjacent noise
+    // beyond the projected set — part has 6 columns, we use 5.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(readSchema.exists(!_.contains("p_container")))
+  }
+
+  test("q5: tiny dims are broadcast, not shuffled") {
+    val p = plan(Relational.q5NationRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q3/q7: top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan(Relational.q3TopOrders(spark, sf))
+      .contains("TakeOrderedAndProject"))
+    assert(plan(Relational.q7TopOrderValues(spark, sf))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("q1: aggregation is partial (map-side combine before shuffle)") {
+    val p = plan(Relational.q1PricingSummary(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_"))
+  }
+
+  test("wordcount runs inside whole-stage codegen with no UDFs") {
+    val df = graft.text.WordCount(Tables(spark, sf, "documents"), "text")
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    val p = plan(df)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final plan.
+    assert(p.contains("*(1)"))
+    assert(p.contains("partial_count")) // map-side combine before shuffle
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("approx_count_distinct (HLL++ scale path) tracks the exact count") {
+    val r = Tables(spark, sf, "orders")
+      .agg(countDistinct(col("o_custkey")).as("exact"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx"))
+      .head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+}
