@@ -1,0 +1,73 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextHash._
+
+/** The three native codegen'd expressions must be integer/IEEE
+  * identical to their interpreted higher-order-function reference
+  * implementations — on random inputs, not just the fixture corpus.
+  * (The HOF forms are themselves oracle-checked against DuckDB, so
+  * equivalence here transitively pins the natives to the oracle.)
+  */
+class NativeExprEquivalenceSpec extends SparkSpec {
+
+  private val rnd = new Random(42)
+
+  test("Simhash60 native == HOF fold on 300 random hash arrays") {
+    import spark.implicits._
+    val data = Seq.fill(300)(
+      Seq.fill(1 + rnd.nextInt(80))(rnd.nextLong().abs % (1L << 60)))
+    val df = data.toDF("hs")
+      .select(Simhash60.simhash60Native(col("hs")).as("native"),
+        simhash60(col("hs")).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("MinhashSig native == HOF signature on 300 random shingle sets") {
+    import spark.implicits._
+    val data = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(60))(rnd.nextLong().abs % Prime))
+    val df = data.toDF("sh")
+      .select(MinhashSig.minhashNative(col("sh"), 32).as("native"),
+        minhashSignature(col("sh"), 32).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("DoubleDot native == interpreted fold, bit for bit, 300 pairs") {
+    import spark.implicits._
+    val data = Seq.fill(300)((
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = data.toDF("a", "b")
+      .select(VectorFunctions.ddot(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0d), (acc, p) => acc + p).as("hof"))
+    // Exact equality — same strict left-to-right fold.
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("engine results are invariant to shuffle partition count") {
+    val a = graft.text.TextAnalysis.fingerprint(spark, sf).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = graft.text.TextAnalysis.fingerprint(spark, sf).collect().toSeq
+      assert(a.map(_.toSeq) === b.map(_.toSeq))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("wordcount counts sum to the total token count") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf, "documents")
+    val total = docs.select(explode(regexp_extract_all(
+      upper(col("text")), lit(graft.text.WordCount.WordRegex), lit(0))))
+      .count()
+    val summed = graft.text.WordCount(docs, "text")
+      .agg(sum("cnt")).as[Long].head()
+    assert(summed === total)
+  }
+}
