@@ -384,7 +384,20 @@ object Relational {
       .orderBy("na", "nb")
   }
 
+  // q26: exact percentiles (linear interpolation) — Spark
+  // `percentile` and DuckDB `quantile_cont` share the definition;
+  // both interpolate on doubles, so the oracle compare is exact.
+  def q26Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_percentiles" -> q26Percentiles,
     "q21_supplier_nation" -> q21SupplierNation,
     "q22_full_outer" -> q22FullOuter,
     "q23_distinct_customers" -> q23DistinctCustomers,
@@ -419,6 +432,12 @@ object Relational {
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
 
   val oracles: Map[String, String] = Map(
+    "q26_percentiles" ->
+      """SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS p50,
+         quantile_cont(o_totalprice, 0.9) AS p90,
+         COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q21_supplier_nation" ->
       """SELECT n_name, COUNT(*) AS n_supp,
          CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal

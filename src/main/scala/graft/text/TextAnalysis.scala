@@ -169,7 +169,25 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // -----------------------------------------------------------------
+  // ta_array_funcs: the array scalar-function family (sort, index
+  // from both ends, membership, slice+join) over the token arrays.
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        sort_array(col("toks")).as("sorted"))
+      .select(
+        col("doc_id"),
+        element_at(col("sorted"), 1).as("first_tok"),
+        element_at(col("sorted"), -1).as("last_tok"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_join(slice(col("sorted"), 1, 3), ",").as("first3"),
+        size(col("toks")).cast("long").as("n"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_array_funcs" -> arrayFuncs,
     "ta_lang_id" -> langId,
     "ta_quality" -> quality,
     "ta_token_count" -> tokenCount,
@@ -198,6 +216,14 @@ object TextAnalysis {
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
     Map(
+      "ta_array_funcs" ->
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           t AS (SELECT doc_id, toks, list_sort(toks) AS sorted FROM d)
+           SELECT doc_id, sorted[1] AS first_tok, sorted[-1] AS last_tok,
+             list_contains(toks, 'the') AS has_the,
+             array_to_string(sorted[1:3], ',') AS first3,
+             CAST(len(toks) AS BIGINT) AS n
+           FROM t ORDER BY doc_id""",
       "ta_lang_id" ->
         s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
            s AS (SELECT doc_id, ${MarkerWords.map { case (l, ws) =>
