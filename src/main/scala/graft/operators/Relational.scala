@@ -396,7 +396,23 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  // q27: skewed aggregation through the salted two-phase recipe
+  // (SkewTools) — the result is identical to a plain GROUP BY because
+  // the summed column is exact decimal, which is the whole point:
+  // salt changes the partial grouping, never the answer.
+  // l_returnflag has 3 values over 600k rows at sf0.1 — a genuinely
+  // hot aggregation key.
+  def q27SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    SkewTools.saltedAgg(
+        t(s, dir, "lineitem")
+          .withColumn("qty_dec", money(col("l_quantity"))),
+        key = "l_returnflag", sums = Seq("qty_dec"), salts = 8)
+      .select(col("l_returnflag"), col("n"),
+        col("sum_qty_dec").cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_salted_agg" -> q27SaltedAgg,
     "q26_percentiles" -> q26Percentiles,
     "q21_supplier_nation" -> q21SupplierNation,
     "q22_full_outer" -> q22FullOuter,
@@ -432,6 +448,10 @@ object Relational {
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
 
   val oracles: Map[String, String] = Map(
+    "q27_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q26_percentiles" ->
       """SELECT o_orderpriority,
          quantile_cont(o_totalprice, 0.5) AS p50,

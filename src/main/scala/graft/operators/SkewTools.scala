@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling recipes (SURVEY.md §4.3: the reference serializes a
+  * hot key on one partition mutex, `src/mapreduce.c:289`; at 100 TB a
+  * hot key serializes a whole reducer the same way).
+  *
+  * First line of defense is AQE (`skewJoin.enabled`, on in
+  * GraftSession). This module is the explicit recipe for the case AQE
+  * cannot fix: an *aggregation* whose group key is so hot that one
+  * partition's partial buffer dominates (AQE splits skewed JOIN
+  * partitions, not aggregation groups).
+  *
+  * [[saltedAgg]] is the classic two-phase rewrite: append a random
+  * salt to the key → partial aggregate over (key, salt) spreads the
+  * hot key over `salts` reducers → final aggregate over the key
+  * merges the partials. Works for any algebraic aggregate (sum,
+  * count, min, max — anything with an associative merge).
+  */
+object SkewTools {
+
+  /** Two-phase salted sum/count aggregation.
+    *
+    * @param df     input
+    * @param key    group key column name
+    * @param sums   columns to SUM (exact decimal discipline is the
+    *               caller's job, per [[Exact]])
+    * @param salts  fan-out per key (number of partial groups)
+    */
+  def saltedAgg(df: DataFrame, key: String, sums: Seq[String],
+      salts: Int): DataFrame = {
+    val partial = df
+      .withColumn("__salt", (rand(seed = 42) * salts).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sums.map(c => sum(col(c)).as(s"__s_$c")): _*)
+    partial
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as("n"),
+        sums.map(c => sum(col(s"__s_$c")).as(s"sum_$c")): _*)
+  }
+
+  /** The same result un-salted, for differential testing. */
+  def plainAgg(df: DataFrame, key: String, sums: Seq[String]): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sums.map(c => sum(col(c)).as(s"sum_$c")): _*)
+}

@@ -119,6 +119,29 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to impressions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val i = imps.toDF().toDF("ad", "i_ts").withWatermark("i_ts", "1 hour")
+    val c = clicks.toDF().toDF("c_ad", "c_ts").withWatermark("c_ts", "1 hour")
+    val joined = i.join(c,
+      expr("ad = c_ad AND c_ts >= i_ts AND " +
+        "c_ts <= i_ts + interval 10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((1L, ts("2026-01-01 10:00:00")),
+        (2L, ts("2026-01-01 10:00:00")))
+      clicks.addData((1L, ts("2026-01-01 10:05:00")), // in window
+        (2L, ts("2026-01-01 10:20:00")))              // too late: 20 min
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
   test("file-source stream computes the same tumbling agg as batch") {
     val dir = Files.createTempDirectory("graft_stream_src")
     Files.copy(Paths.get(s"$sf/events.parquet"),

@@ -26,6 +26,29 @@ class WordCountSpec extends SparkSpec {
     assert(RefTokenizer.tokenize("end").toList == List("END"))
   }
 
+  test("mapReduceAgg (Aggregator fast path) equals the DataFrame form") {
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import spark.implicits._
+    val sumAgg = new Aggregator[Int, Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: Int): Long = b + a
+      def merge(b1: Long, b2: Long): Long = b1 + b2
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+    val lines = graft.Tables(spark, sf, "documents")
+      .select("text").as[String]
+    val viaAgg = graft.core.MapReducePipeline
+      .mapReduceAgg[String, Int, Long](
+        lines, l => RefTokenizer.tokenize(l).map(w => (w, 1)), sumAgg)
+      .collect().toMap
+    val viaDf = WordCount(graft.Tables(spark, sf, "documents"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaDf)
+  }
+
   test("wordcount DataFrame form matches golden counts") {
     import spark.implicits._
     val df = Seq(
