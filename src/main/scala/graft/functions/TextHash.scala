@@ -53,11 +53,21 @@ object TextHash {
   def tokenHashes(toks: Column): Column =
     transform(toks, w => hash31(w))
 
+  /** Positional (non-distinct) 3-token shingle hashes — the ordered
+    * rolling k-gram sequence winnowing needs. Polynomial combine mod
+    * Prime; fewer than 3 tokens yields an empty array.
+    */
+  def shingles3Seq(hs: Column): Column =
+    when(size(hs) >= 3,
+      transform(sequence(lit(0), size(hs) - 3), i =>
+        (((element_at(hs, i + 1) * 131 + element_at(hs, i + 2)) % Prime)
+          * 131 + element_at(hs, i + 3)) % Prime))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Distinct 3-token shingle hashes from an array of 31-bit token
-    * hashes. Polynomial combine mod Prime; docs with fewer than 3
-    * tokens yield an empty array. DuckDB mirror uses
-    * `list_transform(range(1, len(h)-1), i -> ...)` with the same
-    * constants.
+    * hashes (set semantics — MinHash/Jaccard input). DuckDB mirror
+    * uses `list_transform(range(1, len(h)-1), i -> ...)` with the
+    * same constants.
     */
   def shingles3(hs: Column): Column =
     when(size(hs) >= 3,
@@ -65,6 +75,20 @@ object TextHash {
         (((element_at(hs, i + 1) * 131 + element_at(hs, i + 2)) % Prime)
           * 131 + element_at(hs, i + 3)) % Prime)))
       .otherwise(array().cast("array<bigint>"))
+
+  /** Winnowing (local-minimum) fingerprints over the positional
+    * shingle sequence: one fingerprint per window of `w` consecutive
+    * shingle hashes — the guarantee is that any match of length
+    * ≥ w+k-1 tokens between two documents shares a fingerprint
+    * (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD 2003). Documents shorter than
+    * one window contribute their global minimum.
+    */
+  def winnowFingerprints(shSeq: Column, w: Int): Column =
+    when(size(shSeq) >= w,
+      transform(sequence(lit(1), size(shSeq) - (w - 1)), i =>
+        array_min(slice(shSeq, i, lit(w)))))
+      .otherwise(array(array_min(shSeq)))
 
   /** MinHash signature (K values) over a distinct-shingle array.
     * Permutation i is the universal hash

@@ -411,7 +411,31 @@ object Relational {
         col("sum_qty_dec").cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  // q28: as-of join with tolerance — the classic time-series variant:
+  // the most recent event at-or-before the order date, but only if it
+  // is within 7 days; stale matches are rejected. Same single-shuffle
+  // union-window plan as q19 with a residual recency predicate.
+  def q28AsOfTolerance(s: SparkSession, dir: String): DataFrame = {
+    val tolNs = 7L * 86400 * 1000 * 1000 * 1000
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntzToNs(col("o_orderdate")).as("t_ns"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts_ns"))
+    AsOfJoin
+      .lastValueAtOrBefore(
+        left = ord, leftKey = "o_custkey", leftTime = "t_ns",
+        right = ev, rightKey = "user_id", rightTime = "ts_ns",
+        valueCol = "ts_ns", as = "last_ev_ns")
+      .select(col("o_orderkey"),
+        coalesce(
+          when(col("t_ns") - col("last_ev_ns") <= tolNs, col("last_ev_ns")),
+          lit(-1L)).as("recent_ev_ns"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_asof_tolerance" -> q28AsOfTolerance,
     "q27_salted_agg" -> q27SaltedAgg,
     "q26_percentiles" -> q26Percentiles,
     "q21_supplier_nation" -> q21SupplierNation,
@@ -448,6 +472,14 @@ object Relational {
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
 
   val oracles: Map[String, String] = Map(
+    "q28_asof_tolerance" ->
+      """SELECT o_orderkey, COALESCE(
+           (SELECT MAX(epoch_ns(e.ts)) FROM events e
+            WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+              AND epoch_ns(e.ts) >= epoch_ns(o.o_orderdate)
+                - 604800000000000),
+           -1) AS recent_ev_ns
+         FROM orders o ORDER BY o_orderkey""",
     "q27_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty

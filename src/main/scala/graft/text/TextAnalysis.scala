@@ -186,7 +186,30 @@ object TextAnalysis {
         size(col("toks")).cast("long").as("n"))
       .orderBy("doc_id")
 
+  /** Winnowing window width (fingerprint density ≈ 2/(w+1)). */
+  val WinnowW = 4
+
+  // -----------------------------------------------------------------
+  // ta_winnow: MOSS-style winnowing fingerprints (local minima over
+  // windows of the positional shingle sequence). The fp_hash folds
+  // the positional fingerprint sequence (deterministic order in both
+  // engines); n_fps counts the distinct set.
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+      .select(col("doc_id"), shingles3Seq(col("hs")).as("sh"))
+      .select(col("doc_id"),
+        winnowFingerprints(col("sh"), WinnowW).as("fps"))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("fps"))).cast("long").as("n_fps"),
+        array_min(col("fps")).as("min_fp"),
+        rollingFingerprint(col("fps")).as("fp_hash"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_winnow" -> winnow,
     "ta_array_funcs" -> arrayFuncs,
     "ta_lang_id" -> langId,
     "ta_quality" -> quality,
@@ -216,6 +239,22 @@ object TextAnalysis {
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
     Map(
+      "ta_winnow" ->
+        s"""WITH d AS (SELECT doc_id, list_transform($Toks,
+             w -> ${dH31("w")}) AS hs FROM documents),
+           sq AS (SELECT doc_id, list_transform(range(1, len(hs) - 1),
+             i -> ((hs[i]*131 + hs[i+1]) % $P * 131 + hs[i+2]) % $P) AS sh
+             FROM d WHERE len(hs) >= 3),
+           fp AS (SELECT doc_id, CASE WHEN len(sh) >= $WinnowW THEN
+               list_transform(range(1, len(sh) - ${WinnowW - 2}),
+                 i -> list_min(sh[i:i+${WinnowW - 1}]))
+             ELSE [list_min(sh)] END AS fps FROM sq)
+           SELECT doc_id,
+             CAST(len(list_distinct(fps)) AS BIGINT) AS n_fps,
+             list_min(fps) AS min_fp,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+               (acc, h) -> (acc*131 + h) % $P) AS fp_hash
+           FROM fp ORDER BY doc_id""",
       "ta_array_funcs" ->
         s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
            t AS (SELECT doc_id, toks, list_sort(toks) AS sorted FROM d)

@@ -70,6 +70,43 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: near-duplicate pairs share at least one fingerprint") {
+    // The winnowing guarantee: matches of length >= w+k-1 tokens share
+    // a fingerprint — so every LSH-confirmed near-dup pair must
+    // overlap in fingerprints.
+    import graft.functions.TextHash
+    val fps: Map[Long, Set[Long]] =
+      Tables(spark, sf, "documents").select("doc_id", "text").collect()
+        .flatMap { r =>
+          val hs = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase)
+            .map(w => {
+              val hex = java.security.MessageDigest.getInstance("MD5")
+                .digest(w.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+              java.lang.Long.parseLong(hex.substring(0, 15), 16) %
+                TextHash.Prime
+            }).toSeq
+          if (hs.size < 3) None else {
+            val sh = hs.sliding(3).map(s =>
+              ((s(0) * 131 + s(1)) % TextHash.Prime * 131 + s(2)) %
+                TextHash.Prime).toSeq
+            val w = TextAnalysis.WinnowW
+            val f = if (sh.size >= w)
+              sh.sliding(w).map(_.min).toSet else Set(sh.min)
+            Some(r.getLong(0) -> f)
+          }
+        }.toMap
+    val dupPairs = graft.dedup.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(dupPairs.nonEmpty)
+    dupPairs.foreach { case (a, b) =>
+      assert((fps(a) & fps(b)).nonEmpty, s"pair ($a,$b)")
+    }
+    // And the Spark-side fingerprint fold agrees with pure Scala.
+    val row = TextAnalysis.winnow(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0).head()
+    assert(row.getAs[Long]("n_fps") === fps(0L).size.toLong)
+  }
+
   test("bigrams: top-20 with non-increasing counts") {
     val rows = TextAnalysis.bigrams(spark, sf).collect()
     assert(rows.length === 20)
