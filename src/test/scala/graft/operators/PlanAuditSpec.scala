@@ -54,6 +54,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"))
   }
 
+  test("hive-style partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_part").toString
+    val ev = Tables(spark, sf, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val aDay = ev.select("day").head().getString(0)
+    val pruned = spark.read.parquet(dir).filter(col("day") === aDay)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // The day predicate must be a PartitionFilter (directory pruning),
+    // not a data filter evaluated per row.
+    assert(plan.contains("PartitionFilters") && plan.contains("day"))
+    assert(pruned.count() ===
+      ev.filter(col("day") === aDay).count())
+  }
+
   test("approx_count_distinct (HLL++ scale path) tracks the exact count") {
     val r = Tables(spark, sf, "orders")
       .agg(countDistinct(col("o_custkey")).as("exact"),

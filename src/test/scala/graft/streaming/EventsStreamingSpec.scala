@@ -119,6 +119,28 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink lands micro-batches as parquet") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_feb").toString
+    val ms = MemoryStream[(Long, Double)]
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      ms.addData((3L, 3.0))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+      assert(landed.count() === 3)
+      assert(landed.select("id").collect().map(_.getLong(0)).sorted
+        === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks to impressions") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
