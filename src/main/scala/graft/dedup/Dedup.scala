@@ -39,8 +39,14 @@ import graft.functions.TextHash._
   */
 object Dedup {
 
+  /** The fixture corpus is a single parquet file → a single scan
+    * task; repartitioning the raw (doc_id, text) rows FIRST spreads
+    * the md5-heavy derivations over every core. (On a real multi-file
+    * 100 TB corpus the scan is already parallel and this exchange is
+    * a no-op cost-wise — it shuffles only the input rows once.)
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables(s, dir, "documents").repartition(col("doc_id"))
 
   /** doc_id → distinct-3-shingle array (docs with ≥3 tokens only).
     *

@@ -23,8 +23,12 @@ import graft.functions.TextHash
 object TextAnalysis {
   import TextHash._
 
+  /** Raw docs spread over all cores before any tokenization — the
+    * fixture is a single parquet file (one scan task), so deriving
+    * directly off the scan would single-thread the per-token hashing.
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables(s, dir, "documents").repartition(col("doc_id"))
 
   /** Tiny per-language marker-word lists drawn from the fixture
     * vocabulary. The corpus text is synthetic word-salad, so this is
