@@ -434,7 +434,23 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  // q29: pivot — long→wide reshaping with an explicit value list
+  // (explicit so the output schema is static and both engines agree;
+  // at scale an implicit pivot would add a distinct-values job).
+  // Oracle mirrors via conditional aggregation.
+  def q29PivotStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_pivot_status" -> q29PivotStatus,
     "q28_asof_tolerance" -> q28AsOfTolerance,
     "q27_salted_agg" -> q27SaltedAgg,
     "q26_percentiles" -> q26Percentiles,
@@ -472,6 +488,12 @@ object Relational {
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
 
   val oracles: Map[String, String] = Map(
+    "q29_pivot_status" ->
+      """SELECT o_orderpriority,
+         COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+         COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+         COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q28_asof_tolerance" ->
       """SELECT o_orderkey, COALESCE(
            (SELECT MAX(epoch_ns(e.ts)) FROM events e
