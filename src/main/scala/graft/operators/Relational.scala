@@ -449,7 +449,26 @@ object Relational {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  // q30: correlated scalar subqueries — customers with more than 2×
+  // their nation's average balance. Catalyst decorrelates both
+  // subqueries into aggregates + joins (SURVEY §4.1); the predicate
+  // is cross-multiplied into exact decimal so no cross-engine
+  // float-average ordering can flip a boundary row.
+  def q30CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT c_custkey, c_nationkey FROM customer c
+      WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+            (SELECT COUNT(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey) >
+            (SELECT CAST(2 AS DECIMAL(2,0)) *
+                    SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+             FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_correlated_subquery" -> q30CorrelatedSubquery,
     "q29_pivot_status" -> q29PivotStatus,
     "q28_asof_tolerance" -> q28AsOfTolerance,
     "q27_salted_agg" -> q27SaltedAgg,
@@ -488,6 +507,15 @@ object Relational {
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
 
   val oracles: Map[String, String] = Map(
+    "q30_correlated_subquery" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+         WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+               (SELECT COUNT(*) FROM customer c2
+                WHERE c2.c_nationkey = c.c_nationkey) >
+               (SELECT CAST(2 AS DECIMAL(2,0)) *
+                       SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+                FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
     "q29_pivot_status" ->
       """SELECT o_orderpriority,
          COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,

@@ -119,6 +119,53 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState with EventTimeTimeout emits sessions " +
+    "when the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val sessions = ms.toDF().toDF("user", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Timestamp)],
+         state: GroupState[(Int, Long)]) =>
+          if (state.hasTimedOut) {
+            // Session closed by watermark: emit (user, count) once.
+            val (n, _) = state.get
+            state.remove()
+            Iterator.single((user, n.toLong))
+          } else {
+            val (n0, _) = state.getOption.getOrElse((0, 0L))
+            var n = n0; var last = 0L
+            rows.foreach { r => n += 1; last = r._2.getTime }
+            state.update((n, last))
+            // Close 10 minutes of event time after the last event.
+            state.setTimeoutTimestamp(last + 10 * 60 * 1000)
+            Iterator.empty
+          }
+      }
+      .toDF("user", "n_events")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((5L, ts("2026-01-01 10:00:00")),
+        (5L, ts("2026-01-01 10:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // session still open
+      // Advance the watermark past last-event + 10 min.
+      ms.addData((6L, ts("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      ms.addData((6L, ts("2026-01-01 10:31:00")))
+      q.processAllAvailable()
+      val done = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(done.toSeq === Seq((5L, 2L))) // user 5 closed with 2 events
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands micro-batches as parquet") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
