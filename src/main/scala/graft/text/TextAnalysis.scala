@@ -212,7 +212,40 @@ object TextAnalysis {
         rollingFingerprint(col("fps")).as("fp_hash"))
       .orderBy("doc_id")
 
+  // -----------------------------------------------------------------
+  // ta_tfidf_sim: document similarity by tf-idf weighted term overlap
+  // — the sparse-vector twin of the dense embedding search in
+  // graft.sim. Weights are INTEGER-quantized (tf × ⌊1000·idf⌋) so the
+  // shared-term dot products sum exactly in any order in any engine;
+  // magnitudes stay < 2^60. The term self-join is the classic sparse
+  // inverted-index similarity shape: shuffle by term, never by pair.
+  def tfidfSim(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = d.agg(count(lit(1)).as("nd"))
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val weights = tf.join(broadcast(dfc), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * floor(lit(1000.0) * (col("nd") + 1).cast("double")
+          / (col("df") + 1)).cast("long")).as("w"))
+    val pairs = weights.as("a")
+      .join(weights.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    val w = Window.partitionBy("doc_a").orderBy(desc("dot"), asc("doc_b"))
+    pairs.filter(col("doc_a") < 20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_a", "doc_b", "rank", "dot")
+      .orderBy("doc_a", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tfidf_sim" -> tfidfSim,
     "ta_winnow" -> winnow,
     "ta_array_funcs" -> arrayFuncs,
     "ta_lang_id" -> langId,
@@ -243,6 +276,30 @@ object TextAnalysis {
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
     Map(
+      "ta_tfidf_sim" ->
+        """WITH d AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           n AS (SELECT COUNT(*) AS nd FROM d),
+           tf AS (SELECT doc_id, unnest(toks) AS term FROM d),
+           tfc AS (SELECT doc_id, term, COUNT(*) AS tf
+             FROM tf GROUP BY 1, 2),
+           dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+           w AS (SELECT doc_id, term,
+             CAST(tf * CAST(floor(1000.0 * CAST(nd + 1 AS DOUBLE)
+               / (df + 1)) AS BIGINT) AS BIGINT) AS w
+             FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+             FROM w a JOIN w b
+             ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           rk AS (SELECT doc_a, doc_b, dot,
+             CAST(row_number() OVER (PARTITION BY doc_a
+               ORDER BY dot DESC, doc_b) AS BIGINT) AS rank
+             FROM p WHERE doc_a < 20)
+           SELECT doc_a, doc_b, rank, dot FROM rk
+           WHERE rank <= 3 ORDER BY doc_a, rank""",
       "ta_winnow" ->
         s"""WITH d AS (SELECT doc_id, list_transform($Toks,
              w -> ${dH31("w")}) AS hs FROM documents),
