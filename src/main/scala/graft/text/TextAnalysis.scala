@@ -45,6 +45,19 @@ object TextAnalysis {
     size(filter(toks, w => array_contains(array(words.map(lit): _*), w)))
       .cast("long")
 
+  /** argmax over the s_<lang> score columns with ties broken by list
+    * order (en > es > de > fr > zh) — identical CASE chain in the
+    * oracles.
+    */
+  private def argmaxChain(langs: Seq[String]): Column =
+    langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), els) =>
+        if (i == langs.size - 1) els
+        else when(langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), l)
+          .otherwise(els)
+    }
+
   // -----------------------------------------------------------------
   // ta_lang_id: marker-word occurrence scoring + fixed-priority argmax.
   def langId(s: SparkSession, dir: String): DataFrame = {
@@ -56,16 +69,37 @@ object TextAnalysis {
         col("doc_id") +: MarkerWords.map { case (l, ws) =>
           hits(col("toks"), ws).as(s"s_$l")
         }: _*)
-    val langs = MarkerWords.map(_._1)
-    // argmax with ties broken by list order (en > es > de > fr > zh).
-    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
-      case ((l, i), els) =>
-        if (i == langs.size - 1) els
-        else when(langs.drop(i + 1)
-          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), l)
-          .otherwise(els)
-    }
-    scored.withColumn("pred_lang", pred).orderBy("doc_id")
+    scored.withColumn("pred_lang", argmaxChain(MarkerWords.map(_._1)))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language character-bigram profiles derived deterministically
+    * from the marker words — the n-gram flavor of language-ID (the
+    * real-world form: char n-gram profiles à la Cavnar–Trenkle,
+    * usable when no tokenizer exists for the language).
+    */
+  val NgramProfiles: Seq[(String, Seq[String])] = MarkerWords.map {
+    case (l, ws) =>
+      l -> ws.flatMap(w => w.sliding(2).filter(_.length == 2))
+        .distinct.sorted
+  }
+
+  // ta_lang_ngram: char-bigram-profile scoring + the same argmax.
+  def langNgram(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = array_distinct(
+      transform(sequence(lit(1), length(col("lt")) - 1), i =>
+        call_function("substr", col("lt"), i, lit(2))))
+    val scored = docs(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), bigrams.as("bg"))
+      .select(
+        col("doc_id") +: NgramProfiles.map { case (l, prof) =>
+          size(filter(col("bg"), b =>
+            array_contains(array(prof.map(lit): _*), b)))
+            .cast("long").as(s"s_$l")
+        }: _*)
+    scored.withColumn("pred_lang", argmaxChain(NgramProfiles.map(_._1)))
+      .orderBy("doc_id")
   }
 
   // -----------------------------------------------------------------
@@ -244,7 +278,34 @@ object TextAnalysis {
       .orderBy("doc_a", "rank")
   }
 
+  // -----------------------------------------------------------------
+  // ta_repetition: repetition signals in the style of the public
+  // Gopher/MassiveText quality rules — fraction of duplicated tokens
+  // and 3-grams, and the most-frequent-token share. High values flag
+  // boilerplate/spam for pre-training filtering. Single narrow pass;
+  // ratios are single double divisions (deterministic both engines).
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        tokenHashes(col("toks")).as("hs"))
+      .select(col("doc_id"), col("toks"), shingles3Seq(col("hs")).as("sh"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks"))).as("dup_token_frac"),
+        (lit(1.0) - size(array_distinct(col("sh"))).cast("double")
+          / size(col("sh"))).as("dup_3gram_frac"),
+        (array_max(transform(col("toks"), t =>
+          size(filter(col("toks"), u => u === t)))).cast("double")
+          / size(col("toks"))).as("top_token_frac"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lang_ngram" -> langNgram,
+    "ta_repetition" -> repetition,
     "ta_tfidf_sim" -> tfidfSim,
     "ta_winnow" -> winnow,
     "ta_array_funcs" -> arrayFuncs,
@@ -276,6 +337,36 @@ object TextAnalysis {
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
     Map(
+      "ta_lang_ngram" ->
+        s"""WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+           b AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, length(lt)),
+             i -> substr(lt, CAST(i AS INTEGER), 2))) AS bg FROM d),
+           s AS (SELECT doc_id, ${NgramProfiles.map { case (l, prof) =>
+              s"CAST(len(list_filter(bg, x -> list_contains(${
+                prof.mkString("['", "','", "']")}, x))) AS BIGINT) AS s_$l"
+            }.mkString(", ")} FROM b)
+           SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+             CASE $caseChain ELSE '${langs.last}' END AS pred_lang
+           FROM s ORDER BY doc_id""",
+      "ta_repetition" ->
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           h AS (SELECT doc_id, toks, list_transform(toks,
+             w -> ${dH31("w")}) AS hs FROM d WHERE len(toks) >= 3),
+           g AS (SELECT doc_id, toks,
+             list_transform(range(1, len(hs) - 1),
+               i -> ((hs[i]*131 + hs[i+1]) % $P * 131 + hs[i+2]) % $P)
+               AS sh FROM h)
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS dup_token_frac,
+             1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+               AS dup_3gram_frac,
+             CAST(list_max(list_transform(toks, t ->
+               len(list_filter(toks, u -> u = t)))) AS DOUBLE)
+               / len(toks) AS top_token_frac
+           FROM g ORDER BY doc_id""",
       "ta_tfidf_sim" ->
         """WITH d AS (SELECT doc_id,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
