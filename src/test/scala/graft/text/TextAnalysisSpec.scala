@@ -107,6 +107,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getAs[Long]("n_fps") === fps(0L).size.toLong)
   }
 
+  test("repetition fractions are valid and bounded") {
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dt = r.getAs[Double]("dup_token_frac")
+      val dg = r.getAs[Double]("dup_3gram_frac")
+      val tt = r.getAs[Double]("top_token_frac")
+      val n = r.getAs[Long]("n_tokens")
+      assert(dt >= 0.0 && dt < 1.0)
+      assert(dg >= 0.0 && dg < 1.0)
+      assert(tt >= 1.0 / n && tt <= 1.0)
+    }
+  }
+
+  test("char-ngram language-ID agrees with its score columns") {
+    val rows = TextAnalysis.langNgram(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val scores = TextAnalysis.NgramProfiles.map { case (l, _) =>
+        l -> r.getAs[Long](s"s_$l") }
+      val best = scores.map(_._2).max
+      assert(r.getAs[String]("pred_lang") ===
+        scores.find(_._2 == best).get._1)
+    }
+  }
+
   test("bigrams: top-20 with non-increasing counts") {
     val rows = TextAnalysis.bigrams(spark, sf).collect()
     assert(rows.length === 20)
