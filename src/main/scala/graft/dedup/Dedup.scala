@@ -186,6 +186,43 @@ object Dedup {
   }
 
   // -----------------------------------------------------------------
+  // dd_jaccard_prefix: exact set-similarity join with PREFIX
+  // FILTERING (AllPairs/PPJoin family, Bayardo et al. WWW'07): order
+  // every shingle set by hash value; two sets with Jaccard ≥ τ MUST
+  // share an element among each one's first ⌊(1−τ)·|s|⌋+1 smallest
+  // shingles, so exploding only prefixes gives a candidate set that
+  // is provably COMPLETE (unlike min-shingle blocking, which catches
+  // a J-similar pair only with probability ≈ J). Shuffle carries
+  // prefix elements, candidates verify exactly — the same
+  // inverted-index shape as LSH but with a guarantee instead of an
+  // s-curve.
+  def jaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val pre = sh
+      .select(col("doc_id"),
+        slice(sort_array(col("shingles")), lit(1),
+          (floor(size(col("shingles")) * (10 - 7) / 10.0) + 1)
+            .cast("int")).as("prefix"))
+      .select(col("doc_id"), explode(col("prefix")).as("p"))
+    val cand = pre.as("a")
+      .join(pre.as("b"),
+        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val x = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sha"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("shingles").as("shb"))
+    cand.join(x, "doc_a").join(y, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long")
+          .as("inter"),
+        (size(col("sha")) + size(col("shb"))
+          - size(array_intersect(col("sha"), col("shb")))).cast("long")
+          .as("uni"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -----------------------------------------------------------------
   // dd_embed_cosine: exact cosine-threshold near-dup pairs over the
   // embedding column, via the native codegen'd dot product
   // (graft.functions.DoubleDot — same strict left-to-right IEEE fold
@@ -214,6 +251,7 @@ object Dedup {
     "dd_minhash_lsh" -> minhashLsh,
     "dd_simhash" -> simhash,
     "dd_ngram_jaccard" -> ngramJaccard,
+    "dd_jaccard_prefix" -> jaccardPrefix,
     "dd_embed_cosine" -> embedCosine,
   )
 
@@ -292,6 +330,18 @@ object Dedup {
            COALESCE(list_min(shingles), -1) AS mk FROM sh),
          cand AS (SELECT a.doc_id AS da, b.doc_id AS db
            FROM k a JOIN k b ON a.mk = b.mk AND a.doc_id < b.doc_id),
+         ver AS ($DVerify)
+         SELECT doc_a, doc_b, inter, uni FROM ver
+         WHERE inter * 10 >= uni * 7 ORDER BY doc_a, doc_b""",
+    "dd_jaccard_prefix" ->
+      s"""WITH d AS ($DHs),
+         sh AS ($DShingles),
+         pre AS (SELECT doc_id, unnest(list_sort(shingles)[1:
+             CAST(floor(len(shingles) * 3 / 10.0) + 1 AS INTEGER)]) AS p
+           FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM pre a JOIN pre b
+           ON a.p = b.p AND a.doc_id < b.doc_id),
          ver AS ($DVerify)
          SELECT doc_a, doc_b, inter, uni FROM ver
          WHERE inter * 10 >= uni * 7 ORDER BY doc_a, doc_b""",

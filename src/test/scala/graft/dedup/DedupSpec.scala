@@ -83,6 +83,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter jaccard join is COMPLETE: equals brute force") {
+    // Unlike min-shingle blocking (probabilistic) and LSH (s-curve),
+    // prefix filtering guarantees every J>=0.7 pair is a candidate.
+    val brute = (for {
+      (a, sa) <- shingleSets.toSeq; (b, sb) <- shingleSets.toSeq
+      if a < b && sa.nonEmpty && sb.nonEmpty && jaccardOk(sa, sb)
+    } yield (a, b)).toSet
+    val got = Dedup.jaccardPrefix(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got === brute)
+  }
+
   test("ngram-jaccard pairs share their min shingle and pass J>=0.7") {
     val rows = Dedup.ngramJaccard(spark, sf).collect()
     assert(rows.nonEmpty)
