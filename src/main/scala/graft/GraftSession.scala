@@ -38,6 +38,24 @@ object GraftSession {
       // bloom filter on the big side's scan — at 100 TB this prunes
       // most of a fact-table read when the dim filter is selective.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // InferFiltersFromGenerate re-infers isnotnull/size filters on a
+      // generator input every optimizer iteration; alias substitution
+      // expands each copy into the full derived-column expression tree
+      // and pushdown stacks them below the exchanges — measured 114 s
+      // (of a 2 s query) when exploding an md5-derived prefix array at
+      // sf0.1. The inferred filters are a skip-empty-rows optimization
+      // only; dropping the rule is semantics-preserving.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Constraint propagation substitutes derived-column expression
+      // trees (here: md5→shingle pipelines) into the constraint set of
+      // every operator above them; on self-joins with residual
+      // inequality predicates the set explodes and PLANNING dominates
+      // execution 20× (prefix-join candidate stage: 75 s → 4 s
+      // measured at sf0.1 by flipping this flag). The constraints only
+      // buy inferred isnotnull/filter pruning, which the fixture plans
+      // don't need — filters are explicit and keys are non-null.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -77,6 +77,18 @@ object Dedup {
       .select(col("doc_id"), shingles3(col("hs")).as("shingles"))
       .repartition(col("doc_id"))
 
+  /** 4th structural rule: NEVER `explode(shingles)` directly — the
+    * Generate triggers InferFiltersFromGenerate, whose inferred
+    * isnotnull/size filters get alias-substituted into the full
+    * md5→shingle tree and stacked below on every optimizer iteration
+    * (259 s for one explode at sf0.1). Consumers work on the array
+    * column (higher-order functions) or explode cheap derived arrays
+    * (band keys, prefixes) computed from the materialized attribute.
+    * (A typed mapPartitions identity barrier also fixes it, but
+    * breaks ReusedExchange across self-join branches — measured
+    * worse.)
+    */
+
   // -----------------------------------------------------------------
   // dd_exact: exact duplicate removal — group by content hash, keep
   // the smallest doc_id, report the group size. One shuffle of
@@ -198,26 +210,47 @@ object Dedup {
   // s-curve.
   def jaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
+    // Prefix ordering matters enormously: ordering by raw hash value
+    // concentrates every document's prefix on the globally smallest
+    // hashes (76 s of candidate explosion measured at sf0.1).
+    // Canonical AllPairs orders the universe by document frequency;
+    // a salted pseudo-random total order ((s·48271) mod P, s) gets
+    // the same bucket-spreading effect with NO global df pass — any
+    // consistent order preserves the completeness guarantee.
+    // Candidates also carry the set size n for the PPJoin length
+    // filter: J ≥ 0.7 is impossible unless 0.7·|b| ≤ |a| ≤ |b|/0.7,
+    // pruned as integer cross-multiplication inside the join.
     val pre = sh
-      .select(col("doc_id"),
-        slice(sort_array(col("shingles")), lit(1),
-          (floor(size(col("shingles")) * (10 - 7) / 10.0) + 1)
-            .cast("int")).as("prefix"))
-      .select(col("doc_id"), explode(col("prefix")).as("p"))
+      .select(col("doc_id"), size(col("shingles")).as("n"),
+        sort_array(transform(col("shingles"), sg =>
+          struct(((sg * 48271) % Prime).as("r"), sg.as("sg"))))
+          .as("ranked"))
+      .select(col("doc_id"), col("n"),
+        slice(transform(col("ranked"), r => r.getField("sg")), lit(1),
+          (floor(col("n") * (10 - 7) / 10.0) + 1).cast("int"))
+          .as("prefix"))
+      .select(col("doc_id"), col("n"), explode(col("prefix")).as("p"))
     val cand = pre.as("a")
       .join(pre.as("b"),
-        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id"))
+        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 10 >= col("b.n") * 7 &&
+          col("b.n") * 10 >= col("a.n") * 7)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val x = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sha"))
-    val y = sh.select(col("doc_id").as("doc_b"), col("shingles").as("shb"))
+    // Verify with the native sorted-merge intersection (arrays sorted
+    // once per document, merged in codegen per pair — the interpreted
+    // array_intersect hash-set build per pair dominated this query).
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    val x = sh.select(col("doc_id").as("doc_a"),
+      sort_array(col("shingles")).as("sha"))
+    val y = sh.select(col("doc_id").as("doc_b"),
+      sort_array(col("shingles")).as("shb"))
     cand.join(x, "doc_a").join(y, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long")
-          .as("inter"),
-        (size(col("sha")) + size(col("shb"))
-          - size(array_intersect(col("sha"), col("shb")))).cast("long")
-          .as("uni"))
+        sortedIntersectCount(col("sha"), col("shb")).as("inter"),
+        (size(col("sha")) + size(col("shb"))).cast("long").as("sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sz") - col("inter")).as("uni"))
       .filter(col("inter") * 10 >= col("uni") * 7)
       .orderBy("doc_a", "doc_b")
   }
@@ -336,12 +369,18 @@ object Dedup {
     "dd_jaccard_prefix" ->
       s"""WITH d AS ($DHs),
          sh AS ($DShingles),
-         pre AS (SELECT doc_id, unnest(list_sort(shingles)[1:
-             CAST(floor(len(shingles) * 3 / 10.0) + 1 AS INTEGER)]) AS p
+         rk AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n,
+             list_sort(list_transform(shingles,
+               sg -> {'r': (sg * 48271) % $P, 'sg': sg})) AS ranked
            FROM sh),
+         pre AS (SELECT doc_id, n, unnest(
+             list_transform(ranked, x -> x.sg)[1:
+               CAST(floor(n * 3 / 10.0) + 1 AS INTEGER)]) AS p
+           FROM rk),
          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
            FROM pre a JOIN pre b
-           ON a.p = b.p AND a.doc_id < b.doc_id),
+           ON a.p = b.p AND a.doc_id < b.doc_id
+           AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7),
          ver AS ($DVerify)
          SELECT doc_a, doc_b, inter, uni FROM ver
          WHERE inter * 10 >= uni * 7 ORDER BY doc_a, doc_b""",
