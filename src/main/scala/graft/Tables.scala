@@ -33,7 +33,10 @@ object Tables {
       .withColumnRenamed("ts", "ts_ns")
       .withColumn(
         "ts",
-        timestamp_micros((col("ts_ns") / 1000L).cast("long"))
+        // Integral DIV, not `/`: epoch nanos (~1.7e18) exceed double's
+        // 2^53 exact range, so float division can be off by 1 µs at
+        // hour-boundary timestamps vs DuckDB's integer epoch_ns//1000.
+        timestamp_micros(expr("ts_ns DIV 1000"))
           .cast("timestamp_ntz"))
 
   /** Register every fixture table as a temp view for spark.sql use. */

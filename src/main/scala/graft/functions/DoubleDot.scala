@@ -23,13 +23,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * left-to-right IEEE fold, so DuckDB-oracle results are unchanged
   * bit-for-bit.
   *
-  * Null contract: a null array yields null (BinaryExpression default);
-  * null *elements* are not supported (embeddings are dense).
+  * Null contract — observationally identical to the HOF form: a null
+  * array yields null (BinaryExpression default); arrays of unequal
+  * length yield null (`zip_with` null-pads, poisoning the fold); any
+  * null *element* yields null (`x * null` is null, and the `+` fold
+  * keeps it null). This exactness is what lets
+  * [[graft.plans.RewriteDotProduct]] fire on nullable-element arrays
+  * without changing results.
   */
 case class DoubleDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -43,10 +50,15 @@ case class DoubleDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -57,12 +69,20 @@ case class DoubleDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -137,8 +137,19 @@ object Multimodal {
   )
 
   // ---------------------------------------------------------------
-  // Oracles: the fixture payload is ASCII text, so DuckDB character
-  // codes mirror payload bytes exactly.
+  // Oracles: byte-accurate regardless of content — payload bytes are
+  // recovered in DuckDB as hex(encode(text)) parsed two digits at a
+  // time, so newlines and multi-byte UTF-8 agree with the Spark-side
+  // UTF-8 byte array exactly (a '.' regexp would drop '\n' and count
+  // code points, not bytes).
+  private val bytesCte: String =
+    """SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n,
+       list_transform(range(0, CAST(octet_length(encode(text)) AS BIGINT)),
+         i -> CAST('0x' || substr(hex(encode(text)),
+           CAST(i * 2 + 1 AS INTEGER), 2) AS BIGINT)) AS bytes
+       FROM documents"""
+
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
       """SELECT doc_id,
@@ -147,11 +158,7 @@ object Multimodal {
          CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
          FROM documents ORDER BY doc_id""",
     "mm_decode_stats" ->
-      s"""WITH b AS (SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n,
-           list_transform(regexp_extract_all(text, '.'),
-             c -> CAST(ascii(c) AS BIGINT)) AS bytes
-           FROM documents)
+      s"""WITH b AS ($bytesCte)
          SELECT doc_id,
            CAST(1 + CASE WHEN n = 0 THEN 0 ELSE bytes[1] % 64 END
              AS BIGINT) AS width,
@@ -163,11 +170,7 @@ object Multimodal {
            CAST((n + ${Stride - 1}) // $Stride AS BIGINT) AS n_frames
          FROM b ORDER BY doc_id""",
     "mm_frame_sample" ->
-      s"""WITH b AS (SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n,
-           list_transform(regexp_extract_all(text, '.'),
-             c -> CAST(ascii(c) AS BIGINT)) AS bytes
-           FROM documents),
+      s"""WITH b AS ($bytesCte),
          f AS (SELECT doc_id,
            unnest(list_transform(range(0, CAST((n + ${Stride - 1})
              // $Stride AS BIGINT)), i -> bytes[CAST(i * $Stride + 1

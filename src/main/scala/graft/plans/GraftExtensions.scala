@@ -28,7 +28,10 @@ import graft.functions.{DoubleDot, MinhashSig, Simhash60}
   * array<double>, the zero literal exactly 0.0d, the zip lambda a
   * pure multiply of its two variables, the merge lambda a pure add of
   * its two variables, and the finish lambda the identity — anything
-  * else is left untouched.
+  * else is left untouched. Matching nullable-element arrays is safe
+  * because [[DoubleDot]] reproduces the HOF null contract exactly:
+  * null on unequal lengths (zip_with null-pads) and on any null
+  * element (the `+` fold poisons), verified by RewriteDotProductSpec.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 

@@ -27,10 +27,10 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "wc_wordcount" ->
-      """SELECT w AS word, COUNT(*) AS cnt FROM (
-           SELECT unnest(regexp_extract_all(upper(text), '[A-Z][A-Z'']*')) AS w
+      """SELECT upper(w) AS word, COUNT(*) AS cnt FROM (
+           SELECT unnest(regexp_extract_all(text, '[A-Za-z][A-Za-z'']*')) AS w
            FROM documents)
-         GROUP BY w ORDER BY cnt DESC, word ASC""",
+         GROUP BY 1 ORDER BY cnt DESC, word ASC""",
     "sm_string_match" ->
       s"""SELECT doc_id AS line_no, text AS line FROM documents
          WHERE contains(lower(text), '${GrepPattern}')

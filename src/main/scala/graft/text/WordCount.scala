@@ -19,15 +19,20 @@ import graft.core.{MapReducePipeline, TextSink}
   * word (the reference leaves it to merge order).
   */
 object WordCount {
-  /** Uppercased input + uppercase classes ≡ reference's fold-then-scan. */
-  val WordRegex = "[A-Z][A-Z']*"
+  /** Extract on the RAW text, uppercase the extracted token — the same
+    * order as [[RefTokenizer]]. Uppercasing the whole line first would
+    * let Unicode case mappings (ı→I, ß→SS) manufacture ASCII letters
+    * from non-ASCII input and change the token stream.
+    */
+  val WordRegex = "[A-Za-z][A-Za-z']*"
 
   /** Relational form over any string column: (word, cnt). */
   def apply(df: DataFrame, textCol: String): DataFrame =
     df.select(
         explode(
-          regexp_extract_all(upper(col(textCol)), lit(WordRegex), lit(0)))
-          .as("word"))
+          regexp_extract_all(col(textCol), lit(WordRegex), lit(0)))
+          .as("tok"))
+      .select(upper(col("tok")).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("word"))

@@ -50,6 +50,29 @@ class NativeExprEquivalenceSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("DoubleDot null contract == HOF: unequal lengths and null elements") {
+    import spark.implicits._
+    val data: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] = Seq(
+      (Seq(1.0, 2.0), Seq(3.0)),                       // unequal lengths
+      (Seq(1.0), Seq(3.0, 4.0)),                       // unequal, other side
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)), // null element left
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](null, 4.0)), // null element right
+      (Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]), // both empty → 0.0
+      (Seq[java.lang.Double](1.5, -2.0), Seq[java.lang.Double](0.5, 3.0))) // plain
+    val df = data.toDF("a", "b")
+      .select(VectorFunctions.ddot(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0d), (acc, p) => acc + p).as("hof"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null-bit mismatch: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
+    }
+    // The first four cases are null, the empty pair is exactly 0.0.
+    assert(rows.take(4).forall(_.isNullAt(0)))
+    assert(rows(4).getDouble(0) === 0.0)
+  }
+
   test("MinhashAgg over exploded shingle rows == array-form signature") {
     import graft.functions.TextHash._
     // Array form: per-doc signature from the shingle array.
@@ -90,7 +113,7 @@ class NativeExprEquivalenceSpec extends SparkSpec {
     import spark.implicits._
     val docs = graft.Tables(spark, sf, "documents")
     val total = docs.select(explode(regexp_extract_all(
-      upper(col("text")), lit(graft.text.WordCount.WordRegex), lit(0))))
+      col("text"), lit(graft.text.WordCount.WordRegex), lit(0))))
       .count()
     val summed = graft.text.WordCount(docs, "text")
       .agg(sum("cnt")).as[Long].head()

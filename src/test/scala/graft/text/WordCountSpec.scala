@@ -26,6 +26,19 @@ class WordCountSpec extends SparkSpec {
     assert(RefTokenizer.tokenize("end").toList == List("END"))
   }
 
+  test("distributed form == RefTokenizer on Unicode case-mapping traps") {
+    import spark.implicits._
+    // upper('ı') = 'I' and upper('ß') = "SS": uppercase-then-extract
+    // would manufacture ASCII letters from non-ASCII input. Both
+    // tokenizers must treat these as separators instead.
+    val lines = Seq("mınımal straße weiß", "İstanbul fußball ımıx", "plain text")
+    val viaDf = WordCount(lines.toDF("text"), "text")
+      .as[(String, Long)].collect().toMap
+    val golden = lines.flatMap(RefTokenizer.tokenize)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(viaDf === golden)
+  }
+
   test("mapReduceAgg (Aggregator fast path) equals the DataFrame form") {
     import org.apache.spark.sql.expressions.Aggregator
     import org.apache.spark.sql.{Encoder, Encoders}
