@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.Relational
+import graft.operators.{Relational, Relational2}
 import graft.sim.VectorSearch
 import graft.streaming.EventOps
 import graft.text.{TextAnalysis, TextQueries}
@@ -23,6 +23,7 @@ object SparkEntry {
       Map[String, String])] = Seq(
     (TextQueries.queries, TextQueries.oracles),
     (Relational.queries, Relational.oracles),
+    (Relational2.queries, Relational2.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Dedup.queries, Dedup.oracles),
     (VectorSearch.queries, VectorSearch.oracles),

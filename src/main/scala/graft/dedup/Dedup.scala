@@ -279,6 +279,81 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // -----------------------------------------------------------------
+  // dd_cluster: duplicate CLUSTERS — connected components over the
+  // near-dup pair graph (pairs from [[ngramJaccard]]), so "A~B, B~C"
+  // collapses to one keep-group even when A~C was never tested. This
+  // is the step that turns pairwise dedup into a partition of the
+  // corpus: every doc in a component gets cluster_id = the component's
+  // minimum doc_id.
+  //
+  // Algorithm: iterative min-label propagation — labels(node) starts
+  // as node, each round takes the min of a node's label and its
+  // neighbors' labels, until a fixpoint. Rounds = graph diameter;
+  // dup clusters are near-cliques, so this converges in 2-3 rounds
+  // (capped at 25). Each round is one shuffle on node id; at 100 TB
+  // scale the same loop runs with the large-star/small-star
+  // optimization (Kiveris et al., "Connected Components in MapReduce
+  // and Beyond", SoCC'14) to bound rounds at O(log n) — the fixture
+  // graph is shallow so plain propagation is the clearer form.
+  // Convergence is driver-checked (an aggregate per round, which also
+  // materializes the step and keeps lineage flat via localCheckpoint).
+  def cluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("c"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "u").withColumnRenamed("c", "cu"), "u")
+        .select(col("v").as("node"), col("cu").as("c"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min(col("c")).as("c"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("c", "c0"), "node")
+        .filter(col("c") =!= col("c0")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("c").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  // -----------------------------------------------------------------
+  // dd_decontam: benchmark decontamination — flag training documents
+  // that share any content shingle with a held-out evaluation set
+  // (here: doc_id ≡ 7 mod 10). The standard pre-training hygiene
+  // pass: n-gram overlap against eval benchmarks, reported as
+  // (overlapping-shingle count, total shingles) per contaminated doc.
+  //
+  // Scale shape: the eval side collapses to a DISTINCT shingle set
+  // (tiny — benchmarks are millions of rows, not terabytes) and is
+  // broadcast; the training side streams through one explode + one
+  // hash join + one (doc_id) partial-agg shuffle. No quadratic step.
+  def decontam(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val ev = sh.filter(col("doc_id") % 10 === 7)
+      .select(explode(col("shingles")).as("sg")).distinct()
+    val tr = sh.filter(col("doc_id") % 10 =!= 7)
+    val hits = tr
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .join(broadcast(ev), "sg")
+      .groupBy("doc_id")
+      // shingle arrays are distinct per doc, so plain count = the
+      // number of distinct overlapping shingles.
+      .agg(count(lit(1)).as("n_overlap"))
+    hits
+      .join(tr.select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles")), "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> exact,
     "dd_minhash_lsh" -> minhashLsh,
@@ -286,6 +361,8 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_jaccard_prefix" -> jaccardPrefix,
     "dd_embed_cosine" -> embedCosine,
+    "dd_cluster" -> cluster,
+    "dd_decontam" -> decontam,
   )
 
   // ---------------------------------------------------------------
@@ -398,5 +475,36 @@ object Dedup {
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, cos FROM p
          WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b""",
+    "dd_cluster" ->
+      s"""WITH RECURSIVE d AS ($DHs),
+         sh AS ($DShingles),
+         k AS (SELECT doc_id, shingles,
+           COALESCE(list_min(shingles), -1) AS mk FROM sh),
+         cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+           FROM k a JOIN k b ON a.mk = b.mk AND a.doc_id < b.doc_id),
+         ver AS ($DVerify),
+         pairs AS (SELECT doc_a, doc_b FROM ver
+           WHERE inter * 10 >= uni * 7),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT u AS node, v AS r FROM edges
+           UNION
+           SELECT reach.node, e.v FROM reach
+           JOIN edges e ON reach.r = e.u)
+         SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+         FROM reach GROUP BY node ORDER BY doc_id""",
+    "dd_decontam" ->
+      s"""WITH d AS ($DHs),
+         sh AS ($DShingles),
+         ev AS (SELECT DISTINCT unnest(shingles) AS sg FROM sh
+           WHERE doc_id % 10 = 7),
+         tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 10 <> 7),
+         tx AS (SELECT doc_id, unnest(shingles) AS sg FROM tr),
+         hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+           FROM tx JOIN ev USING (sg) GROUP BY doc_id)
+         SELECT h.doc_id, h.n_overlap,
+           CAST(len(t.shingles) AS BIGINT) AS n_shingles
+         FROM hits h JOIN tr t USING (doc_id) ORDER BY doc_id""",
   )
 }

@@ -47,4 +47,30 @@ object SkewTools {
     df.groupBy(col(key))
       .agg(count(lit(1)).as("n"),
         sums.map(c => sum(col(c)).as(s"sum_$c")): _*)
+
+  /** Skew-safe replicated-salt equi-join: when one join key carries a
+    * disproportionate share of the BIG side's rows, a plain shuffle
+    * join serializes that key on one reducer. Salting spreads it:
+    * every big-side row gets a deterministic salt in [0, salts), the
+    * SMALL side is replicated once per salt value, and the join runs
+    * on (key, salt) — the hot key now occupies `salts` reducers. The
+    * result is row-identical to `big.join(small, key)` because each
+    * big row meets exactly one replica of its matching small row.
+    *
+    * The salt must be a function of the row (not `rand()`) so retried
+    * tasks salt identically; xxhash64 over all big-side columns is
+    * deterministic and spreads uniformly. Cost: |small| × salts
+    * replication — the recipe is for big⋈small joins where AQE's
+    * skew-join splitting doesn't apply (e.g. the small side arrives
+    * broadcast-unfriendly or the skew is in an aggregation feeding
+    * the join).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+    val sm = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(sm, Seq(key, "__salt")).drop("__salt")
+  }
 }

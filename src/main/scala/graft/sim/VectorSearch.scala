@@ -116,9 +116,38 @@ object VectorSearch {
       .orderBy("query_id", "rank")
   }
 
+  // -----------------------------------------------------------------
+  // ss_centroid: element-wise vector aggregation — per-label centroid
+  // of the embedding column via posexplode + (label, idx) group-by.
+  // This is the "reduce over vectors" primitive (class centroids,
+  // cluster means, gradient-style averaging) expressed so the shuffle
+  // carries (label, idx, partial-sum) — D rows per input vector but
+  // tiny fixed-width values, with map-side partial aggregation.
+  //
+  // Determinism across engines: double sums are order-sensitive, so
+  // components are first quantized to exact integers
+  // (floor(v·10^6) — floor, not round, because the engines' tie
+  // conventions could differ), summed exactly as BIGINT, and the mean
+  // is two fixed-order IEEE divisions both engines perform
+  // identically. The fixture floats are unit-range so 10^6
+  // quantization keeps every value exact below 2^62 sums.
+  def centroid(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("label"), col("idx").cast("long").as("idx"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("q"))
+      .groupBy("label", "idx")
+      .agg(sum(col("q")).as("qs"), count(lit(1)).as("n"))
+      .select(col("label"), col("idx"), col("n"),
+        ((col("qs").cast("double") / lit(1000000.0)) / col("n"))
+          .as("centroid"))
+      .orderBy("label", "idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> cosineTopK,
     "ss_ivf_topk" -> ivfTopK,
+    "ss_centroid" -> centroid,
   )
 
   // ---------------------------------------------------------------
@@ -173,5 +202,15 @@ object VectorSearch {
                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
          SELECT query_id, neighbor_id, rank, cos FROM rk
          WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "ss_centroid" ->
+      """WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+           unnest(range(0, len(embedding))) AS idx,
+           unnest(list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)))
+             AS q
+           FROM embeddings)
+         SELECT label, idx, COUNT(*) AS n,
+           (CAST(SUM(q) AS DOUBLE) / 1000000.0) / COUNT(*) AS centroid
+         FROM x GROUP BY label, idx ORDER BY label, idx""",
   )
 }

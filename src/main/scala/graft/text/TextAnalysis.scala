@@ -303,7 +303,44 @@ object TextAnalysis {
           / size(col("toks"))).as("top_token_frac"))
       .orderBy("doc_id")
 
+  // -----------------------------------------------------------------
+  // ta_scrub: PII scrubbing + stopword removal — the cleanup pass a
+  // training pipeline runs before tokenization. Counts email/URL
+  // matches (the redaction targets; regexes use only character
+  // classes and bounded quantifiers, identical under Java regex and
+  // RE2), strips stopwords, and emits the md5 of the cleaned text so
+  // the full scrubbed output — not just its length — is
+  // hash-verified. Narrow single pass; at 100 TB this runs scan-side
+  // with zero shuffle.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val Stopwords = Seq("a", "an", "the")
+
+  def scrub(s: SparkSession, dir: String): DataFrame =
+    scrubDf(docs(s, dir))
+
+  /** The scrub pass over any (doc_id, text) frame — split out so specs
+    * can drive it with synthetic PII-bearing lines.
+    */
+  def scrubDf(df: DataFrame): DataFrame = {
+    val stop = array(Stopwords.map(lit): _*)
+    df
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        filter(col("toks"), t => !array_contains(stop, t)).as("clean"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+          .cast("long").as("n_url"),
+        (size(col("toks")) - size(col("clean"))).cast("long").as("n_stop"),
+        size(col("clean")).cast("long").as("n_clean"),
+        md5(array_join(col("clean"), " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_scrub" -> scrub,
     "ta_lang_ngram" -> langNgram,
     "ta_repetition" -> repetition,
     "ta_tfidf_sim" -> tfidfSim,
@@ -487,6 +524,22 @@ object TextAnalysis {
              ELSE [] END) AS bigram FROM d)
            SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
            ORDER BY cnt DESC, bigram LIMIT 20""",
+      "ta_scrub" ->
+        s"""WITH d AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+           c AS (SELECT doc_id, text, toks,
+             list_filter(toks, t -> NOT list_contains(${
+               Stopwords.mkString("['", "','", "']")}, t)) AS clean
+             FROM d)
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+               AS BIGINT) AS n_url,
+             CAST(len(toks) - len(clean) AS BIGINT) AS n_stop,
+             CAST(len(clean) AS BIGINT) AS n_clean,
+             md5(array_to_string(clean, ' ')) AS clean_md5
+           FROM c ORDER BY doc_id""",
     )
   }
 }

@@ -127,4 +127,35 @@ class DedupSpec extends SparkSpec {
       assert(expected >= Dedup.CosineThreshold)
     }
   }
+
+  test("cluster == driver-side union-find over the same pair graph") {
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // Textbook union-find as the oracle for min-label propagation.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val got = Dedup.cluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("decontam: overlap counts bounded by shingle counts; eval absent") {
+    val rows = Dedup.decontam(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 !== 7)          // no eval docs reported
+      assert(r.getLong(1) >= 1L)               // only contaminated docs
+      assert(r.getLong(1) <= r.getLong(2))     // n_overlap <= n_shingles
+    }
+  }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-2 relational additions: the salted join must be
+  * row-identical to the plain join (the whole point of the recipe),
+  * and the window/grouping-set queries must satisfy their internal
+  * invariants (the exact values are DuckDB-oracle-gated).
+  */
+class Relational2Spec extends SparkSpec {
+
+  test("saltedJoin == plain join, row for row") {
+    val li = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+    val fs = li.groupBy("l_returnflag").agg(count(lit(1)).as("c"))
+    val salted = SkewTools.saltedJoin(li, fs, "l_returnflag", salts = 8)
+      .select("l_returnflag", "l_orderkey", "l_quantity", "c")
+    val plain = li.join(fs, "l_returnflag")
+      .select("l_returnflag", "l_orderkey", "l_quantity", "c")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("q31 window family: per-partition invariants") {
+    val rows = Relational2.q31WindowFamily(spark, sf).collect()
+    // percent_rank and cume_dist are in [0,1]; tiles are 1..4.
+    assert(rows.forall { r =>
+      val (pr, cd, tile) = (r.getDouble(3), r.getDouble(4), r.getLong(2))
+      pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0 &&
+        tile >= 1L && tile <= 4L
+    })
+    // last_key is constant within a nation and belongs to that nation.
+    val byNation = rows.groupBy(_.getInt(1))
+    assert(byNation.values.forall(rs => rs.map(_.getLong(6)).distinct.size == 1))
+  }
+
+  test("q32 grouping sets: set totals agree with the grand total") {
+    val rows = Relational2.q32GroupingSets(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    val grand = rows.collect { case (1L, 1L, n) => n }.sum
+    // each of the four grouping sets partitions all orders
+    assert(rows.collect { case (0L, 0L, n) => n }.sum === grand)
+    assert(rows.collect { case (0L, 1L, n) => n }.sum === grand)
+    assert(rows.collect { case (1L, 0L, n) => n }.sum === grand)
+  }
+}

@@ -70,4 +70,22 @@ class VectorSearchSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("centroid == driver-side quantized mean per (label, idx)") {
+    val raw = graft.Tables(spark, sf, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Float](1))
+    val expected = raw
+      .flatMap { case (l, v) => v.zipWithIndex.map { case (x, i) =>
+        (l, i.toLong) -> math.floor(x.toDouble * 1000000.0).toLong } }
+      .groupBy(_._1).view
+      .mapValues { qs =>
+        val s = qs.map(_._2).sum
+        (qs.size.toLong, (s.toDouble / 1000000.0) / qs.size) }
+      .toMap
+    val got = VectorSearch.centroid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+  }
 }

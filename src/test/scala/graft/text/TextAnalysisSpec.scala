@@ -139,4 +139,26 @@ class TextAnalysisSpec extends SparkSpec {
     val counts = rows.map(_.getAs[Long]("cnt"))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("scrub detects emails/URLs and strips stopwords on PII lines") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or visit " +
+        "https://example.com/x?q=1 for the details"),
+      (2L, "an apple a day keeps the doctor away"),
+      (3L, "no pii here")).toDF("doc_id", "text")
+    val rows = TextAnalysis.scrubDf(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("n_email") === 1L)
+    assert(rows(1L).getAs[Long]("n_url") === 1L)
+    assert(rows(2L).getAs[Long]("n_stop") === 3L)   // an, a, the
+    assert(rows(2L).getAs[Long]("n_clean") === 5L)
+    assert(rows(3L).getAs[Long]("n_email") === 0L)
+    assert(rows(3L).getAs[Long]("n_url") === 0L)
+    // cleaned text hash is the md5 of the stopword-free join
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("apple day keeps doctor away".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(2L).getAs[String]("clean_md5") === md)
+  }
 }
