@@ -287,37 +287,53 @@ object Dedup {
   // corpus: every doc in a component gets cluster_id = the component's
   // minimum doc_id.
   //
-  // Algorithm: iterative min-label propagation — labels(node) starts
-  // as node, each round takes the min of a node's label and its
-  // neighbors' labels, until a fixpoint. Rounds = graph diameter;
-  // dup clusters are near-cliques, so this converges in 2-3 rounds
-  // (capped at 25). Each round is one shuffle on node id; at 100 TB
-  // scale the same loop runs with the large-star/small-star
-  // optimization (Kiveris et al., "Connected Components in MapReduce
-  // and Beyond", SoCC'14) to bound rounds at O(log n) — the fixture
-  // graph is shallow so plain propagation is the clearer form.
-  // Convergence is driver-checked (an aggregate per round, which also
-  // materializes the step and keeps lineage flat via localCheckpoint).
+  // Algorithm: iterative min-label propagation with pointer jumping.
+  // labels(node) seeds as min(node, direct neighbors) — the first
+  // propagation round folded into initialization — then each round
+  // takes the min over (a) the node's label, (b) its neighbors'
+  // labels, and (c) its label's label (pointer jump: labels compose
+  // through the current mapping, so reach doubles per round — the
+  // Kiveris et al. "Connected Components in MapReduce and Beyond"
+  // SoCC'14 trick that bounds rounds at O(log diameter) instead of
+  // O(diameter); dup clusters are near-cliques, so 1-2 rounds here).
+  // Each round is one shuffle join on node id plus one tiny join on
+  // the label column; localCheckpoint keeps lineage flat across
+  // rounds.
+  //
+  // Convergence: per-node labels are monotone non-increasing (every
+  // round min's the previous label with more candidates over a FIXED
+  // node set), so the global sum(label) strictly decreases exactly
+  // when any label moved — one cheap scalar aggregate per round
+  // replaces a join-based changed-row check. Fixture doc_ids are
+  // < 2^32 and node counts < 2^31, so the long sum never overflows.
   def cluster(s: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v")
       .localCheckpoint()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("c"))
+    var labels = edges.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("c"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("c"))).first().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 25) {
       val prop = edges
         .join(labels.withColumnRenamed("node", "u").withColumnRenamed("c", "cu"), "u")
         .select(col("v").as("node"), col("cu").as("c"))
-      val next = labels.union(prop)
+      val jump = labels.as("a")
+        .join(labels.select(col("node").as("c"), col("c").as("cc")), "c")
+        .select(col("a.node").as("node"), col("cc").as("c"))
+      val next = labels.union(prop).union(jump)
         .groupBy("node").agg(min(col("c")).as("c"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("c", "c0"), "node")
-        .filter(col("c") =!= col("c0")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       rounds += 1
     }

@@ -106,14 +106,161 @@ object Relational2 {
       .orderBy(col("l_returnflag"))
   }
 
+  // q35: volume shipping (TPC-H Q7 shape) — bilateral trade volume
+  // between nation groups by ship year: lineitem joins BOTH ends of
+  // the trade (supplier side and order→customer side), each end
+  // resolved to a nation name, keeping ordered cross-nation pairs
+  // within a 4-nation group (wider than Q7's 2-nation pair so the
+  // smallest fixture still produces trade rows).
+  // Plan shape at scale: lineitem⋈orders and orders⋈customer are the
+  // big shuffle joins (AQE picks the strategy); nation is broadcast
+  // twice (25 rows); the pair predicate prunes before the final
+  // 2×years-cell aggregate. Revenue is the exact-decimal discount
+  // fold from q1.
+  val TradeNations: Seq[String] =
+    Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+
+  def q35VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation").isin(TradeNations: _*)
+        && col("cust_nation").isin(TradeNations: _*)
+        && col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // q36: product-type profit (TPC-H Q9 shape, minus partsupp — the
+  // fixture has no supply-cost table, so cost is modeled as 10% of
+  // retail price × quantity). Profit per supplier nation per order
+  // year over the '%red%' part slice. The part filter runs BEFORE its
+  // join (predicate pushdown to the scan) and the filtered part side
+  // broadcasts; nation broadcasts; lineitem⋈orders carries the bulk.
+  def q36ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val redParts = t(s, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), money(col("p_retailprice")).as("p_cost"))
+    val amount =
+      money(col("l_extendedprice")) * (one - rate(col("l_discount"))) -
+        col("p_cost") * money(col("l_quantity")) * rate(lit(0.10))
+    t(s, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(amount).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  // q37: national market share (TPC-H Q8 shape) — NATION_3's share of
+  // EUROPE-customer revenue per order year: two exact-decimal sums
+  // (the conditional numerator via a decimal-typed CASE, the
+  // denominator over all rows), divided once in double — the same
+  // single-IEEE-division discipline as Exact.davg, so both engines
+  // round identically.
+  def q37MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val vol = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    val euroCust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(euroCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast(Exact.Money))).cast("double")
+          / sum(vol).cast("double")).as("mkt_share"),
+        dsum(vol).as("total_vol"))
+      .orderBy("o_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_window_family" -> q31WindowFamily,
     "q32_grouping_sets" -> q32GroupingSets,
     "q33_map_struct" -> q33MapStruct,
     "q34_salted_join" -> q34SaltedJoin,
+    "q35_volume_shipping" -> q35VolumeShipping,
+    "q36_product_profit" -> q36ProductProfit,
+    "q37_market_share" -> q37MarketShare,
   )
 
+  // Shared exact-decimal revenue fold, same as Relational.sumDisc.
+  private val sumDisc =
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+  private val volExpr =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
   val oracles: Map[String, String] = Map(
+    "q35_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST($sumDisc AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+           AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+           AND n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q36_product_profit" ->
+      s"""SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM($volExpr
+           - CAST(p_retailprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(0.10 AS DECIMAL(4,2))) AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q37_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN $volExpr
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST($sumDisc AS DOUBLE) AS mkt_share,
+         CAST($sumDisc AS DOUBLE) AS total_vol
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'EUROPE'
+         GROUP BY 1 ORDER BY o_year""",
     "q31_window_family" ->
       """SELECT c_custkey, c_nationkey,
          CAST(ntile(4) OVER w AS BIGINT) AS tile,

@@ -45,4 +45,33 @@ class Relational2Spec extends SparkSpec {
     assert(rows.collect { case (0L, 1L, n) => n }.sum === grand)
     assert(rows.collect { case (1L, 0L, n) => n }.sum === grand)
   }
+
+  test("q35 volume shipping: cross-nation pairs within the group") {
+    val rows = Relational2.q35VolumeShipping(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, c) = (r.getString(0), r.getString(1))
+      assert(Relational2.TradeNations.contains(s))
+      assert(Relational2.TradeNations.contains(c))
+      assert(s !== c)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("q36 product profit: broadcasts the filtered part side") {
+    val df = Relational2.q36ProductProfit(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q37 market share: shares in [0,1]; weighted shares ≈ totals") {
+    val rows = Relational2.q37MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getDouble(1)
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
 }
