@@ -24,6 +24,7 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracles),
     (Relational.queries, Relational.oracles),
     (Relational2.queries, Relational2.oracles),
+    (graft.pipeline.CorpusOps.queries, graft.pipeline.CorpusOps.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Dedup.queries, Dedup.oracles),
     (VectorSearch.queries, VectorSearch.oracles),

@@ -199,7 +199,27 @@ object Relational2 {
       .orderBy("o_year")
   }
 
+  // q38: RANGE-frame window — per customer, rolling 90-day spend: the
+  // frame is defined by VALUE distance on the order-date day number
+  // (all peers within 90 days precede), not by row count, so same-day
+  // orders are frame-peers and the result is order-insensitive. This
+  // is the one window-frame kind (rangeBetween on a numeric key) the
+  // q9/q31 family didn't cover. Exact-decimal sum per frame, cast to
+  // double once.
+  def q38RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+      .rangeBetween(-90, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), day.as("d"),
+        money(col("o_totalprice")).as("p"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(col("p")).over(w).cast("double").as("spend_90d"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_range_frame" -> q38RangeFrame,
     "q31_window_family" -> q31WindowFamily,
     "q32_grouping_sets" -> q32GroupingSets,
     "q33_map_struct" -> q33MapStruct,
@@ -218,6 +238,15 @@ object Relational2 {
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
+    "q38_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1995-01-01',
+             CAST(o_orderdate AS DATE))
+           RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS spend_90d
+         FROM orders ORDER BY o_orderkey""",
     "q35_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash.{hash60, tokens}
+
+/** Corpus-preparation operators for a pre-training data pipeline:
+  * vocabulary building, deterministic dataset splitting, and sequence
+  * packing. These sit downstream of cleaning (ta_scrub), dedup
+  * (dd_*), and quality filtering (ta_quality) in the usual pipeline
+  * and are oracle-gated like everything else.
+  *
+  * Reference lineage: the reference engine stops at wordcount
+  * (`examples/wordcount/wordcount.c`); these are north-star [ext]
+  * capabilities over the same token stream.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  val VocabSize = 1000
+  val PackShift = 11
+  val PackLen = 1L << PackShift // 2048
+  val PackBuckets = 32L
+
+  // -----------------------------------------------------------------
+  // ta_vocab: tokenizer vocabulary — top-K tokens by corpus frequency
+  // with contiguous ids (frequency desc, token asc — the conventional
+  // BPE-style id assignment where rank order is the vocabulary).
+  // Scale shape: explode + count is the wordcount shuffle with
+  // map-side partial aggregation; the ranking window then runs over
+  // the AGGREGATED vocabulary (|distinct tokens|, millions at 100 TB,
+  // not the token stream), so the single-partition window sort is
+  // bounded — and K is small, so TakeOrdered semantics would also do.
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("vocab_id",
+        row_number().over(Window.orderBy(desc("cnt"), asc("token")))
+          .cast("long"))
+      .filter(col("vocab_id") <= VocabSize)
+      .orderBy("vocab_id")
+
+  // -----------------------------------------------------------------
+  // ta_split: deterministic train/validation/test assignment — bucket
+  // = md5-derived 60-bit hash of the doc id modulo 100, split by
+  // 80/10/10. Hash-based splitting is the standard reproducible
+  // recipe (stable under reruns, insensitive to input order, no
+  // coordination); the md5 scheme is the engine's cross-engine
+  // deterministic hash ([[graft.functions.TextHash]]), so the oracle
+  // reproduces it bit-for-bit. Pure narrow map — no shuffle.
+  def split(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        (hash60(col("doc_id").cast("string")) % 100L).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  // -----------------------------------------------------------------
+  // ta_pack: sequence packing — assign documents to fixed-capacity
+  // training sequences (PackLen tokens) by start offset: docs are
+  // laid out contiguously in doc_id order and a doc belongs to the
+  // pack its first token lands in (greedy contiguous packing; long
+  // docs overflow their pack, matching the "pack then chunk"
+  // convention). Packing is per-bucket (doc_id mod PackBuckets) so
+  // the running-offset window parallelizes — the exact shape a
+  // 1000-executor packing job uses, where buckets are the unit of
+  // shard-local sequential layout.
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") % PackBuckets).as("bucket"))
+      .select(col("bucket"), col("n_tokens"),
+        // start-offset DIV PackLen as a shift: `/` on longs is DOUBLE
+        // division in Spark (inexact past 2^53, the ADVICE-r1 nanos
+        // bug class); PackLen = 2^PackShift makes the integral
+        // division an exact bit shift in both engines' semantics.
+        shiftright(sum(col("n_tokens")).over(w) - col("n_tokens"),
+          PackShift).as("pack_id"))
+      .groupBy("bucket", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy("bucket", "pack_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_vocab" -> vocab,
+    "ta_split" -> split,
+    "ta_pack" -> pack,
+  )
+
+  private val Toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  val oracles: Map[String, String] = Map(
+    "ta_vocab" ->
+      s"""WITH t AS (SELECT unnest($Toks) AS token FROM documents),
+         c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+         r AS (SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+             AS vocab_id FROM c)
+         SELECT token, cnt, vocab_id FROM r
+         WHERE vocab_id <= $VocabSize ORDER BY vocab_id""",
+    "ta_split" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 100 AS bucket FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+    "ta_pack" ->
+      s"""WITH d AS (SELECT doc_id,
+           CAST(len($Toks) AS BIGINT) AS n_tokens,
+           doc_id % $PackBuckets AS bucket FROM documents),
+         o AS (SELECT bucket, n_tokens,
+           CAST((CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT)
+             - n_tokens) // $PackLen AS BIGINT) AS pack_id FROM d)
+         SELECT bucket, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+         FROM o GROUP BY bucket, pack_id ORDER BY bucket, pack_id""",
+  )
+}

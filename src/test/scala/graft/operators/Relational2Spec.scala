@@ -65,6 +65,25 @@ class Relational2Spec extends SparkSpec {
     assert(df.collect().nonEmpty)
   }
 
+  test("q38 range frame == per-customer brute force over day windows") {
+    val orders = graft.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("d"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(2)))
+    val byCust = orders.groupBy(_._2)
+    val expected = orders.map { case (ok, ck, d, _) =>
+      ok -> byCust(ck)
+        .filter(o => o._3 >= d - 90 && o._3 <= d)
+        .map(_._4).sum.toDouble
+    }.toMap
+    val got = Relational2.q38RangeFrame(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === expected)
+  }
+
   test("q37 market share: shares in [0,1]; weighted shares ≈ totals") {
     val rows = Relational2.q37MarketShare(spark, sf).collect()
     assert(rows.nonEmpty)
