@@ -6,7 +6,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators.{Relational, Relational2}
 import graft.sim.VectorSearch
-import graft.streaming.EventOps
+import graft.streaming.{EventOps, Stateful}
 import graft.text.{TextAnalysis, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,6 +30,7 @@ object SparkEntry {
     (VectorSearch.queries, VectorSearch.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (EventOps.queries, EventOps.oracles),
+    (Stateful.queries, Stateful.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

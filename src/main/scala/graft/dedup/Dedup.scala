@@ -105,20 +105,27 @@ object Dedup {
   // dd_minhash_lsh: near-duplicate pairs via MinHash + LSH banding.
   val K = 32; val Bands = 8
 
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-    // sig is materialized as its own column (bandKeys reads it via 32
-    // element_at calls — attribute access, not expression re-runs),
-    // computed by the native codegen'd expression (the interpreted
-    // K×|shingles| fold was the residual cost here), and behind its
-    // own exchange so the band self-join computes MinHash once, not
-    // once per join side (see shingled() notes).
+  /** (doc_id, bi, bh) LSH band keys. sig is materialized as its own
+    * column (bandKeys reads it via 32 element_at calls — attribute
+    * access, not expression re-runs), computed by the native codegen'd
+    * expression (the interpreted K×|shingles| fold was the residual
+    * cost here), and behind its own exchange so a band self-join
+    * computes MinHash once, not once per join side (see shingled()
+    * notes). This is the SIGNATURE STORE relation: at scale it is
+    * persisted as a parquet table keyed by doc_id and appended per
+    * ingest batch (see [[incremental]] + DedupSpec's round-trip).
+    */
+  private def bandedSigs(sh: DataFrame): DataFrame = {
     import graft.functions.MinhashSig.minhashNative
-    val bd = sh
-      .select(col("doc_id"), minhashNative(col("shingles"), K).as("sig"))
+    sh.select(col("doc_id"), minhashNative(col("shingles"), K).as("sig"))
       .repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(bandKeys(col("sig"), K, Bands)).as(Seq("bi", "bh")))
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val bd = bandedSigs(sh)
     val cand = bd.as("a")
       .join(bd.as("b"),
         col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
@@ -261,7 +268,8 @@ object Dedup {
   // (graft.functions.DoubleDot — same strict left-to-right IEEE fold
   // as the DuckDB oracle, bit-identical, ~20× the interpreted
   // higher-order-function formulation). Quadratic by design — this is
-  // the verify tier; candidate pruning at scale lives in graft.sim.
+  // the VERIFY tier and the recall-1.0 differential baseline for
+  // [[embedLsh]], which is the sub-quadratic scale path.
   val CosineThreshold = 0.45
 
   def embedCosine(s: SparkSession, dir: String): DataFrame = {
@@ -275,6 +283,89 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (ddot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // -----------------------------------------------------------------
+  // dd_embed_lsh: BUCKETED embedding near-dup — random-hyperplane
+  // (sign) LSH candidate generation + exact cosine verify. This is the
+  // operator that makes embedding dedup scale: [[embedCosine]]'s
+  // all-pairs join is O(N²) no matter what, while here each vector is
+  // sketched to `NPlanes` sign bits (Charikar, STOC'02: P[bit match]
+  // = 1 − θ/π for angle θ), the bits are split into `EmbedBands`
+  // bands of 2, and ONLY vectors sharing a (band, 2-bit key) collide
+  // — an equi-join on derived small keys, exactly the
+  // [[minhashLsh]] shape. Candidates then re-verify with the exact
+  // codegen'd cosine, so precision is 1.0 by construction and recall
+  // follows the s-curve 1 − (1 − m²)^8 with m = 1 − θ/π: ≥ 0.98 for
+  // any pair at the 0.45 threshold, ≥ 0.999 at cosine 0.7
+  // (DedupSpec gates recall differentially against [[embedCosine]]).
+  //
+  // Determinism across engines: the hyperplanes must be IDENTICAL in
+  // Spark and DuckDB, so each plane is a ±1 sign vector derived from
+  // md5("plane:dim") ON THE DRIVER and inlined as literals into both
+  // plans. Projections are the same strict left-to-right IEEE fold as
+  // every other vector op here ([[graft.functions.DoubleDot]] ↔
+  // list_sum(list_prepend(0.0, …))), so the sign of each projection —
+  // and therefore every band key — is bit-identical in both engines.
+  //
+  // At 100 TB: the sketch pass is one narrow scan (16 dot products of
+  // 64 dims per row); the shuffle carries (vec_id, band, 2-bit key);
+  // bucket sizes concentrate near N/4 per (band, key) for random
+  // data, and a skewed bucket is AQE-splittable because the verify is
+  // a plain equi-join. The N² term is gone — candidate volume is
+  // Σ_buckets |bucket|² / 2 over 32 buckets instead of N²/2.
+  val NPlanes = 16; val EmbedBands = 8; val EmbedDim = 64
+
+  /** Deterministic ±1 hyperplane component: md5("p:i") parity — the
+    * cross-engine-reproducible stand-in for a Gaussian plane (sign
+    * LSH only needs symmetric ±1 components, Achlioptas'01).
+    */
+  private def planeSigns(p: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until EmbedDim).map { i =>
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0)
+        1.0 else -1.0
+    }.toArray
+  }
+
+  def embedLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{ddot, l2norm}
+    // One exchange behind the (v, nrm) derivation: the band self-join
+    // and both verify probes reuse it (same ReusedExchange discipline
+    // as shingled()).
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"), l2norm(col("v")).as("nrm"))
+      .repartition(col("vec_id"))
+    val bits = (0 until NPlanes).map { p =>
+      when(ddot(col("v"), typedlit(planeSigns(p))) >= 0d, lit(1L))
+        .otherwise(lit(0L))
+    }
+    // coalesce → non-nullable join key (the ngramJaccard pushdown
+    // landmine); unreachable sentinel, v is never null in the fixture.
+    val bandCols = (0 until EmbedBands).map { b =>
+      coalesce(bits(2 * b) * 2 + bits(2 * b + 1), lit(-1L))
+    }
+    val bd = e.select(col("vec_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
+    val cand = bd.as("a")
+      .join(bd.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val x = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val y = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    cand.join(x, "vec_a").join(y, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (ddot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= CosineThreshold)
       .orderBy("vec_a", "vec_b")
   }
@@ -304,8 +395,9 @@ object Dedup {
   // round min's the previous label with more candidates over a FIXED
   // node set), so the global sum(label) strictly decreases exactly
   // when any label moved — one cheap scalar aggregate per round
-  // replaces a join-based changed-row check. Fixture doc_ids are
-  // < 2^32 and node counts < 2^31, so the long sum never overflows.
+  // replaces a join-based changed-row check. The long sum is safe
+  // while node_count × max_doc_id < 2^62 (e.g. 2^30 nodes with ids
+  // below 2^32); past that, sum labels as DECIMAL(38,0) instead.
   def cluster(s: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs
@@ -321,7 +413,8 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
+    val MaxRounds = 25
+    while (!converged && rounds < MaxRounds) {
       val prop = edges
         .join(labels.withColumnRenamed("node", "u").withColumnRenamed("c", "cu"), "u")
         .select(col("v").as("node"), col("cu").as("c"))
@@ -337,8 +430,62 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // Pointer jumping makes the cap unreachable below diameter ~2^25;
+    // if it IS hit, the labels are not a fixpoint and silently
+    // returning them would hand out wrong cluster ids — fail loudly.
+    if (!converged) throw new IllegalStateException(
+      s"dd_cluster: min-label propagation did not converge in " +
+        s"$MaxRounds rounds — graph diameter exceeds the pointer-" +
+        s"jumping bound; raise MaxRounds")
     labels.select(col("node").as("doc_id"), col("c").as("cluster_id"))
       .orderBy("doc_id")
+  }
+
+  // -----------------------------------------------------------------
+  // dd_incremental: INCREMENTAL near-dup detection — the shape a
+  // growing corpus actually runs daily: the MinHash signature store
+  // for previously-ingested documents is already persisted (a parquet
+  // table of (doc_id, band, band_hash) rows — [[bandedSigs]]); a new
+  // ingest batch computes signatures for its own documents ONLY, joins
+  // them against store ∪ batch, and verifies candidates exactly. No
+  // re-sketching of the historical corpus, no old×old re-comparison:
+  // per batch the cost is |batch| sketch work + (batch × bucket)
+  // join work, vs re-running [[minhashLsh]] over everything.
+  //
+  // Equivalence contract (gated in DedupSpec + by the oracle):
+  //   incremental(new) = minhashLsh(full) restricted to pairs with at
+  //   least one new endpoint, so prevRun(old-only pairs) ∪ this run
+  //   ≡ the full-corpus dedup. The fixture's "new batch" is
+  //   doc_id % 10 == NewBatchMod (a deterministic 10% slice standing
+  //   in for today's ingest).
+  val NewBatchMod = 3
+
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val bd = bandedSigs(sh)
+    val isNew = col("doc_id") % 10 === NewBatchMod
+    val newB = bd.filter(isNew)
+    val oldB = bd.filter(!isNew)
+    def cond = col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
+      col("a.doc_id") < col("b.doc_id")
+    // (x, new) for any x — covers new-new once — plus (new, old):
+    // union = all colliding pairs with ≥1 new endpoint, each once.
+    val up = bd.as("a").join(newB.as("b"), cond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val down = newB.as("a").join(oldB.as("b"), cond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = up.union(down).distinct()
+    val x = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sha"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("shingles").as("shb"))
+    cand.join(x, "doc_a").join(y, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long")
+          .as("inter"),
+        (size(col("sha")) + size(col("shb"))
+          - size(array_intersect(col("sha"), col("shb")))).cast("long")
+          .as("uni"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .orderBy("doc_a", "doc_b")
   }
 
   // -----------------------------------------------------------------
@@ -377,6 +524,8 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_jaccard_prefix" -> jaccardPrefix,
     "dd_embed_cosine" -> embedCosine,
+    "dd_embed_lsh" -> embedLsh,
+    "dd_incremental" -> incremental,
     "dd_cluster" -> cluster,
     "dd_decontam" -> decontam,
   )
@@ -491,6 +640,58 @@ object Dedup {
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, cos FROM p
          WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b""",
+    "dd_embed_lsh" -> {
+      def planeSql(p: Int): String =
+        planeSigns(p).map(d => if (d > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+      def dProj(p: Int): String =
+        s"""list_sum(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, ${EmbedDim + 1}),
+             i -> v[i] * (${planeSql(p)})[i])))"""
+      def dBandKey(b: Int): String =
+        s"""(CASE WHEN ${dProj(2 * b)} >= 0 THEN 2 ELSE 0 END
+           + CASE WHEN ${dProj(2 * b + 1)} >= 0 THEN 1 ELSE 0 END)"""
+      val keys = (0 until EmbedBands).map(dBandKey).mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_sum(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(v, x -> x*x)))) AS nrm FROM e),
+         bnd AS (SELECT vec_id,
+           unnest(range(0, $EmbedBands)) AS band,
+           unnest([$keys]) AS bk FROM e),
+         cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+           FROM bnd a JOIN bnd b
+           ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         p AS (SELECT va AS vec_a, vb AS vec_b,
+           list_sum(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, ${EmbedDim + 1}),
+               i -> x.v[i] * y.v[i]))) / (x.nrm * y.nrm) AS cos
+           FROM cand JOIN n x ON x.vec_id = va JOIN n y ON y.vec_id = vb)
+         SELECT vec_a, vec_b, cos FROM p
+         WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b"""
+    },
+    "dd_incremental" ->
+      s"""WITH d AS ($DHs),
+         sh AS ($DShingles),
+         sg AS (SELECT doc_id, list_transform(range(0, $K), i ->
+             coalesce(list_min(list_transform(shingles,
+               s -> ((37 + 101*i)*s + 17 + 131*i) % $P)), $P)) AS sig
+           FROM sh),
+         bd AS (SELECT doc_id, unnest(range(0, $Bands)) AS bi,
+             unnest(list_transform(range(0, $Bands), b ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 sig[b*4+1:b*4+4]), (acc, x) -> (acc*131 + x) % $P))) AS bh
+           FROM sg),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM bd a JOIN bd b
+           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+           AND (a.doc_id % 10 = $NewBatchMod
+                OR b.doc_id % 10 = $NewBatchMod)),
+         ver AS ($DVerify)
+         SELECT doc_a, doc_b, inter, uni FROM ver
+         WHERE inter * 10 >= uni * 7 ORDER BY doc_a, doc_b""",
     "dd_cluster" ->
       s"""WITH RECURSIVE d AS ($DHs),
          sh AS ($DShingles),

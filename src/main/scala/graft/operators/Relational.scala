@@ -344,6 +344,23 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  // q39: right outer join — per-customer order counts kept for EVERY
+  // customer (order-less customers surface with a zero count). The
+  // mirror of q22's full-outer shape, preserving the whole right
+  // side. Scale: the aggregate side arrives pre-shrunk (one row per
+  // customer with orders), so the join shuffles |customers| rows on
+  // the key — and the orders aggregation is partial-agg'd map-side.
+  def q39RightOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("cnt"))
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_mktsegment"))
+    o.join(c, Seq("ck"), "right_outer")
+      .select(col("ck").as("custkey"), col("c_mktsegment"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
   // q23: distinct aggregation — exact COUNT(DISTINCT) per group plus
   // a global dropDuplicates count. (approx_count_distinct is the
   // scale-path twin; being approximate it is spec-tested against the
@@ -475,6 +492,7 @@ object Relational {
     "q26_percentiles" -> q26Percentiles,
     "q21_supplier_nation" -> q21SupplierNation,
     "q22_full_outer" -> q22FullOuter,
+    "q39_right_outer" -> q39RightOuter,
     "q23_distinct_customers" -> q23DistinctCustomers,
     "q24_union_balances" -> q24UnionBalances,
     "q25_theta_nation_pairs" -> q25ThetaNationPairs,
@@ -553,6 +571,14 @@ object Relational {
          FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
                FROM supplier GROUP BY 1) s ON c.nk = s.nk
          ORDER BY nationkey""",
+    "q39_right_outer" ->
+      """SELECT c.ck AS custkey, c_mktsegment,
+         COALESCE(cnt, 0) AS n_orders
+         FROM (SELECT o_custkey AS ck, COUNT(*) AS cnt
+               FROM orders GROUP BY 1) o
+         RIGHT OUTER JOIN (SELECT c_custkey AS ck, c_mktsegment
+               FROM customer) c ON o.ck = c.ck
+         ORDER BY custkey""",
     "q23_distinct_customers" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
          COUNT(*) AS n_orders FROM orders

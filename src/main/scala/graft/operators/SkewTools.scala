@@ -64,13 +64,27 @@ object SkewTools {
     * skew-join splitting doesn't apply (e.g. the small side arrives
     * broadcast-unfriendly or the skew is in an aggregation feeding
     * the join).
+    *
+    * CAVEAT — fully-duplicate rows: because the salt is a pure
+    * function of the row's columns, byte-identical copies of a hot-key
+    * row all land on ONE salt and the spread silently degrades to the
+    * duplicate multiplicity. Skewed-by-duplication inputs should
+    * either pre-aggregate the duplicates (carry a count column — the
+    * cheaper plan anyway) or mix a per-partition row index into the
+    * hash; a nondeterministic index is NOT used here by default
+    * because task retries would re-salt rows and double-count them.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
-    val b = big.withColumn("__salt",
+    // Collision-checked internal column name: "__salt" could collide
+    // with user data (it did not deserve to be load-bearing).
+    val saltCol = Iterator.from(0).map(i => s"__graft_salt_$i")
+      .find(n => !big.columns.contains(n) && !small.columns.contains(n))
+      .get
+    val b = big.withColumn(saltCol,
       pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
-    val sm = small.withColumn("__salt",
+    val sm = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    b.join(sm, Seq(key, "__salt")).drop("__salt")
+    b.join(sm, Seq(key, saltCol)).drop(saltCol)
   }
 }

@@ -32,18 +32,26 @@ object CorpusOps {
   // with contiguous ids (frequency desc, token asc — the conventional
   // BPE-style id assignment where rank order is the vocabulary).
   // Scale shape: explode + count is the wordcount shuffle with
-  // map-side partial aggregation; the ranking window then runs over
-  // the AGGREGATED vocabulary (|distinct tokens|, millions at 100 TB,
-  // not the token stream), so the single-partition window sort is
-  // bounded — and K is small, so TakeOrdered semantics would also do.
+  // map-side partial aggregation; the top-K selection is
+  // `orderBy(...).limit(K)` — Spark plans TakeOrderedAndProject, a
+  // per-partition bounded heap merged on the driver, so NO task ever
+  // sorts the full distinct vocabulary (billions of tokens on a
+  // web-scale corpus). Contiguous ids are then assigned by a window
+  // over the ≤K survivors only — a single-partition sort of K rows,
+  // which is fine because K is the vocabulary size, not the corpus.
+  // (For full-vocab ids — every distinct token, not top-K — the scale
+  // recipe is range-partition by (cnt desc, token), count rows per
+  // partition, and add cumulative partition offsets to per-partition
+  // row_numbers; not needed for a bounded vocabulary.)
   def vocab(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(VocabSize)
       .withColumn("vocab_id",
         row_number().over(Window.orderBy(desc("cnt"), asc("token")))
           .cast("long"))
-      .filter(col("vocab_id") <= VocabSize)
       .orderBy("vocab_id")
 
   // -----------------------------------------------------------------

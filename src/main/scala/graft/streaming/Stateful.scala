@@ -1,0 +1,200 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+
+/** Buffered (not-yet-emittable) events for one user's open sessions. */
+case class SessBuf(evs: Seq[SessEv])
+case class SessEv(us: Long, cents: Long)
+case class SessOut(user_id: Long, session_start: Long, n_events: Long,
+    sum_value: Double)
+
+/** STATEFUL streaming surfaces, oracle-gated (VERDICT r2 item 5).
+  *
+  * Unlike the window aggregations in [[EventOps]] (same code path in
+  * batch and streaming), these two operators exercise the streaming-
+  * only state machinery — the per-key state store, event-time
+  * watermark, and timeout callbacks — and are therefore gated
+  * DIFFERENTIALLY: each `queries` entry runs a REAL streaming query
+  * (file source over the fixture parquet → `Trigger.AvailableNow` →
+  * memory sink) to completion and returns its result table, which the
+  * driver then diffs against a batch-computed DuckDB oracle like any
+  * other query.
+  *
+  *  - [[statefulDedup]] — `dropDuplicatesWithinWatermark`: per-key
+  *    dedup state with watermark-bounded eviction. With the delay
+  *    covering the fixture's 30-day span, exactly one row per
+  *    distinct key is emitted, so the oracle is `SELECT DISTINCT`.
+  *  - [[statefulSession]] — `flatMapGroupsWithState` sessionization
+  *    (30-min inactivity gap) with event-time timeouts: sessions are
+  *    emitted only once the watermark passes session_end + gap —
+  *    exactly the subset a true unbounded stream could have emitted —
+  *    and the oracle applies the same watermark cutoff in SQL.
+  *
+  * Determinism notes (why these streaming runs are byte-reproducible):
+  * the fixture is one parquet file → one data micro-batch (no
+  * cross-batch watermark races, no late-drop dependence on file
+  * order), followed by the no-data batch Spark runs when the
+  * watermark advances (`noDataMicroBatches`, on by default), which
+  * fires the event-time timeouts that flush completed sessions. Sums
+  * are integer cents (`round(value·100)` — the fixture has 2-decimal
+  * values, so both engines round the same integer), min/count are
+  * order-insensitive, and the final watermark is
+  * `floor(max(ts_us)/1000)·1000` (Spark tracks watermarks in
+  * milliseconds), which the oracle reproduces literally.
+  *
+  * Scale shape: state is per-key and watermark-bounded — the standard
+  * Structured Streaming story. Dedup state is one sketch row per key;
+  * session state holds only OPEN sessions (closed ones flush on
+  * timeout), so state size tracks concurrent activity, not history.
+  */
+object Stateful {
+
+  val GapUs: Long = 30L * 60 * 1000 * 1000 // 30-minute inactivity gap
+
+  /** The fixture's events parquet as a micro-batch stream with the
+    * same ns→µs fix-up as the batch reader, plus `ts_wm`: watermarks
+    * require TIMESTAMP (not NTZ); with the session pinned to UTC the
+    * epoch-µs instant is wall-clock identical to the NTZ `ts`.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // The file source wants a DIRECTORY of files (its basePath); the
+    // fixture is a bare file, so expose it through a temp dir with a
+    // symlink — zero copy, and exactly the layout a real ingest
+    // directory has.
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    Tables.eventsFixup(
+        s.readStream.schema(schema).parquet(streamDir.toString))
+      .withColumn("ts_wm", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
+
+  /** Run a streaming frame to completion into a memory sink, return
+    * the sink table. AvailableNow processes every available file then
+    * runs the trailing no-data batch (timeout flush) and stops.
+    */
+  private def runToCompletion(s: SparkSession, out: DataFrame): DataFrame = {
+    val qn = "st_run_" + UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream
+      .format("memory")
+      .queryName(qn)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"/tmp/graft_ckpt_$qn")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  // -----------------------------------------------------------------
+  // st_stateful_dedup: watermark-bounded streaming deduplication.
+  def statefulDedup(s: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(s, dir)
+      .withWatermark("ts_wm", "60 days") // covers the fixture span: no
+      // state eviction mid-run, so emitted rows = first per key
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToCompletion(s, deduped).orderBy("user_id", "event_type")
+  }
+
+  // -----------------------------------------------------------------
+  // st_stateful_session: custom session state via fMGWS.
+
+  /** Merge buffered + new events, split on the inactivity gap, emit
+    * every session the watermark has sealed (last event + gap ≤ wm),
+    * keep the rest in state with a timeout at wm+1 ms so the group is
+    * revisited as soon as the watermark moves (the trailing no-data
+    * batch), guaranteeing the final flush.
+    */
+  private def sessionize(user: Long,
+      rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+      state: GroupState[SessBuf]): Iterator[SessOut] = {
+    val prev = if (state.exists) state.get.evs else Seq.empty
+    val merged = (prev ++ rows.map(r => SessEv(r._2, r._3)))
+      .sortBy(e => (e.us, e.cents))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    // split into sessions on gaps >= GapUs (same convention as
+    // session_window / the st_session_30m oracle)
+    val sessions = merged.foldLeft(Vector.empty[Vector[SessEv]]) {
+      case (acc, e) =>
+        if (acc.nonEmpty && e.us - acc.last.last.us < GapUs)
+          acc.init :+ (acc.last :+ e)
+        else acc :+ Vector(e)
+    }
+    val (closed, open) = sessions.partition(se => se.last.us + GapUs <= wmUs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessBuf(open.flatten))
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+    }
+    closed.iterator.map { se =>
+      SessOut(user, se.head.us, se.size.toLong,
+        se.map(_.cents).sum / 100.0)
+    }
+  }
+
+  def statefulSession(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ts_wm stays in the projection: the stateful operator's input
+    // must carry the watermarked event-time attribute.
+    val ev = eventsStream(s, dir)
+      .withWatermark("ts_wm", "0 seconds")
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts_wm"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    val out = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionize)
+      .toDF()
+    runToCompletion(s, out).orderBy("user_id", "session_start")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_stateful_dedup" -> statefulDedup,
+    "st_stateful_session" -> statefulSession,
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles — batch restatements of the streaming semantics.
+  private val TsUs = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
+  private val GapUsL = GapUs
+
+  val oracles: Map[String, String] = Map(
+    "st_stateful_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    // Batch sessionization (the st_session_30m shape in µs) PLUS the
+    // streaming emission cutoff: a session is emitted iff the final
+    // watermark — floor(max event µs to ms) — has passed its end+gap.
+    "st_stateful_session" ->
+      s"""WITH e AS (SELECT user_id, $TsUs AS us,
+           CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         wm AS (SELECT (MAX(us) // 1000) * 1000 AS w FROM e),
+         g AS (SELECT user_id, us, cents,
+           CASE WHEN us - lag(us) OVER win >= $GapUsL OR
+             lag(us) OVER win IS NULL THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us)),
+         sid AS (SELECT user_id, us, cents,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM g),
+         agg AS (SELECT user_id, MIN(us) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_value,
+           MAX(us) AS last_us
+           FROM sid GROUP BY user_id, sess)
+         SELECT user_id, session_start, n_events, sum_value
+         FROM agg, wm WHERE last_us + $GapUsL <= w
+         ORDER BY user_id, session_start""",
+  )
+}

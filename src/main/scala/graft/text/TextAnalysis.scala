@@ -256,6 +256,25 @@ object TextAnalysis {
   // shared-term dot products sum exactly in any order in any engine;
   // magnitudes stay < 2^60. The term self-join is the classic sparse
   // inverted-index similarity shape: shuffle by term, never by pair.
+  //
+  // Scale guards on the inverted index, both mirrored in the oracle:
+  //
+  //  1. MAX-DF CUTOFF: a term appearing in d documents yields d²
+  //     candidate rows out of the self-join, so one ubiquitous term
+  //     ("the", df ≈ N) is a quadratic hot key at 100 TB. Terms with
+  //     df > N/MaxDfDivisor are dropped BEFORE the join — they carry
+  //     ≈ zero idf weight anyway (idf factor ≤ MaxDfDivisor·1000/N
+  //     quantization units), so the pruning is also the standard
+  //     relevance heuristic. The per-term fan-out is thereby bounded
+  //     by (N/MaxDfDivisor)², i.e. the worst key costs (1/MaxDfDivisor²)
+  //     of the naive worst case.
+  //  2. QUERY-SET PUSHDOWN: the `doc_a < 20` restriction is applied to
+  //     the probe side of the join explicitly, not left above the
+  //     pair aggregate — the aggregate's group key blocks pushdown,
+  //     and at scale the difference is |corpus|² vs |queries|·|corpus|
+  //     join output.
+  val MaxDfDivisor = 5 // keep terms with df ≤ N/5 (20% of docs)
+
   def tfidfSim(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
     val n = d.agg(count(lit(1)).as("nd"))
@@ -264,17 +283,18 @@ object TextAnalysis {
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val weights = tf.join(broadcast(dfc), "term")
       .crossJoin(broadcast(n))
+      .filter(col("df") * MaxDfDivisor <= col("nd")) // max-df cutoff
       .select(col("doc_id"), col("term"),
         (col("tf") * floor(lit(1000.0) * (col("nd") + 1).cast("double")
           / (col("df") + 1)).cast("long")).as("w"))
-    val pairs = weights.as("a")
+    val pairs = weights.filter(col("doc_id") < 20).as("a") // probe side
       .join(weights.as("b"),
         col("a.term") === col("b.term") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(sum(col("a.w") * col("b.w")).as("dot"))
     val w = Window.partitionBy("doc_a").orderBy(desc("dot"), asc("doc_b"))
-    pairs.filter(col("doc_a") < 20)
+    pairs
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("doc_a", "doc_b", "rank", "dot")
@@ -428,16 +448,18 @@ object TextAnalysis {
            w AS (SELECT doc_id, term,
              CAST(tf * CAST(floor(1000.0 * CAST(nd + 1 AS DOUBLE)
                / (df + 1)) AS BIGINT) AS BIGINT) AS w
-             FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+             FROM tfc JOIN dfc USING (term) CROSS JOIN n
+             WHERE df * 5 <= nd),
            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(SUM(a.w * b.w) AS BIGINT) AS dot
              FROM w a JOIN w b
              ON a.term = b.term AND a.doc_id < b.doc_id
+             WHERE a.doc_id < 20
              GROUP BY 1, 2),
            rk AS (SELECT doc_a, doc_b, dot,
              CAST(row_number() OVER (PARTITION BY doc_a
                ORDER BY dot DESC, doc_b) AS BIGINT) AS rank
-             FROM p WHERE doc_a < 20)
+             FROM p)
            SELECT doc_a, doc_b, rank, dot FROM rk
            WHERE rank <= 3 ORDER BY doc_a, rank""",
       "ta_winnow" ->

