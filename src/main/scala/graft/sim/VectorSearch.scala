@@ -73,23 +73,38 @@ object VectorSearch {
       .orderBy("query_id", "rank")
   }
 
-  // -----------------------------------------------------------------
-  // ss_ivf_topk: IVF-Flat approximate top-k (probe NProbe lists).
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val cent = e.filter(col("vec_id") < NumCentroids)
+  /** Centroid table: the first NumCentroids vectors (deterministic
+    * seeding — no iterative training, so both engines agree exactly).
+    */
+  private def centroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cn"))
 
-    // Assignment: nearest centroid per vector (one narrow pass; the
-    // centroid table is broadcast).
+  /** IVF assignment: nearest centroid per vector (one narrow pass;
+    * the centroid table is broadcast). Public because this IS the
+    * index-build step: at 100 TB the output is written
+    * `partitionBy("cid")` so a probe becomes partition pruning —
+    * proven in PlanAuditSpec's ivf partitioned-write audit.
+    */
+  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = centroids(e)
     val wa = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
-    val assign = e.join(broadcast(cent))
+    e.join(broadcast(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("ccos"))
       .withColumn("rn", row_number().over(wa))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+  }
+
+  // -----------------------------------------------------------------
+  // ss_ivf_topk: IVF-Flat approximate top-k (probe NProbe lists).
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = centroids(e)
+    val assign = ivfAssign(s, dir)
 
     // Probes: the NProbe nearest centroids per query.
     val q = e.filter(col("vec_id") < NumQueries)

@@ -70,6 +70,37 @@ class PlanAuditSpec extends SparkSpec {
       ev.filter(col("day") === aDay).count())
   }
 
+  test("ivf index written partitionBy(cid): a probe is partition pruning") {
+    // The ivfTopK scaladoc claim, proven: persist the IVF assignment
+    // partitioned by centroid id, probe NProbe lists, and the scan
+    // must touch exactly NProbe of the NumCentroids directories —
+    // at 100 TB each query reads NProbe/C of the corpus, not all of it.
+    import graft.sim.VectorSearch
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString
+    VectorSearch.ivfAssign(spark, sf)
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val nParts = index.select("cid").distinct().count()
+    val probes = Seq(3, 7).map(_.toLong) // any NProbe=2 centroid pair
+    val probe = index.filter(col("cid").isin(probes: _*))
+    probe.collect() // finalize the adaptive plan
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "cid probe must be a PartitionFilter, not a data filter")
+    val touched = scans.head.selectedPartitions.partitionCount
+    assert(touched === probes.size,
+      s"probe touched $touched of $nParts partitions, expected ${probes.size}")
+    // and the pruned read returns exactly the probed lists
+    assert(probe.count() ===
+      VectorSearch.ivfAssign(spark, sf)
+        .filter(col("cid").isin(probes: _*)).count())
+  }
+
   test("approx_count_distinct (HLL++ scale path) tracks the exact count") {
     val r = Tables(spark, sf, "orders")
       .agg(countDistinct(col("o_custkey")).as("exact"),
