@@ -289,18 +289,34 @@ object Dedup {
 
   // -----------------------------------------------------------------
   // dd_embed_lsh: BUCKETED embedding near-dup — random-hyperplane
-  // (sign) LSH candidate generation + exact cosine verify. This is the
-  // operator that makes embedding dedup scale: [[embedCosine]]'s
-  // all-pairs join is O(N²) no matter what, while here each vector is
-  // sketched to `NPlanes` sign bits (Charikar, STOC'02: P[bit match]
-  // = 1 − θ/π for angle θ), the bits are split into `EmbedBands`
-  // bands of 2, and ONLY vectors sharing a (band, 2-bit key) collide
-  // — an equi-join on derived small keys, exactly the
-  // [[minhashLsh]] shape. Candidates then re-verify with the exact
-  // codegen'd cosine, so precision is 1.0 by construction and recall
-  // follows the s-curve 1 − (1 − m²)^8 with m = 1 − θ/π: ≥ 0.98 for
-  // any pair at the 0.45 threshold, ≥ 0.999 at cosine 0.7
-  // (DedupSpec gates recall differentially against [[embedCosine]]).
+  // (sign) LSH candidate generation + exact cosine verify. Each
+  // vector is sketched to `NPlanes` sign bits (Charikar, STOC'02:
+  // P[bit match] = m = 1 − θ/π for angle θ), the bits are split into
+  // `EmbedBands` bands of `EmbedBandBits`, and ONLY vectors sharing a
+  // (band, key) bucket collide — an equi-join on derived small keys,
+  // exactly the [[minhashLsh]] shape. Candidates then re-verify with
+  // the exact codegen'd cosine, so precision is 1.0 by construction
+  // and recall follows the s-curve 1 − (1 − m^r)^b (DedupSpec gates
+  // it differentially against [[embedCosine]]).
+  //
+  // PARAMETRIZATION LAW (the scale contract): candidate volume is
+  // ≈ b·N²/2^r+1 (random data spreads each band over 2^r buckets), so
+  // r is chosen as ~log2(N / target-bucket-size) and b to hit the
+  // recall target at the dedup threshold. The defaults (r=4, b=16)
+  // give ≥ 0.96 per-pair recall AT the fixture's 0.45 threshold —
+  // which sits at the 64-dim noise floor (E[cos]=0, σ=1/8; a 0.46
+  // pair is ~3.6σ), the hardest possible regime for any candidate
+  // generator: with pairs barely above random, LSH buys bucket-
+  // factor, not asymptotic, savings (b/2^r = 1/1 here ≈ brute-force
+  // candidate volume; measured 1.04× at sf0.1, recall 139/144). At
+  // the thresholds real pipelines dedup at (cos ≥ 0.85, m ≥ 0.82),
+  // the same operator with r=8–12, b=16 runs 8–128× below brute
+  // force and r grows with log N — THAT is the scale path, and the
+  // constants are two vals away. The brute-force [[embedCosine]]
+  // stays the recall-1.0 verify tier. (The IVF-bucket alternative —
+  // candidates = shared top-2 centroid assignment, reusing
+  // [[graft.sim.VectorSearch.ivfAssign]] — was measured at only
+  // 53% recall for 4× fewer candidates at this threshold; rejected.)
   //
   // Determinism across engines: the hyperplanes must be IDENTICAL in
   // Spark and DuckDB, so each plane is a ±1 sign vector derived from
@@ -310,13 +326,12 @@ object Dedup {
   // list_sum(list_prepend(0.0, …))), so the sign of each projection —
   // and therefore every band key — is bit-identical in both engines.
   //
-  // At 100 TB: the sketch pass is one narrow scan (16 dot products of
-  // 64 dims per row); the shuffle carries (vec_id, band, 2-bit key);
-  // bucket sizes concentrate near N/4 per (band, key) for random
-  // data, and a skewed bucket is AQE-splittable because the verify is
-  // a plain equi-join. The N² term is gone — candidate volume is
-  // Σ_buckets |bucket|² / 2 over 32 buckets instead of N²/2.
-  val NPlanes = 16; val EmbedBands = 8; val EmbedDim = 64
+  // At 100 TB: the sketch pass is one narrow scan (64 dot products of
+  // 64 dims per row); the shuffle carries (vec_id, band, key);
+  // a skewed bucket is AQE-splittable because the candidate step is
+  // a plain equi-join.
+  val EmbedBandBits = 4; val EmbedBands = 16; val EmbedDim = 64
+  val NPlanes: Int = EmbedBandBits * EmbedBands
 
   /** Deterministic ±1 hyperplane component: md5("p:i") parity — the
     * cross-engine-reproducible stand-in for a Gaussian plane (sign
@@ -349,7 +364,10 @@ object Dedup {
     // coalesce → non-nullable join key (the ngramJaccard pushdown
     // landmine); unreachable sentinel, v is never null in the fixture.
     val bandCols = (0 until EmbedBands).map { b =>
-      coalesce(bits(2 * b) * 2 + bits(2 * b + 1), lit(-1L))
+      val key = (0 until EmbedBandBits).map { j =>
+        bits(b * EmbedBandBits + j) * (1L << (EmbedBandBits - 1 - j))
+      }.reduce(_ + _)
+      coalesce(key, lit(-1L))
     }
     val bd = e.select(col("vec_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
@@ -649,8 +667,10 @@ object Dedup {
            list_transform(range(1, ${EmbedDim + 1}),
              i -> v[i] * (${planeSql(p)})[i])))"""
       def dBandKey(b: Int): String =
-        s"""(CASE WHEN ${dProj(2 * b)} >= 0 THEN 2 ELSE 0 END
-           + CASE WHEN ${dProj(2 * b + 1)} >= 0 THEN 1 ELSE 0 END)"""
+        (0 until EmbedBandBits).map { j =>
+          s"""(CASE WHEN ${dProj(b * EmbedBandBits + j)} >= 0
+             THEN ${1L << (EmbedBandBits - 1 - j)} ELSE 0 END)"""
+        }.mkString("(", " + ", ")")
       val keys = (0 until EmbedBands).map(dBandKey).mkString(",\n")
       s"""WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

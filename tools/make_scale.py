@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Synthesize an sf1-equivalent fixture as K shards of sf0.1.
+
+/root/testdata has no sf1, so the scale-up bench (BASELINE.md round-3
+section) uses this: each of K shards is a key-shifted copy of sf0.1
+with content DECORRELATED across shards, so data properties scale the
+way a real 10x corpus does:
+
+ - all primary/foreign keys shift consistently per shard (custkey and
+   events.user_id share an offset because q20 joins them);
+ - nation/region stay fixed (dims grow slower than facts);
+ - documents.text gets every token prefixed with a shard tag, so
+   near-dup structure WITHIN a shard matches sf0.1 and no cross-shard
+   near-dups appear (duplicate density stays constant instead of
+   every doc gaining K-1 twins);
+ - embeddings rotate by shard index (norm-preserving; a vector and
+   its rotation are uncorrelated), same reasoning;
+ - events keep their timestamps (10x event rate in the same window —
+   what a bigger deployment looks like) and the parquet TIMESTAMP(NS)
+   physical type is preserved by never touching the column.
+
+Usage: make_scale.py <src_sf_dir> <out_dir> <K>
+"""
+import re
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+CUST_OFF = 100_000
+ORDER_OFF = 1_000_000
+PART_OFF = 100_000
+SUPP_OFF = 10_000
+EVENT_OFF = 1_000_000
+DOC_OFF = 100_000
+VEC_OFF = 10_000
+
+# table -> {column: per-shard offset}
+SHIFTS = {
+    "customer": {"c_custkey": CUST_OFF},
+    "orders": {"o_orderkey": ORDER_OFF, "o_custkey": CUST_OFF},
+    "lineitem": {"l_orderkey": ORDER_OFF, "l_partkey": PART_OFF,
+                 "l_suppkey": SUPP_OFF},
+    "part": {"p_partkey": PART_OFF},
+    "supplier": {"s_suppkey": SUPP_OFF},
+    "events": {"event_id": EVENT_OFF, "user_id": CUST_OFF},
+    "documents": {"doc_id": DOC_OFF},
+    "embeddings": {"vec_id": VEC_OFF},
+}
+COPY_ONLY = ["nation", "region"]
+TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def shard(table: pa.Table, name: str, k: int) -> pa.Table:
+    if k == 0:
+        return table  # shard 0 is the original fixture, bit-for-bit
+    cols = {}
+    for i, field in enumerate(table.schema):
+        col = table.column(i)
+        off = SHIFTS.get(name, {}).get(field.name)
+        if off is not None:
+            col = pc.add(col, pa.scalar(off * k, type=field.type))
+        elif name == "documents" and field.name == "text":
+            tag = f"x{k}"
+            col = pa.array(
+                [None if v is None else
+                 TOKEN_RE.sub(lambda m: tag + m.group(0), v)
+                 for v in col.to_pylist()], type=field.type)
+        elif name == "embeddings" and field.name == "embedding":
+            rot = k % 64
+            col = pa.array(
+                [None if v is None else v[rot:] + v[:rot]
+                 for v in col.to_pylist()], type=field.type)
+        cols[field.name] = col
+    return pa.table(cols, schema=table.schema)
+
+
+def main() -> None:
+    src, out, k_shards = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    import os
+    os.makedirs(out, exist_ok=True)
+    for name in COPY_ONLY:
+        pq.write_table(pq.read_table(f"{src}/{name}.parquet"),
+                       f"{out}/{name}.parquet")
+        print(f"{name}: copied")
+    for name in SHIFTS:
+        base = pq.read_table(f"{src}/{name}.parquet")
+        shards = [shard(base, name, k) for k in range(k_shards)]
+        merged = pa.concat_tables(shards)
+        pq.write_table(merged, f"{out}/{name}.parquet")
+        print(f"{name}: {base.num_rows} -> {merged.num_rows}")
+
+
+if __name__ == "__main__":
+    main()
