@@ -347,8 +347,13 @@ object Dedup {
     }.toArray
   }
 
+  /** The full plane matrix, for [[embedLsh]] and the equivalence spec. */
+  def planeMatrix: Array[Array[Double]] =
+    (0 until NPlanes).map(planeSigns).toArray
+
   def embedLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{ddot, l2norm}
+    import graft.functions.SignSketch.signSketch
     // One exchange behind the (v, nrm) derivation: the band self-join
     // and both verify probes reuse it (same ReusedExchange discipline
     // as shingled()).
@@ -357,26 +362,34 @@ object Dedup {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .select(col("vec_id"), col("v"), l2norm(col("v")).as("nrm"))
       .repartition(col("vec_id"))
-    val bits = (0 until NPlanes).map { p =>
-      when(ddot(col("v"), typedlit(planeSigns(p))) >= 0d, lit(1L))
-        .otherwise(lit(0L))
-    }
+    // Native single-loop sketch (graft_sign_sketch): the composed
+    // form — 64 separate when(ddot(v, plane)) columns — generates 64
+    // unrolled codegen loops whose janino compilation costs seconds
+    // per action and recurs per join branch (measured 3× the query).
+    // Materialized behind its own exchange so the band self-join
+    // sketches once, not once per side (minhashLsh discipline).
     // coalesce → non-nullable join key (the ngramJaccard pushdown
-    // landmine); unreachable sentinel, v is never null in the fixture.
-    val bandCols = (0 until EmbedBands).map { b =>
-      val key = (0 until EmbedBandBits).map { j =>
-        bits(b * EmbedBandBits + j) * (1L << (EmbedBandBits - 1 - j))
-      }.reduce(_ + _)
-      coalesce(key, lit(-1L))
-    }
-    val bd = e.select(col("vec_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
+    // landmine); the sentinel is unreachable for the fixture.
+    val sk = e
+      .select(col("vec_id"),
+        signSketch(col("v"), planeMatrix, EmbedBandBits).as("keys"))
+      .repartition(col("vec_id"))
+    val bd = sk.select(col("vec_id"),
+      posexplode(col("keys")).as(Seq("band", "bk0")))
+      .select(col("vec_id"), col("band"),
+        coalesce(col("bk0"), lit(-1L)).as("bk"))
+    // No distinct() on candidates: unlike the shingle operators —
+    // where verify (array intersection) dwarfs a shuffle, so dedup
+    // comes first — the cosine verify is one codegen'd ddot, cheaper
+    // than shuffling the candidate multiset (≈1.6 band collisions per
+    // pair). Verify everything, THEN distinct the few surviving rows
+    // (cos is a pure function of the pair, so duplicates collapse
+    // exactly).
     val cand = bd.as("a")
       .join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
     val x = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"))
     val y = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -385,6 +398,7 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"),
         (ddot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= CosineThreshold)
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 

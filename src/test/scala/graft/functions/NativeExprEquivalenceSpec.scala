@@ -37,6 +37,26 @@ class NativeExprEquivalenceSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("SignSketch native == composed ddot-sign band keys, 300 vectors") {
+    import spark.implicits._
+    import graft.dedup.Dedup.{EmbedBandBits, EmbedBands, NPlanes}
+    val planes = graft.dedup.Dedup.planeMatrix
+    val data = Seq.fill(300)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    val bits = (0 until NPlanes).map { p =>
+      when(VectorFunctions.ddot(col("v"), typedlit(planes(p))) >= 0d,
+        lit(1L)).otherwise(lit(0L))
+    }
+    val composed = (0 until EmbedBands).map { b =>
+      (0 until EmbedBandBits).map { j =>
+        bits(b * EmbedBandBits + j) * (1L << (EmbedBandBits - 1 - j))
+      }.reduce(_ + _)
+    }
+    val df = data.toDF("v")
+      .select(SignSketch.signSketch(col("v"), planes, EmbedBandBits)
+        .as("native"), array(composed: _*).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("DoubleDot native == interpreted fold, bit for bit, 300 pairs") {
     import spark.implicits._
     val data = Seq.fill(300)((
