@@ -115,7 +115,7 @@ object Stateful {
     * revisited as soon as the watermark moves (the trailing no-data
     * batch), guaranteeing the final flush.
     */
-  private def sessionize(user: Long,
+  private[streaming] def sessionize(user: Long,
       rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
       state: GroupState[SessBuf]): Iterator[SessOut] = {
     val prev = if (state.exists) state.get.evs else Seq.empty

@@ -166,6 +166,60 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Stateful.sessionize across micro-batches: watermark-sealed " +
+    "emission, open sessions retained, late rows dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val ev = ms.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts").as("ts_wm"))
+      .as[(Long, Long, Long, Timestamp)]
+    val out = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(Stateful.sessionize)
+      .toDF()
+    val q = out.writeStream.format("memory").queryName("statefulsess")
+      .outputMode(OutputMode.Append()).start()
+    def emitted() = spark.table("statefulsess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    try {
+      // batch 1: u1 session A (2 events), u1 session B, u2 session.
+      ms.addData((1L, ts("2026-01-01 10:00:00"), 1.25),
+        (1L, ts("2026-01-01 10:10:00"), 2.50),
+        (1L, ts("2026-01-01 12:00:00"), 4.00),
+        (2L, ts("2026-01-01 10:05:00"), 8.00))
+      q.processAllAvailable()
+      // The trailing no-data batch advances the watermark to 12:00
+      // (batch 1's max − 0s delay) and fires the wm+1 timeout: A
+      // (ends 10:10, +30' = 10:40 ≤ 12:00) and u2's session seal
+      // immediately; B (ends 12:00 → 12:30 > 12:00) stays open.
+      val us = (s: String) => ts(s).getTime * 1000L
+      assert(emitted() === Set(
+        (1L, us("2026-01-01 10:00:00"), 2L, 3.75),
+        (2L, us("2026-01-01 10:05:00"), 1L, 8.0)))
+
+      // batch 2 pushes the watermark to 13:00 → B (12:30 ≤ 13:00)
+      // seals; u2's new 13:00 event opens a session that stays open.
+      ms.addData((2L, ts("2026-01-01 13:00:00"), 16.00))
+      q.processAllAvailable()
+      assert(emitted().contains((1L, us("2026-01-01 12:00:00"), 1L, 4.0)))
+      assert(!emitted().exists(_._2 == us("2026-01-01 13:00:00")))
+
+      // batch 3: a row behind the watermark (11:00 < 13:00) is dropped
+      // by the watermark operator — it must NOT create or touch any
+      // session.
+      ms.addData((2L, ts("2026-01-01 11:00:00"), 999.0))
+      q.processAllAvailable()
+      assert(!emitted().exists(_._2 == us("2026-01-01 11:00:00")))
+      assert(!emitted().exists(_._2 == us("2026-01-01 13:00:00")))
+      assert(emitted().count(_._1 == 2L) === 1)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands micro-batches as parquet") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
