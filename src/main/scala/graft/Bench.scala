@@ -23,7 +23,14 @@ object Bench {
     // measured numbers are steady-state, not JIT noise.
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Optional comma-separated subset for targeted perf iteration
+    // (e.g. SPARK_GRAFT_ONLY=wc_wordcount,q5_nation_revenue); the
+    // driver never sets it, so its runs stay full-surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true }

@@ -34,6 +34,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Scan-split sizing for the fixture scale: the default 128 MB
+      // makes every fixture table (even sf1 lineitem at 105 MB) a
+      // SINGLE scan task, serializing the scan+filter stage on one of
+      // N cores. 16 MB splits multi-row-group files (sf1 lineitem =
+      // 6 × 1M-row groups → 6 tasks); single-row-group files are
+      // unsplittable regardless, which is why CPU-heavy text paths
+      // additionally repartition raw rows (TextAnalysis.docs,
+      // TextQueries.wordcount). A real 100 TB deployment keeps the
+      // 128 MB default — there the file count, not this knob,
+      // provides the parallelism.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       // Runtime bloom-filter pruning: a selective join side plants a
       // bloom filter on the big side's scan — at 100 TB this prunes
       // most of a fact-table read when the dim filter is selective.

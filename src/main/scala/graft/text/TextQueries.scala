@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 
@@ -14,8 +15,15 @@ object TextQueries {
   /** Pattern for the grep demo — present in the fixture vocabulary. */
   val GrepPattern = "data"
 
+  /** The fixture is a single-row-group parquet file (one scan task),
+    * so the tokenize regexp must be spread over all cores first —
+    * same discipline as [[TextAnalysis.docs]]. At corpus scale the
+    * scan has thousands of natural splits and the exchange coalesces
+    * to a no-op under AQE.
+    */
   def wordcount(s: SparkSession, dir: String): DataFrame =
-    WordCount(Tables(s, dir, "documents"), "text")
+    WordCount(
+      Tables(s, dir, "documents").repartition(col("doc_id")), "text")
 
   def stringMatch(s: SparkSession, dir: String): DataFrame =
     StringMatch(Tables(s, dir, "documents"), "doc_id", "text", GrepPattern)
