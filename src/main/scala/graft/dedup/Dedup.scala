@@ -312,7 +312,9 @@ object Dedup {
   // the thresholds real pipelines dedup at (cos ≥ 0.85, m ≥ 0.82),
   // the same operator with r=8–12, b=16 runs 8–128× below brute
   // force and r grows with log N — THAT is the scale path, and the
-  // constants are two vals away. The brute-force [[embedCosine]]
+  // constants are two vals away (EmbedLshScaleSpec proves the law
+  // empirically: planted cos≈0.91 pairs at r=8, b=16 → candidate
+  // volume ≥8× below brute force at recall ≥0.9). The brute-force [[embedCosine]]
   // stays the recall-1.0 verify tier. (The IVF-bucket alternative —
   // candidates = shared top-2 centroid assignment, reusing
   // [[graft.sim.VectorSearch.ivfAssign]] — was measured at only
@@ -337,9 +339,9 @@ object Dedup {
     * cross-engine-reproducible stand-in for a Gaussian plane (sign
     * LSH only needs symmetric ±1 components, Achlioptas'01).
     */
-  private def planeSigns(p: Int): Array[Double] = {
+  private def planeSigns(p: Int, dim: Int = EmbedDim): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until EmbedDim).map { i =>
+    (0 until dim).map { i =>
       val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0)
@@ -349,11 +351,51 @@ object Dedup {
 
   /** The full plane matrix, for [[embedLsh]] and the equivalence spec. */
   def planeMatrix: Array[Array[Double]] =
-    (0 until NPlanes).map(planeSigns).toArray
+    (0 until NPlanes).map(planeSigns(_)).toArray
+
+  /** Arbitrary-size plane matrix, for running the LSH core at
+    * production parametrizations (EmbedLshScaleSpec drives 16 bands ×
+    * 8 bits = 128 planes at the cos ≥ 0.85 regime).
+    */
+  def planeMatrixFor(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    (0 until nPlanes).map(planeSigns(_, dim)).toArray
+
+  /** The LSH candidate core over a `(vec_id, v: array<double>)`
+    * frame: sketch with `planes`/`bits`, explode bands, equi-join on
+    * (band, key). Returns `(vec_a, vec_b)` WITH band multiplicity —
+    * the verify stage dedups after its cheap exact filter. Extracted
+    * from [[embedLsh]] so the scale spec can drive it at production
+    * parametrizations (wider bands, higher thresholds) over planted
+    * fixtures.
+    *
+    * Native single-loop sketch (graft_sign_sketch): the composed
+    * form — 64 separate when(ddot(v, plane)) columns — generates 64
+    * unrolled codegen loops whose janino compilation costs seconds
+    * per action and recurs per join branch (measured 3× the query).
+    * Materialized behind its own exchange so the band self-join
+    * sketches once, not once per side (minhashLsh discipline).
+    * coalesce → non-nullable join key (the ngramJaccard pushdown
+    * landmine); the sentinel is unreachable for real vectors.
+    */
+  def lshCandidates(e: DataFrame, planes: Array[Array[Double]],
+      bits: Int): DataFrame = {
+    import graft.functions.SignSketch.signSketch
+    val sk = e
+      .select(col("vec_id"), signSketch(col("v"), planes, bits).as("keys"))
+      .repartition(col("vec_id"))
+    val bd = sk.select(col("vec_id"),
+      posexplode(col("keys")).as(Seq("band", "bk0")))
+      .select(col("vec_id"), col("band"),
+        coalesce(col("bk0"), lit(-1L)).as("bk"))
+    bd.as("a")
+      .join(bd.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
 
   def embedLsh(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{ddot, l2norm}
-    import graft.functions.SignSketch.signSketch
     // One exchange behind the (v, nrm) derivation: the band self-join
     // and both verify probes reuse it (same ReusedExchange discipline
     // as shingled()).
@@ -362,22 +404,6 @@ object Dedup {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .select(col("vec_id"), col("v"), l2norm(col("v")).as("nrm"))
       .repartition(col("vec_id"))
-    // Native single-loop sketch (graft_sign_sketch): the composed
-    // form — 64 separate when(ddot(v, plane)) columns — generates 64
-    // unrolled codegen loops whose janino compilation costs seconds
-    // per action and recurs per join branch (measured 3× the query).
-    // Materialized behind its own exchange so the band self-join
-    // sketches once, not once per side (minhashLsh discipline).
-    // coalesce → non-nullable join key (the ngramJaccard pushdown
-    // landmine); the sentinel is unreachable for the fixture.
-    val sk = e
-      .select(col("vec_id"),
-        signSketch(col("v"), planeMatrix, EmbedBandBits).as("keys"))
-      .repartition(col("vec_id"))
-    val bd = sk.select(col("vec_id"),
-      posexplode(col("keys")).as(Seq("band", "bk0")))
-      .select(col("vec_id"), col("band"),
-        coalesce(col("bk0"), lit(-1L)).as("bk"))
     // No distinct() on candidates: unlike the shingle operators —
     // where verify (array intersection) dwarfs a shuffle, so dedup
     // comes first — the cosine verify is one codegen'd ddot, cheaper
@@ -385,11 +411,7 @@ object Dedup {
     // pair). Verify everything, THEN distinct the few surviving rows
     // (cos is a pure function of the pair, so duplicates collapse
     // exactly).
-    val cand = bd.as("a")
-      .join(bd.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val cand = lshCandidates(e, planeMatrix, EmbedBandBits)
     val x = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"))
     val y = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
