@@ -55,6 +55,53 @@ object CorpusOps {
       .orderBy("vocab_id")
 
   // -----------------------------------------------------------------
+  // ta_vocab_full: contiguous ids for EVERY distinct token — the
+  // full-vocab companion to [[vocab]]'s top-K, via the scale recipe
+  // that replaces a global no-partition window (single-task sort of
+  // the whole vocabulary): distributed zipWithIndex.
+  //
+  //  1. range-repartition the counted vocabulary by the id sort key
+  //     (cnt desc, token asc — a TOTAL order, token is unique), so
+  //     partition p holds exactly ranks (|p0|+…+|p−1|, …];
+  //  2. sort within partitions and take monotonically_increasing_id:
+  //     its layout is partitionIndex·2^33 + rowIndex, and after a
+  //     range repartition the physical partition index IS the range
+  //     bucket index, so (pid, rn) decompose by bit shift;
+  //  3. per-partition row counts (a VocabParts-row aggregate) turn
+  //     into cumulative offsets with a window over VocabParts rows —
+  //     bounded by the partition count, never by the data — and
+  //     broadcast-join back: vocab_id = offset(pid) + rn + 1.
+  //
+  // The ids are invariant to where the range sampler places partition
+  // boundaries (the sort key is total, so offsets + in-partition
+  // ranks reconstruct the same global rank for ANY split), which is
+  // what makes the distributed form oracle-checkable against DuckDB's
+  // single global row_number(). VocabParts is explicit so AQE never
+  // coalesces the range exchange out from under the pid arithmetic.
+  val VocabParts = 16
+
+  def vocabFull(s: SparkSession, dir: String): DataFrame = {
+    val counted = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val laid = counted
+      .repartitionByRange(VocabParts, desc("cnt"), asc("token"))
+      .sortWithinPartitions(desc("cnt"), asc("token"))
+      .withColumn("mono", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mono"), 33))
+      .withColumn("rn", col("mono").bitwiseAND(lit((1L << 33) - 1)))
+    val offsets = laid.groupBy("pid").agg(count(lit(1)).as("psz"))
+      .withColumn("off",
+        coalesce(sum("psz").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    laid.join(broadcast(offsets), "pid")
+      .select(col("token"), col("cnt"),
+        (col("off") + col("rn") + 1L).as("vocab_id"))
+      .orderBy("vocab_id")
+  }
+
+  // -----------------------------------------------------------------
   // ta_split: deterministic train/validation/test assignment — bucket
   // = md5-derived 60-bit hash of the doc id modulo 100, split by
   // 80/10/10. Hash-based splitting is the standard reproducible
@@ -104,6 +151,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_vocab" -> vocab,
+    "ta_vocab_full" -> vocabFull,
     "ta_split" -> split,
     "ta_pack" -> pack,
   )
@@ -119,6 +167,13 @@ object CorpusOps {
              AS vocab_id FROM c)
          SELECT token, cnt, vocab_id FROM r
          WHERE vocab_id <= $VocabSize ORDER BY vocab_id""",
+    "ta_vocab_full" ->
+      s"""WITH t AS (SELECT unnest($Toks) AS token FROM documents),
+         c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token)
+         SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+             AS vocab_id
+         FROM c ORDER BY vocab_id""",
     "ta_split" ->
       """WITH b AS (SELECT doc_id,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))

@@ -35,6 +35,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocabFull: ids equal the global rank, with no global window") {
+    val rows = CorpusOps.vocabFull(spark, sf).collect()
+    assert(rows.length > CorpusOps.VocabSize / 10 || rows.nonEmpty)
+    // ids are exactly 1..V in (cnt desc, token asc) rank order —
+    // the same contract a single global row_number() would give,
+    // reconstructed from range partitions + offsets.
+    assert(rows.map(_.getLong(2)).toSeq === (1L to rows.length))
+    val expected = rows.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      === expected.toSeq)
+    // Scale audit: every window in the plan runs over the
+    // VocabParts-row offset frame (child aggregates per pid), never
+    // over the full token aggregate.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = CorpusOps.vocabFull(spark, sf)
+      .queryExecution.executedPlan
+    plan.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.child.toString.contains("pid"),
+        s"Window not over the per-partition offsets:\n$plan")
+    }
+  }
+
   test("split: valid buckets, ~80/10/10, stable across runs") {
     val rows = CorpusOps.split(spark, sf).collect()
     assert(rows.map(_.getLong(1)).forall(b => b >= 0 && b < 100))
