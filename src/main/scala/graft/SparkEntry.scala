@@ -25,6 +25,7 @@ object SparkEntry {
     (Relational.queries, Relational.oracles),
     (Relational2.queries, Relational2.oracles),
     (graft.pipeline.CorpusOps.queries, graft.pipeline.CorpusOps.oracles),
+    (graft.operators.Sketches.queries, graft.operators.Sketches.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Dedup.queries, Dedup.oracles),
     (VectorSearch.queries, VectorSearch.oracles),
