@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.Tables
 
@@ -13,6 +13,10 @@ case class SessBuf(evs: Seq[SessEv])
 case class SessEv(us: Long, cents: Long)
 case class SessOut(user_id: Long, session_start: Long, n_events: Long,
     sum_value: Double)
+
+/** Running per-user accumulator for [[Stateful.UserSpendProcessor]]. */
+case class SpendAcc(n: Long, cents: Long, last_us: Long)
+case class SpendOut(user_id: Long, n_events: Long, sum_value: Double)
 
 /** STATEFUL streaming surfaces, oracle-gated (VERDICT r2 item 5).
   *
@@ -159,9 +163,85 @@ object Stateful {
     runToCompletion(s, out).orderBy("user_id", "session_start")
   }
 
+  // -----------------------------------------------------------------
+  // st_tws_user_spend: the transformWithState (Spark 4.x) arbitrary-
+  // state API — typed ValueState + explicit event-time TIMERS, the
+  // successor to flatMapGroupsWithState. Each user's event count and
+  // spend accumulate in a ValueState; every batch re-arms one timer at
+  // the inactivity deadline (last event + gap, rounded UP to the ms
+  // timer clock so the µs-exact cutoff is preserved); when the
+  // watermark passes the deadline the timer fires in that batch's
+  // timer phase and [[StatefulProcessor.handleExpiredTimer]] emits the
+  // summary and clears state. Requires the RocksDB state store (TWS
+  // state lives in multiple column families — value state + timers),
+  // which is the 100 TB-scale provider anyway: state spills to disk
+  // with changelog checkpointing instead of living on the JVM heap.
+  //
+  // Emission contract (mirrors [[statefulSession]]): a user's summary
+  // is emitted iff last_us + GapUs ≤ final watermark. Users active
+  // within the gap of the stream's end stay open in state — exactly
+  // what an unbounded stream could have emitted.
+  class UserSpendProcessor extends StatefulProcessor[
+      Long, (Long, Long, Long, java.sql.Timestamp), SpendOut] {
+    @transient private var acc: ValueState[SpendAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SpendAcc]("acc",
+        Encoders.product[SpendAcc], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+        tv: TimerValues): Iterator[SpendOut] = {
+      val prev = if (acc.exists()) acc.get() else SpendAcc(0L, 0L, Long.MinValue)
+      val next = rows.foldLeft(prev) { case (a, (_, us, cents, _)) =>
+        SpendAcc(a.n + 1, a.cents + cents, math.max(a.last_us, us))
+      }
+      acc.update(next)
+      // One armed timer per key: re-arm at the new deadline. Ceil to
+      // ms: expiry E fires once wm ≥ E, and last+gap ≤ wm_us (µs,
+      // wm_us = wm_ms·1000) ⇔ ceil((last+gap)/1000) ≤ wm_ms.
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer((next.last_us + GapUs + 999L) / 1000L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SpendOut] = {
+      val a = acc.get()
+      acc.clear()
+      Iterator.single(SpendOut(key, a.n, a.cents / 100.0))
+    }
+  }
+
+  def twsUserSpend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Sticky session conf: TWS requires RocksDB (multi-column-family
+    // state); harmless for the sibling queries, which run on whatever
+    // provider is configured when they start.
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ev = eventsStream(s, dir)
+      .withWatermark("ts_wm", "0 seconds")
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts_wm"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    // ts_wm stays in the tuple: the stateful operator's input must
+    // carry the watermarked event-time attribute (same contract as
+    // statefulSession).
+    val out = ev
+      .groupByKey(_._1)
+      .transformWithState(new UserSpendProcessor,
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[SpendOut])
+      .toDF()
+    runToCompletion(s, out).orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_stateful_dedup" -> statefulDedup,
     "st_stateful_session" -> statefulSession,
+    "st_tws_user_spend" -> twsUserSpend,
   )
 
   // ---------------------------------------------------------------
@@ -196,5 +276,18 @@ object Stateful {
          SELECT user_id, session_start, n_events, sum_value
          FROM agg, wm WHERE last_us + $GapUsL <= w
          ORDER BY user_id, session_start""",
+    // Per-user running totals with the same watermark emission cutoff:
+    // the timer at ceil((last+gap)/1000) ms fires iff the final wm
+    // (floor(max µs to ms)) has reached it ⇔ last + gap ≤ wm in µs.
+    "st_tws_user_spend" ->
+      s"""WITH e AS (SELECT user_id, $TsUs AS us,
+           CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         wm AS (SELECT (MAX(us) // 1000) * 1000 AS w FROM e),
+         agg AS (SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_value,
+           MAX(us) AS last_us FROM e GROUP BY user_id)
+         SELECT user_id, n_events, sum_value
+         FROM agg, wm WHERE last_us + $GapUsL <= w
+         ORDER BY user_id""",
   )
 }

@@ -220,6 +220,85 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates across micro-batches and emits " +
+    "on event-time timer expiry") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val ev = ms.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts").as("ts_wm"))
+      .as[(Long, Long, Long, Timestamp)]
+    val out = ev.groupByKey(_._1)
+      .transformWithState(new Stateful.UserSpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[SpendOut])
+      .toDF()
+    val q = out.writeStream.format("memory").queryName("twsspend")
+      .outputMode(OutputMode.Append()).start()
+    def emitted() = spark.table("twsspend").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      // batch 1: u1 and u2 open; wm after = 10:05.
+      ms.addData((1L, ts("2026-01-01 10:00:00"), 1.25),
+        (2L, ts("2026-01-01 10:05:00"), 8.00))
+      q.processAllAvailable()
+      assert(emitted() === Set.empty)
+      // batch 2: u1 gains a SECOND event (cross-batch state), u3
+      // pushes the wm to 11:30 → u1's deadline 10:40 and u2's 10:35
+      // pass → both emit, u1 with the accumulated pair.
+      ms.addData((1L, ts("2026-01-01 10:10:00"), 2.50),
+        (3L, ts("2026-01-01 11:30:00"), 16.00))
+      q.processAllAvailable()
+      assert(emitted() === Set((1L, 2L, 3.75), (2L, 1L, 8.0)))
+      // batch 3: u2 returns AFTER its emission — state was cleared, so
+      // a fresh accumulation opens (not emitted: deadline 13:00 >
+      // wm 12:30); u3's 12:00 deadline passes → emits.
+      ms.addData((2L, ts("2026-01-01 12:30:00"), 0.75))
+      q.processAllAvailable()
+      assert(emitted() === Set((1L, 2L, 3.75), (2L, 1L, 8.0),
+        (3L, 1L, 16.0)))
+    } finally q.stop()
+  }
+
+  test("transformWithState timer fires when the watermark EQUALS the " +
+    "deadline (the <= contract the st_tws oracle encodes)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val ev = ms.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts").as("ts_wm"))
+      .as[(Long, Long, Long, Timestamp)]
+    val out = ev.groupByKey(_._1)
+      .transformWithState(new Stateful.UserSpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[SpendOut])
+      .toDF()
+    val q = out.writeStream.format("memory").queryName("twsboundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData((1L, ts("2026-01-01 10:00:00"), 1.00))
+      q.processAllAvailable()
+      // wm lands EXACTLY on u1's deadline 10:30:00.000.
+      ms.addData((9L, ts("2026-01-01 10:30:00"), 2.00))
+      q.processAllAvailable()
+      val got = spark.table("twsboundary").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set((1L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands micro-batches as parquet") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
