@@ -84,18 +84,27 @@ object Stateful {
 
   /** Run a streaming frame to completion into a memory sink, return
     * the sink table. AvailableNow processes every available file then
-    * runs the trailing no-data batch (timeout flush) and stops.
+    * runs the trailing no-data batch (timeout flush) and stops. The
+    * checkpoint is deleted after termination — these are one-shot
+    * differential runs, and leaving one ~0.5 MB RocksDB/HDFS
+    * checkpoint per invocation leaks unboundedly across bench/verify
+    * cycles (the memory-sink table survives; it lives on the driver,
+    * not in the checkpoint).
     */
   private def runToCompletion(s: SparkSession, out: DataFrame): DataFrame = {
     val qn = "st_run_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Paths.get(s"/tmp/graft_ckpt_$qn")
     val q = out.writeStream
       .format("memory")
       .queryName(qn)
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", s"/tmp/graft_ckpt_$qn")
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
     s.table(qn)
   }
 
