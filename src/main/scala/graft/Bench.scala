@@ -27,7 +27,8 @@ object Bench {
     // (e.g. SPARK_GRAFT_ONLY=wc_wordcount,q5_nation_revenue); the
     // driver never sets it, so its runs stay full-surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // set-but-empty env var = no filter
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map {

@@ -35,6 +35,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class SignSketch(child: Expression, planes: Array[Array[Double]],
     bits: Int) extends UnaryExpression {
 
+  require(bits > 0 && planes.nonEmpty && planes.length % bits == 0,
+    s"planes.length (${planes.length}) must be a positive multiple of " +
+      s"bits ($bits) — a partial band would index past the key array")
+
   private val dim = planes.head.length
   private val bands = planes.length / bits
 

@@ -70,13 +70,19 @@ object Stateful {
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     // The file source wants a DIRECTORY of files (its basePath); the
-    // fixture is a bare file, so expose it through a temp dir with a
+    // fixture is a bare file, so expose it through a dir with a
     // symlink — zero copy, and exactly the layout a real ingest
-    // directory has.
-    val streamDir = java.nio.file.Files
-      .createTempDirectory("graft_events_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    // directory has. The dir is KEYED ON the fixture path (not a
+    // fresh temp dir per call), so repeated bench/verify cycles reuse
+    // one symlink instead of leaking a /tmp dir per invocation.
+    val streamDir = java.nio.file.Paths.get(
+      "/tmp/graft_events_stream_" + math.abs(path.hashCode).toString)
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(path))
     Tables.eventsFixup(
         s.readStream.schema(schema).parquet(streamDir.toString))
       .withColumn("ts_wm", timestamp_micros(expr("ts_ns DIV 1000")))
@@ -94,17 +100,25 @@ object Stateful {
   private def runToCompletion(s: SparkSession, out: DataFrame): DataFrame = {
     val qn = "st_run_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Paths.get(s"/tmp/graft_ckpt_$qn")
-    val q = out.writeStream
-      .format("memory")
-      .queryName(qn)
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(qn)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally { // delete even when the query fails mid-stream
+      if (java.nio.file.Files.exists(ckpt)) {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
+      }
+    }
     s.table(qn)
   }
 
@@ -224,11 +238,23 @@ object Stateful {
 
   def twsUserSpend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Sticky session conf: TWS requires RocksDB (multi-column-family
-    // state); harmless for the sibling queries, which run on whatever
-    // provider is configured when they start.
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // TWS requires RocksDB (multi-column-family state). Scoped to
+    // this query — set, run, restore — so which provider the SIBLING
+    // stateful queries run under never depends on the Map iteration
+    // order Verify/Bench happen to call them in.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try twsUserSpendInner(s, dir)
+    finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
+  private def twsUserSpendInner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val ev = eventsStream(s, dir)
       .withWatermark("ts_wm", "0 seconds")
       .select(col("user_id"), expr("ts_ns DIV 1000").as("us"),

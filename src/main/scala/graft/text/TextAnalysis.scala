@@ -437,7 +437,7 @@ object TextAnalysis {
                / len(toks) AS top_token_frac
            FROM g ORDER BY doc_id""",
       "ta_tfidf_sim" ->
-        """WITH d AS (SELECT doc_id,
+        s"""WITH d AS (SELECT doc_id,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
              FROM documents),
            n AS (SELECT COUNT(*) AS nd FROM d),
@@ -449,7 +449,7 @@ object TextAnalysis {
              CAST(tf * CAST(floor(1000.0 * CAST(nd + 1 AS DOUBLE)
                / (df + 1)) AS BIGINT) AS BIGINT) AS w
              FROM tfc JOIN dfc USING (term) CROSS JOIN n
-             WHERE df * 5 <= nd),
+             WHERE df * $MaxDfDivisor <= nd),
            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(SUM(a.w * b.w) AS BIGINT) AS dot
              FROM w a JOIN w b

@@ -37,7 +37,13 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("vocabFull: ids equal the global rank, with no global window") {
     val rows = CorpusOps.vocabFull(spark, sf).collect()
-    assert(rows.length > CorpusOps.VocabSize / 10 || rows.nonEmpty)
+    // Exact size gate: one row per distinct token, computed
+    // independently of the operator's own pipeline.
+    val distinctTokens = graft.Tables(spark, sf, "documents")
+      .select(explode(graft.functions.TextHash.tokens(col("text")))
+        .as("token"))
+      .distinct().count()
+    assert(rows.length.toLong === distinctTokens)
     // ids are exactly 1..V in (cnt desc, token asc) rank order —
     // the same contract a single global row_number() would give,
     // reconstructed from range partitions + offsets.
