@@ -80,16 +80,31 @@ object CorpusOps {
   // coalesces the range exchange out from under the pid arithmetic.
   val VocabParts = 16
 
+  // The previous call's pinned layout, unpersisted on the next call so
+  // repeated verify/bench cycles don't accumulate cached partitions.
+  @volatile private var lastLaid: Option[DataFrame] = None
+
   def vocabFull(s: SparkSession, dir: String): DataFrame = {
     val counted = docs(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // persist() pins ONE evaluation of the range layout. Without it,
+    // `offsets` and the final join are two subtrees over `laid`, and
+    // they agree only while exchange reuse dedupes them — the range
+    // sampler's boundaries are execution-dependent, so a reuse miss
+    // (reuse disabled, canonicalization drift) would silently combine
+    // offsets from one boundary placement with row indexes from
+    // another. Caching makes both consumers read the same partitions
+    // regardless of plan reuse.
     val laid = counted
       .repartitionByRange(VocabParts, desc("cnt"), asc("token"))
       .sortWithinPartitions(desc("cnt"), asc("token"))
       .withColumn("mono", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mono"), 33))
       .withColumn("rn", col("mono").bitwiseAND(lit((1L << 33) - 1)))
+      .persist()
+    lastLaid.foreach(_.unpersist(blocking = false))
+    lastLaid = Some(laid)
     val offsets = laid.groupBy("pid").agg(count(lit(1)).as("psz"))
       .withColumn("off",
         coalesce(sum("psz").over(Window.orderBy("pid")

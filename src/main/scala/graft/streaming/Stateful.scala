@@ -74,15 +74,28 @@ object Stateful {
     // symlink — zero copy, and exactly the layout a real ingest
     // directory has. The dir is KEYED ON the fixture path (not a
     // fresh temp dir per call), so repeated bench/verify cycles reuse
-    // one symlink instead of leaking a /tmp dir per invocation.
+    // one symlink instead of leaking a /tmp dir per invocation. The
+    // key is the FULL md5 of the path (hashCode is 32-bit — two
+    // fixture paths could collide and silently stream each other's
+    // data), and an existing link is verified to point at `path`
+    // (recreated if not) so a stale or foreign link can never feed
+    // the wrong fixture to the gates.
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val streamDir = java.nio.file.Paths.get(
-      "/tmp/graft_events_stream_" + math.abs(path.hashCode).toString)
+      "/tmp/graft_events_stream_" + md)
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link,
-        java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(path))
+    val target = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val ok = java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) == target
+      if (!ok) {
+        java.nio.file.Files.delete(link)
+        java.nio.file.Files.createSymbolicLink(link, target)
+      }
+    } else java.nio.file.Files.createSymbolicLink(link, target)
     Tables.eventsFixup(
         s.readStream.schema(schema).parquet(streamDir.toString))
       .withColumn("ts_wm", timestamp_micros(expr("ts_ns DIV 1000")))
@@ -94,8 +107,12 @@ object Stateful {
     * checkpoint is deleted after termination — these are one-shot
     * differential runs, and leaving one ~0.5 MB RocksDB/HDFS
     * checkpoint per invocation leaks unboundedly across bench/verify
-    * cycles (the memory-sink table survives; it lives on the driver,
-    * not in the checkpoint).
+    * cycles. The memory-sink temp view is dropped before returning
+    * for the same reason: `s.table` resolves the view eagerly, so the
+    * returned DataFrame keeps the rows alive only as long as the
+    * CALLER holds it — without the drop, the catalog pins every
+    * run's full result on the driver forever (the disk-leak class,
+    * on the heap).
     */
   private def runToCompletion(s: SparkSession, out: DataFrame): DataFrame = {
     val qn = "st_run_" + UUID.randomUUID().toString.replace("-", "")
@@ -119,7 +136,9 @@ object Stateful {
         } finally walk.close()
       }
     }
-    s.table(qn)
+    val result = s.table(qn) // eager analysis: plan no longer needs the view
+    s.catalog.dropTempView(qn)
+    result
   }
 
   // -----------------------------------------------------------------

@@ -78,6 +78,14 @@ def shard(table: pa.Table, name: str, k: int) -> pa.Table:
 
 def main() -> None:
     src, out, k_shards = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # Embedding decorrelation is rotation by k % 64 (vectors are
+    # 64-dim): shard 64 would reproduce shard 0's embeddings exactly,
+    # creating cross-shard exact-duplicate vectors and violating the
+    # constant-duplicate-density invariant documented above. Refuse
+    # rather than silently degrade.
+    assert k_shards <= 64, (
+        f"K={k_shards} > 64: embedding rotation repeats after 64 shards; "
+        "add a per-shard sign-flip transform before scaling further")
     import os
     os.makedirs(out, exist_ok=True)
     for name in COPY_ONLY:
