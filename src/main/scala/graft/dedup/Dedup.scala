@@ -311,10 +311,12 @@ object Dedup {
   // candidate volume; measured 1.04× at sf0.1, recall 139/144). At
   // the thresholds real pipelines dedup at (cos ≥ 0.85, m ≥ 0.82),
   // the same operator with r=8–12, b=16 runs 8–128× below brute
-  // force and r grows with log N — THAT is the scale path, and the
-  // constants are two vals away (EmbedLshScaleSpec proves the law
-  // empirically: planted cos≈0.91 pairs at r=8, b=16 → candidate
-  // volume ≥8× below brute force at recall ≥0.9). The brute-force [[embedCosine]]
+  // force and r grows with log N — THAT is the scale path, and it is
+  // ORACLE-GATED as [[embedLshHi]] (`dd_embed_lsh_hi`: planted
+  // cos 0.85–0.95 twins, r=8, b=16, hash-matched against DuckDB;
+  // EmbedLshHiSpec measures recall ≥0.9 and candidate volume ≥8×
+  // below brute force on the declared pipeline, EmbedLshScaleSpec
+  // proves the same law on synthetic gaussians). The brute-force [[embedCosine]]
   // stays the recall-1.0 verify tier. (The IVF-bucket alternative —
   // candidates = shared top-2 centroid assignment, reusing
   // [[graft.sim.VectorSearch.ivfAssign]] — was measured at only
@@ -420,6 +422,76 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"),
         (ddot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= CosineThreshold)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // -----------------------------------------------------------------
+  // dd_embed_lsh_hi: the PRODUCTION parametrization of [[embedLsh]],
+  // oracle-gated (VERDICT r3 item 1). Real pipelines dedup embeddings
+  // at cos ≥ 0.85, not at the fixture's 0.45 noise floor — and at
+  // that threshold sign-LSH is asymptotically sub-quadratic (the
+  // whole point of the operator). This query runs the same
+  // [[lshCandidates]] core at r = 8 bits × b = 16 bands (128 planes)
+  // over a corpus with PLANTED near-duplicates, so the regime that
+  // makes LSH the 100 TB path is hash-gated, not spec-only.
+  //
+  // The planted fixture is derived IN-ENGINE from the embeddings
+  // table with seeded md5 arithmetic, so DuckDB reproduces it
+  // bit-for-bit: every PlantMod-th vector gets a twin at
+  // vec_id + PlantOffset, perturbed by a deterministic ±1 direction
+  // (sign of md5("<vec_id>:<i>")) scaled to PlantAlpha·‖v‖/8 per
+  // component. The twin's expected cosine to its source is
+  // 1/√(1+α²) ≈ 0.90, spread ≈ ±0.035 by the random cross term —
+  // i.e. pairs planted across cos 0.85–0.95, the real dedup band.
+  // Per the s-curve at r=8, b=16: m(0.85)=0.823 → recall 0.978,
+  // m(0.90)=0.856 → recall 0.996; candidate volume follows the
+  // b·N²/2^(r+1) law ≈ 16× below brute force at sf0.1
+  // (EmbedLshHiSpec measures both on the declared pipeline).
+  //
+  // Float discipline: the perturbation is v[i] + ((α·‖v‖)·s)/8 with
+  // that exact association in both engines, norms and cosines are the
+  // same strict left-to-right IEEE folds as everywhere else, so band
+  // keys and cos values hash-match bitwise.
+  val HiBandBits = 8; val HiBands = 16
+  val HiThreshold = 0.85
+  val PlantMod = 8
+  val PlantOffset = 100000000L // clears any vec_id at any tested SF
+  val PlantAlpha = 0.484 // 1/sqrt(1+α²) ≈ 0.90 expected twin cosine
+
+  /** embeddings ∪ planted twins, as `(vec_id, v, nrm)`. */
+  private[dedup] def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2norm
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"), l2norm(col("v")).as("nrm"))
+    val twins = base.filter(col("vec_id") % PlantMod === 0)
+      .select(col("vec_id"), col("nrm"),
+        transform(col("v"), (x, i) =>
+          x + ((lit(PlantAlpha) * col("nrm")) *
+            when(conv(substring(md5(concat(col("vec_id").cast("string"),
+              lit(":"), (i + 1).cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 2 === 0, 1.0).otherwise(-1.0)) / lit(8.0))
+          .as("v"))
+      .select((col("vec_id") + PlantOffset).as("vec_id"), col("v"),
+        l2norm(col("v")).as("nrm"))
+    base.unionByName(twins)
+  }
+
+  def embedLshHi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.ddot
+    val e = plantedEmbeddings(s, dir).repartition(col("vec_id"))
+    val cand = lshCandidates(e, planeMatrixFor(HiBands * HiBandBits,
+      EmbedDim), HiBandBits)
+    val x = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val y = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    cand.join(x, "vec_a").join(y, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (ddot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= HiThreshold)
       .distinct()
       .orderBy("vec_a", "vec_b")
   }
@@ -579,6 +651,7 @@ object Dedup {
     "dd_jaccard_prefix" -> jaccardPrefix,
     "dd_embed_cosine" -> embedCosine,
     "dd_embed_lsh" -> embedLsh,
+    "dd_embed_lsh_hi" -> embedLshHi,
     "dd_incremental" -> incremental,
     "dd_cluster" -> cluster,
     "dd_decontam" -> decontam,
@@ -727,6 +800,54 @@ object Dedup {
            FROM cand JOIN n x ON x.vec_id = va JOIN n y ON y.vec_id = vb)
          SELECT vec_a, vec_b, cos FROM p
          WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b"""
+    },
+    "dd_embed_lsh_hi" -> {
+      def planeSql(p: Int): String =
+        planeSigns(p).map(d => if (d > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+      def dProj(p: Int): String =
+        s"""list_sum(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, ${EmbedDim + 1}),
+             i -> v[i] * (${planeSql(p)})[i])))"""
+      def dBandKey(b: Int): String =
+        (0 until HiBandBits).map { j =>
+          s"""(CASE WHEN ${dProj(b * HiBandBits + j)} >= 0
+             THEN ${1L << (HiBandBits - 1 - j)} ELSE 0 END)"""
+        }.mkString("(", " + ", ")")
+      val keys = (0 until HiBands).map(dBandKey).mkString(",\n")
+      s"""WITH e0 AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n0 AS (SELECT vec_id, v,
+           sqrt(list_sum(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(v, x -> x*x)))) AS nrm FROM e0),
+         tw AS (SELECT vec_id AS ovid, v AS ov, nrm AS onrm
+           FROM n0 WHERE vec_id % $PlantMod = 0),
+         pl AS (SELECT ovid + $PlantOffset AS vec_id,
+           list_transform(range(1, ${EmbedDim + 1}),
+             i -> ov[i] + ((($PlantAlpha * onrm) *
+               (CASE WHEN CAST(('0x' || substr(md5(ovid || ':' || i),
+                 1, 15)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END))
+               / 8.0)) AS v
+           FROM tw),
+         e AS (SELECT vec_id, v FROM e0
+           UNION ALL SELECT vec_id, v FROM pl),
+         n AS (SELECT vec_id, v,
+           sqrt(list_sum(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(v, x -> x*x)))) AS nrm FROM e),
+         bnd AS (SELECT vec_id,
+           unnest(range(0, $HiBands)) AS band,
+           unnest([$keys]) AS bk FROM e),
+         cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+           FROM bnd a JOIN bnd b
+           ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         p AS (SELECT va AS vec_a, vb AS vec_b,
+           list_sum(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, ${EmbedDim + 1}),
+               i -> x.v[i] * y.v[i]))) / (x.nrm * y.nrm) AS cos
+           FROM cand JOIN n x ON x.vec_id = va JOIN n y ON y.vec_id = vb)
+         SELECT vec_a, vec_b, cos FROM p
+         WHERE cos >= $HiThreshold ORDER BY vec_a, vec_b"""
     },
     "dd_incremental" ->
       s"""WITH d AS ($DHs),

@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Gates for the DECLARED production-regime query `dd_embed_lsh_hi`
+  * (the DuckDB hash gate proves cross-engine equality; these prove
+  * the two quantitative claims the hash can't express):
+  *
+  *  - recall vs ground truth: brute-force cos ≥ 0.85 over the same
+  *    planted frame is the exact answer; the LSH query must recover
+  *    ≥ 90% of those pairs (s-curve predicts ≥ 97.8% at the planted
+  *    band's worst case m(0.85) = 0.823, r=8, b=16);
+  *  - candidate volume: the b·N²/2^(r+1) law ⇒ the candidate
+  *    multiset must sit ≥ 8× below the N(N−1)/2 brute-force pair
+  *    count (theory says ≈ 16×; 2× assert margin) — the claim that
+  *    makes this parametrization the 100 TB path.
+  *
+  * Also pins the fixture shape itself: every planted twin really
+  * lands in the cos 0.85–0.95 design band relative to its source.
+  */
+class EmbedLshHiSpec extends SparkSpec {
+
+  private def cosOf(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Dedup.plantedEmbeddings(spark, sf).select("vec_id", "v").collect()
+      .map { case Row(id: Long, v: scala.collection.Seq[_]) =>
+        id -> v.map(_.asInstanceOf[Double]).toArray
+      }.toMap
+
+  test("planted twins land in the cos 0.85-0.95 design band") {
+    val twinCos = vecs.keys.filter(_ >= Dedup.PlantOffset).toSeq.map { t =>
+      cosOf(vecs(t), vecs(t - Dedup.PlantOffset))
+    }
+    assert(twinCos.nonEmpty)
+    val inBand = twinCos.count(c => c >= 0.85 && c <= 0.95)
+    assert(inBand.toDouble / twinCos.size >= 0.95,
+      s"only $inBand/${twinCos.size} twins in band; " +
+        s"range ${twinCos.min}..${twinCos.max}")
+  }
+
+  test("declared query recovers >=90% of brute-force cos>=0.85 truth") {
+    val ids = vecs.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      if cosOf(vecs(ids(i)), vecs(ids(j))) >= Dedup.HiThreshold
+    } yield (ids(i), ids(j))).toSet
+    assert(truth.nonEmpty)
+    val got = Dedup.embedLshHi(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), // precision 1.0: exact verify stage
+      s"false positives: ${got -- truth}")
+    val hit = (truth & got).size
+    assert(hit >= math.ceil(truth.size * 0.9).toInt,
+      s"recall ${hit.toDouble / truth.size}: missed ${truth -- got}")
+  }
+
+  test("candidate multiset sits >=8x below brute force (b*N^2/2^(r+1) law)") {
+    val e = Dedup.plantedEmbeddings(spark, sf)
+    val n = vecs.size.toLong
+    val cand = Dedup.lshCandidates(e,
+      Dedup.planeMatrixFor(Dedup.HiBands * Dedup.HiBandBits, Dedup.EmbedDim),
+      Dedup.HiBandBits)
+    val nCand = cand.count()
+    val brute = n * (n - 1) / 2
+    assert(nCand * 8 <= brute,
+      s"candidates $nCand not 8x below brute force $brute (N=$n)")
+  }
+}
