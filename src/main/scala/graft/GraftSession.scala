@@ -22,8 +22,9 @@ import org.apache.spark.sql.SparkSession
   *    leave on.
   */
 object GraftSession {
-  def local(cores: String, shufflePartitions: String): SparkSession = {
-    val spark = SparkSession
+  def local(cores: String, shufflePartitions: String,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
@@ -68,7 +69,13 @@ object GraftSession {
       // don't need — filters are explicit and keys are non-null.
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Pre-context overrides (e.g. SpillProof's constrained
+    // spark.memory.fraction) — only effective for the JVM's FIRST
+    // session, since local-mode executor memory is fixed at context
+    // creation; later callers get the existing context regardless.
+    val spark = extraConf.foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
