@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   * hot key over `salts` reducers → final aggregate over the key
   * merges the partials. Works for any algebraic aggregate (sum,
   * count, min, max — anything with an associative merge).
+  *
+  * WHEN EACH WINS (demonstrated head-to-head on a planted hot key in
+  * SkewAqeSpec): AQE's skew split is the default — zero code, it sees
+  * actual map-output sizes at runtime, splits exactly the oversized
+  * partitions, and costs nothing when there is no skew. Use the
+  * explicit recipes for what AQE cannot touch: skew in an AGGREGATION
+  * group ([[saltedAgg]] — AQE never splits aggregation groups), a
+  * streaming join (no AQE), or a join whose hot partition must stay
+  * whole for a following partition-wise op ([[saltedJoin]]). Where
+  * both apply, prefer AQE: salting pays |small|×salts replication
+  * unconditionally, AQE splits only when runtime sizes demand it.
   */
 object SkewTools {
 
