@@ -234,8 +234,21 @@ object Stateful {
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
         tv: TimerValues): Iterator[SpendOut] = {
+      // LATE-ROW GUARD: unlike fMGWS (whose exec node filters on the
+      // watermarked attribute), transformWithState delivers late input
+      // rows to the processor — measured: a row behind the eviction
+      // watermark arrives here under a k-file out-of-order source
+      // (EventsStreamingSpec). Filtering against the current watermark
+      // is therefore the PROCESSOR's job; without it a late row could
+      // resurrect state for an already-emitted key or create an
+      // accumulation the emission contract says cannot exist. In the
+      // declared single-data-batch query the watermark is 0 during the
+      // data batch, so this guard is a no-op there.
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      val live = rows.filter(_._2 >= wmUs)
+      if (!live.hasNext) return Iterator.empty
       val prev = if (acc.exists()) acc.get() else SpendAcc(0L, 0L, Long.MinValue)
-      val next = rows.foldLeft(prev) { case (a, (_, us, cents, _)) =>
+      val next = live.foldLeft(prev) { case (a, (_, us, cents, _)) =>
         SpendAcc(a.n + 1, a.cents + cents, math.max(a.last_us, us))
       }
       acc.update(next)

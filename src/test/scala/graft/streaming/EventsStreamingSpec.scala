@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
@@ -297,6 +299,91 @@ class EventsStreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got === Set((1L, 1L, 1.0)))
     } finally q.stop()
+  }
+
+  test("transformWithState over a real k-file source (maxFilesPerTrigger=1): " +
+    "timer re-arming, late-drop, and emission-then-return across real " +
+    "batch boundaries") {
+    import spark.implicits._
+    // The MemoryStream tests above pin the TWS semantics; this one
+    // gates the same operator on the DECLARED query's transport — a
+    // file source, one file per micro-batch, RocksDB state store,
+    // AvailableNow — so timer re-arming and watermark filtering are
+    // exercised across REAL checkpointed batch boundaries, with
+    // out-of-order data BETWEEN batches. Plan (gap = 30 min, 0s delay;
+    // wm entering batch k = max event time of batches < k):
+    //   f1: A@10:00 $1.00, B@10:05 $2.00      → timers A 10:30, B 10:35
+    //   f2: A@10:20 $0.50 (RE-ARM → 10:50), C@11:00 $4.00
+    //   f3: D@10:40 $8.00 — behind wm 11:00 → DROPPED by the
+    //       processor's late-row guard (TWS does not auto-filter late
+    //       input, unlike fMGWS — this test is what measured that);
+    //       batch 3's timer phase (wm 11:00) fires A (n=2, $1.50)
+    //       and B (n=1, $2.00)
+    //   f4: B@12:00 $0.25 — returns AFTER emission: fresh acc;
+    //       E@13:01 $0.125 pushes the final wm
+    //   trailing no-data batch (wm 13:01): fires C (11:30) and B's
+    //       new timer (12:30); E (13:31) stays open — never emitted.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = Files.createTempDirectory("graft_tws_kfile")
+    val ckpt = Files.createTempDirectory("graft_tws_kfile_ckpt")
+    val files = Seq(
+      Seq((1L, ts("2026-01-01 10:00:00"), 1.00),
+        (2L, ts("2026-01-01 10:05:00"), 2.00)),
+      Seq((1L, ts("2026-01-01 10:20:00"), 0.50),
+        (3L, ts("2026-01-01 11:00:00"), 4.00)),
+      Seq((4L, ts("2026-01-01 10:40:00"), 8.00)),
+      Seq((2L, ts("2026-01-01 12:00:00"), 0.25),
+        (5L, ts("2026-01-01 13:01:00"), 0.125)))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val stage = Files.createTempDirectory(s"graft_tws_stage$i")
+      rows.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(f"f$i%02d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      // The file source orders batches by modification time: pin it.
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    val ev = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts").as("ts_wm"))
+      .as[(Long, Long, Long, Timestamp)]
+    val out = ev.groupByKey(_._1)
+      .transformWithState(new Stateful.UserSpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[SpendOut])
+      .toDF()
+    val q = out.writeStream.format("memory").queryName("twskfile")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      // One file per micro-batch: 4 data batches (+ no-data batches).
+      assert(q.recentProgress.count(_.numInputRows > 0) === 4)
+      val got = spark.table("twskfile").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set(
+        (1L, 2L, 1.50), // re-armed across f1/f2, accumulated pair
+        (2L, 1L, 2.00), // first B accumulation
+        (2L, 1L, 0.25), // B's post-emission return — state was cleared
+        (3L, 1L, 4.00))) // sealed by the trailing no-data batch
+      // D dropped behind the watermark; E open at stream end.
+      assert(!got.exists(_._1 == 4L))
+      assert(!got.exists(_._1 == 5L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("twskfile")
+    }
   }
 
   test("foreachBatch sink lands micro-batches as parquet") {
