@@ -41,4 +41,17 @@ object Formats {
 
   def readParquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
+
+  /** ORC: the second columnar format in every serious lakehouse
+    * (Hive-lineage tables). Same pushdown/pruning story as Parquet —
+    * min/max stripe statistics, optional bloom filters — so it is a
+    * drop-in columnar landing format where the surrounding stack is
+    * ORC-native; the analytics guidance above (convert row formats to
+    * a columnar one) is satisfied by either.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
 }

@@ -83,10 +83,48 @@ object EventOps {
     sessionAgg(events(s, dir))
       .orderBy("user_id", "session_start")
 
+  /** Event-time INTERVAL JOIN — the batch twin of the stream-stream
+    * join surface (EventsStreamingSpec proves the same join shape
+    * under watermarks on two streams): every `view` event matched to
+    * the SAME user's `purchase` events within the 30 minutes after
+    * it. Attribution — which purchases followed an ad view — is the
+    * canonical use.
+    *
+    * Scale shape: an equi-join on user_id with the time window as a
+    * residual range predicate — NOT a theta join; the shuffle keys on
+    * user_id, so it broadcasts nothing, AQE can skew-split a hot
+    * user, and in streaming mode the watermark bounds both join
+    * buffers (state ≤ 30 min + delay per side). Distinct from
+    * `q20_range_join_events` (bucketed value-range join against a
+    * dimension); this is the two-event-stream temporal shape.
+    * Microsecond integer arithmetic end to end: the fixture's ns
+    * timestamps truncate to µs in BOTH readers (`ts_ns DIV 1000` ↔
+    * DuckDB `epoch_ns(ts) // 1000` — DuckDB's TIMESTAMP is µs), so
+    * µs is the exact common precision and the gate is bit-exact.
+    */
+  val AttributionWindowUs: Long = 30L * 60 * 1000 * 1000
+
+  def stIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("ts_ns DIV 1000").as("v_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("ts_ns DIV 1000").as("p_us"), col("value").as("purchase_value"))
+    v.join(p, Seq("user_id"))
+      .filter(col("p_us") >= col("v_us") &&
+        col("p_us") <= col("v_us") + AttributionWindowUs)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (col("p_us") - col("v_us")).as("lag_us"), col("purchase_value"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_tumbling_hour" -> stTumbling,
     "st_sliding_halfhour" -> stSliding,
     "st_session_30m" -> stSession,
+    "st_interval_join" -> stIntervalJoin,
   )
 
   // ---------------------------------------------------------------
@@ -103,6 +141,17 @@ object EventOps {
     s"strftime(make_timestamp($expr), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    "st_interval_join" ->
+      s"""WITH v AS (SELECT user_id, event_id AS view_id,
+           $TsUs AS v_us FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id AS purchase_id,
+           $TsUs AS p_us, value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT v.user_id, view_id, purchase_id,
+           CAST(p_us - v_us AS BIGINT) AS lag_us, purchase_value
+         FROM v JOIN p ON v.user_id = p.user_id
+           AND p_us >= v_us AND p_us <= v_us + $AttributionWindowUs
+         ORDER BY v.user_id, view_id, purchase_id""",
     "st_tumbling_hour" ->
       s"""WITH e AS (SELECT $TsUs AS us, event_type, value FROM events)
          SELECT ${fmtUs(s"us // $HourUs * $HourUs")} AS window_start,

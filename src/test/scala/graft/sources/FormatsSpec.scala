@@ -42,6 +42,20 @@ class FormatsSpec extends SparkSpec {
     assert(canon(Formats.readParquet(spark, dir)) === canon(orders))
   }
 
+  test("orc round-trip is exact and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Formats.writeOrc(orders, dir)
+    val back = Formats.readOrc(spark, dir)
+    assert(back.schema === orders.schema)
+    assert(canon(back) === canon(orders))
+    // Same pushdown contract as parquet: the predicate must reach the
+    // ORC scan (stripe-stats pruning at scale), not sit in a Filter
+    // above a full read.
+    val p = back.filter(col("o_totalprice") > 1000.0)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters:") && p.contains("o_totalprice"))
+  }
+
   test("TextSink sharded mode keeps global order across part files") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sharded").toString
