@@ -263,6 +263,55 @@ object Dedup {
   }
 
   // -----------------------------------------------------------------
+  // dd_containment: PARTIAL-COPY detection — the asymmetric twin of
+  // the Jaccard operators. Containment C(A→B) = |A∩B| / |A| catches
+  // the dup shape Jaccard misses: a document that is mostly a COPY of
+  // a (possibly much larger) other document — truncated crawls,
+  // quoted articles, boilerplate-wrapped reposts. J(A,B) for a small
+  // A inside a big B is ≈ |A|/|B| (arbitrarily low), while C(A→B)
+  // stays ≥ 0.8; training-data dedup wants these pairs.
+  //
+  // Blocking: A's single min-shingle probed against the full
+  // inverted index of every OTHER document's shingles (a.mk ∈ b's
+  // set) — if C(A→B) ≥ τ, A's minimum shingle lands in A∩B with
+  // probability ≈ τ, independent of |B| (min-SHARED blocking a.mk =
+  // b.mk would miss exactly the asymmetric pairs this operator
+  // exists for: B's global min is usually outside A). Candidates
+  // then verify exactly with the native sorted-merge intersection,
+  // so precision is 1.0. Output is DIRECTED: (doc_a contained-in
+  // doc_b); a mutual near-dup pair appears in both directions.
+  //
+  // At 100 TB: the index side carries (doc, shingle) — the standard
+  // inverted-index shuffle, equi-joined on the shingle value, so a
+  // hot (high-df) shingle bucket is AQE-skew-splittable; the probe
+  // side is one row per document. Verify is the codegen'd
+  // sorted-merge on candidates only.
+  val ContainmentThreshold10 = 8 // C >= 0.8, as integer cross-multiply
+
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    val sh = shingled(s, dir)
+    val probe = sh.select(col("doc_id").as("doc_a"),
+      coalesce(array_min(col("shingles")), lit(-1L)).as("mk"))
+    val index = sh.select(col("doc_id").as("doc_b"),
+      explode(col("shingles")).as("sg"))
+    val cand = probe
+      .join(index, col("mk") === col("sg") && col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val x = sh.select(col("doc_id").as("doc_a"),
+      sort_array(col("shingles")).as("sha"))
+    val y = sh.select(col("doc_id").as("doc_b"),
+      sort_array(col("shingles")).as("shb"))
+    cand.join(x, "doc_a").join(y, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        sortedIntersectCount(col("sha"), col("shb")).as("inter"),
+        size(col("sha")).cast("long").as("n_a"),
+        size(col("shb")).cast("long").as("n_b"))
+      .filter(col("inter") * 10 >= col("n_a") * ContainmentThreshold10)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -----------------------------------------------------------------
   // dd_embed_cosine: exact cosine-threshold near-dup pairs over the
   // embedding column, via the native codegen'd dot product
   // (graft.functions.DoubleDot — same strict left-to-right IEEE fold
@@ -670,6 +719,7 @@ object Dedup {
     "dd_simhash" -> simhash,
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_jaccard_prefix" -> jaccardPrefix,
+    "dd_containment" -> containment,
     "dd_embed_cosine" -> embedCosine,
     "dd_embed_lsh" -> embedLsh,
     "dd_embed_lsh_hi" -> embedLshHi,
@@ -828,6 +878,25 @@ object Dedup {
          SELECT vec_a, vec_b, cos FROM p
          WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b"""
     },
+    "dd_containment" ->
+      s"""WITH d AS ($DHs),
+         sh AS ($DShingles),
+         pr AS (SELECT doc_id, COALESCE(list_min(shingles), -1) AS mk
+           FROM sh),
+         ix AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM pr a JOIN ix b
+           ON a.mk = b.sg AND a.doc_id != b.doc_id),
+         ver AS (SELECT da AS doc_a, db AS doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT)
+             AS inter,
+           CAST(len(x.shingles) AS BIGINT) AS n_a,
+           CAST(len(y.shingles) AS BIGINT) AS n_b
+           FROM cand JOIN sh x ON x.doc_id = da
+             JOIN sh y ON y.doc_id = db)
+         SELECT doc_a, doc_b, inter, n_a, n_b FROM ver
+         WHERE inter * 10 >= n_a * $ContainmentThreshold10
+         ORDER BY doc_a, doc_b""",
     "dd_embed_lsh_hi" -> {
       def planeSql(p: Int): String =
         planeSigns(p).map(d => if (d > 0) "1.0" else "-1.0")

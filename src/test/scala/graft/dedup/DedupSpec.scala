@@ -105,6 +105,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment catches a truncation dup that Jaccard misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    val tokensB = (0 until 50).map(i => s"tok$i")
+    // doc 1 = the first 30% of doc 2 (a truncated crawl of it);
+    // doc 3 unrelated. C(1→2) = 1.0 but J(1,2) = 13/48 ≈ 0.27.
+    Seq((1L, tokensB.take(15).mkString(" ")),
+      (2L, tokensB.mkString(" ")),
+      (3L, "unrelated words entirely distinct here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L))) // directed: small inside big only
+    val jac = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 2L))) // the pair Jaccard-family ops miss
+  }
+
+  test("containment ≡ brute-force C>=0.8 truth restricted to the " +
+    "min-shingle block; counts exact") {
+    val sets = shingleSets.filter(_._2.nonEmpty)
+    val got = Dedup.containment(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val blocked = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b && sb.contains(sa.min) // the declared blocking
+      inter = (sa & sb).size
+      if inter * 10 >= sa.size * Dedup.ContainmentThreshold10
+    } yield (a, b) -> (inter.toLong, sa.size.toLong, sb.size.toLong)).toMap
+    assert(got === blocked)
+    // precision 1.0 against the UNBLOCKED truth is implied (blocked
+    // truth ⊆ full truth); blocking loses only pairs whose shared
+    // part misses A's min shingle — probability ≈ 1−C per pair.
+  }
+
   test("embed-cosine pairs match a pure-Scala fold bit-for-bit") {
     val vecs: Map[Long, Array[Double]] = Tables(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect().map { r =>
