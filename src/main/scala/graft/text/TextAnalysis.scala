@@ -371,7 +371,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // -----------------------------------------------------------------
+  // ta_lm_score: corpus-statistics LANGUAGE-MODEL quality scoring —
+  // the fluency signal training-data filters use: each document is
+  // scored by the MEAN add-one-smoothed bigram likelihood
+  //   p_i = (C2(w_i, w_{i+1}) + 1) / (C1(w_i) + V)
+  // under the corpus's own bigram/unigram statistics (C2/C1 = corpus
+  // bigram/unigram occurrence counts over the scoreable ≥2-token
+  // docs, V = vocabulary size). Text full of rare transitions scores
+  // low, formulaic text high. Probabilities are SUMMED, not
+  // log-summed: ln() is not bit-reproducible across engines, while
+  // IEEE +, /, and the strict left-to-right fold are — the mean
+  // likelihood is a well-defined statistic in its own right, ranking
+  // documents exactly as the arithmetic says.
+  //
+  // Scale shape: the count tables are wordcount shuffles with partial
+  // aggregation; scoring joins each doc's (pos, bigram) rows to them
+  // on the bigram/unigram hash (shuffle equi-joins — a stop-bigram
+  // hot bucket is AQE-skew-splittable); V rides along as one
+  // broadcast scalar; and the per-doc fold runs over a sort_array'd
+  // (pos, p) struct array, so the float accumulation order is
+  // position order in BOTH engines (collect_list alone is
+  // order-nondeterministic — the sort is what makes the gate exact).
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+      .repartition(col("doc_id"))
+    val withBg = base
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(hs) - 2), i ->
+           struct(element_at(hs, i + 1) AS h1,
+             (element_at(hs, i + 1) * 131 + element_at(hs, i + 2)) % $Prime
+               AS bg))""")).as(Seq("pos", "x")))
+      .select(col("doc_id"), col("pos"),
+        col("x.h1").as("h1"), col("x.bg").as("bg"))
+    val tok = base.select(explode(col("hs")).as("h"))
+    val uniCnt = tok.groupBy("h").agg(count(lit(1)).as("c1"))
+    val vDf = tok.agg(countDistinct(col("h")).as("v"))
+    val bgCnt = withBg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    withBg
+      .join(bgCnt, "bg")
+      .join(uniCnt.withColumnRenamed("h", "h1"), "h1")
+      .crossJoin(broadcast(vDf))
+      .select(col("doc_id"), col("pos"),
+        ((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_bigrams"),
+        (aggregate(transform(col("ps"), x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x) /
+          size(col("ps")).cast("double")).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lm_score" -> lmScore,
     "ta_scrub" -> scrub,
     "ta_lang_ngram" -> langNgram,
     "ta_repetition" -> repetition,
@@ -406,6 +463,29 @@ object TextAnalysis {
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
     Map(
+      "ta_lm_score" ->
+        s"""WITH d AS (SELECT doc_id, list_transform($Toks,
+             w -> ${dH31("w")}) AS hs FROM documents),
+           d2 AS (SELECT doc_id, hs FROM d WHERE len(hs) >= 2),
+           bgr AS (SELECT doc_id, unnest(list_transform(
+               range(0, len(hs) - 1),
+               i -> {'pos': i, 'h1': hs[i + 1],
+                 'bg': (hs[i + 1] * 131 + hs[i + 2]) % $P})) AS x
+             FROM d2),
+           bg AS (SELECT doc_id, x.pos AS pos, x.h1 AS h1, x.bg AS bg
+             FROM bgr),
+           tok AS (SELECT unnest(hs) AS h FROM d2),
+           uni AS (SELECT h, COUNT(*) AS c1 FROM tok GROUP BY h),
+           vq AS (SELECT COUNT(DISTINCT h) AS v FROM tok),
+           c2t AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+           sc AS (SELECT doc_id, pos,
+             CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS p
+             FROM bg JOIN c2t USING (bg) JOIN uni ON uni.h = bg.h1, vq)
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             list_sum(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_sort(list({'pos': pos, 'p': p})),
+                 x -> x.p))) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+           FROM sc GROUP BY doc_id ORDER BY doc_id""",
       "ta_lang_ngram" ->
         s"""WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
            b AS (SELECT doc_id, list_distinct(list_transform(

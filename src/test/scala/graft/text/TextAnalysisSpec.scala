@@ -17,6 +17,37 @@ class TextAnalysisSpec extends SparkSpec {
     java.lang.Long.parseLong(hex, 16) % TextHash.Prime
   }
 
+  test("lm_score matches a pure-Scala recompute bit-for-bit") {
+    val P = TextHash.Prime
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docHs = texts.view.mapValues(t =>
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).map(h31).toVector)
+      .filter(_._2.size >= 2).toMap
+    val c1 = docHs.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val v = docHs.values.flatten.toSet.size
+    val bgOf = (hs: Vector[Long]) =>
+      hs.sliding(2).map(s => (s(0), (s(0) * 131 + s(1)) % P)).toVector
+    val c2 = docHs.values.flatMap(hs => bgOf(hs).map(_._2))
+      .groupBy(identity).view.mapValues(_.size)
+    val expected = docHs.view.mapValues { hs =>
+      val ps = bgOf(hs).map { case (h1, bg) =>
+        (c2(bg) + 1).toDouble / (c1(h1) + v).toDouble
+      }
+      // strict left fold in position order — the contract under test
+      (ps.size.toLong, ps.foldLeft(0.0)(_ + _) / ps.size.toDouble)
+    }.toMap
+    val got = TextAnalysis.lmScore(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score"))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, (n, sc)) =>
+      assert(n === expected(id)._1)
+      assert(sc === expected(id)._2, s"doc $id") // bitwise-equal doubles
+      assert(sc > 0.0 && sc <= 1.0)
+    }
+  }
+
   test("fingerprint matches a pure-Scala reimplementation") {
     val row = TextAnalysis.fingerprint(spark, sf)
       .filter(col("doc_id") === 0).head()
