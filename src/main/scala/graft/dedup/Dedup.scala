@@ -685,6 +685,24 @@ object Dedup {
   }
 
   // -----------------------------------------------------------------
+  // dd_keeplist: the ACTIONABLE end of the dedup pipeline — the
+  // full-corpus keep/drop decision. Every document gets its duplicate
+  // cluster id ([[cluster]]; its own id when it belongs to no
+  // near-dup cluster) and `keep` = "is the cluster representative"
+  // (the minimum doc_id — the usual keep-first policy). Filtering
+  // `keep` yields the deduplicated corpus; the cluster_id column is
+  // the provenance trail. One left join of the corpus against the
+  // cluster labels — the labels table is tiny relative to the corpus
+  // (only docs that appear in some near-dup pair).
+  def keeplist(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"))
+      .join(cluster(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+
+  // -----------------------------------------------------------------
   // dd_decontam: benchmark decontamination — flag training documents
   // that share any content shingle with a held-out evaluation set
   // (here: doc_id ≡ 7 mod 10). The standard pre-training hygiene
@@ -725,6 +743,7 @@ object Dedup {
     "dd_embed_lsh_hi" -> embedLshHi,
     "dd_incremental" -> incremental,
     "dd_cluster" -> cluster,
+    "dd_keeplist" -> keeplist,
     "dd_decontam" -> decontam,
   )
 
@@ -984,6 +1003,30 @@ object Dedup {
            JOIN edges e ON reach.r = e.u)
          SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
          FROM reach GROUP BY node ORDER BY doc_id""",
+    "dd_keeplist" ->
+      s"""WITH RECURSIVE d AS ($DHs),
+         sh AS ($DShingles),
+         k AS (SELECT doc_id, shingles,
+           COALESCE(list_min(shingles), -1) AS mk FROM sh),
+         cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+           FROM k a JOIN k b ON a.mk = b.mk AND a.doc_id < b.doc_id),
+         ver AS ($DVerify),
+         pairs AS (SELECT doc_a, doc_b FROM ver
+           WHERE inter * 10 >= uni * 7),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT u AS node, v AS r FROM edges
+           UNION
+           SELECT reach.node, e.v FROM reach
+           JOIN edges e ON reach.r = e.u),
+         lab AS (SELECT node, LEAST(node, MIN(r)) AS cid
+           FROM reach GROUP BY node)
+         SELECT d0.doc_id,
+           COALESCE(lab.cid, d0.doc_id) AS cluster_id,
+           d0.doc_id = COALESCE(lab.cid, d0.doc_id) AS keep
+         FROM documents d0 LEFT JOIN lab ON lab.node = d0.doc_id
+         ORDER BY d0.doc_id""",
     "dd_decontam" ->
       s"""WITH d AS ($DHs),
          sh AS ($DShingles),

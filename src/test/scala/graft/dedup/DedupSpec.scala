@@ -253,6 +253,27 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("keeplist: full corpus covered, one keeper per cluster, keepers " +
+    "are cluster minima") {
+    val rows = Dedup.keeplist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length === 500) // every document decided, clustered or not
+    rows.foreach { case (doc, cid, keep) =>
+      assert(cid <= doc) // min-label clustering
+      assert(keep === (doc == cid))
+    }
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_._3) === 1) // exactly one keeper
+      assert(members.map(_._1).min === cid) // and it is the minimum
+    }
+    // consistency with the declared cluster query on the clustered subset
+    val clustered = Dedup.cluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => clustered.contains(r._1))
+      .foreach { case (doc, cid, _) => assert(clustered(doc) === cid) }
+  }
+
   test("decontam: overlap counts bounded by shingle counts; eval absent") {
     val rows = Dedup.decontam(spark, sf).collect()
     assert(rows.nonEmpty)
