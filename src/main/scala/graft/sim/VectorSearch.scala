@@ -132,6 +132,49 @@ object VectorSearch {
   }
 
   // -----------------------------------------------------------------
+  // ss_knn_graph: the k-NN GRAPH over the whole corpus — every vector's
+  // KnnK nearest neighbors, IVF-bounded. This is the semantic-curation
+  // primitive (SemDeDup-style pipelines: kNN graph → threshold edges →
+  // connected components, which [[graft.dedup.Dedup.cluster]] already
+  // provides): each vector probes its NProbe nearest centroids and
+  // scores only the vectors ASSIGNED to those lists, so total pair
+  // evaluations are ≈ NProbe/C of the N² brute force, and at 100 TB
+  // the probe side joins against the cid-partitioned index exactly as
+  // [[ivfTopK]] does (partition pruning per probe). Approximate by
+  // construction (a true neighbor assigned to an unprobed list is
+  // missed); [[cosineTopK]] remains the recall-1.0 tier for query
+  // sets. Ties break by neighbor id — orderings agree cross-engine.
+  val KnnK = 4
+
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = centroids(e)
+    val assign = ivfAssign(s, dir)
+    val wp = Window.partitionBy("vec_id").orderBy(desc("pcos"), asc("cid"))
+    val probes = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("pcos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cid"))
+    // No distinct needed: assignment gives each neighbor ONE cid, and
+    // a vector's probed cids are distinct, so a pair scores once.
+    val wr = Window.partitionBy("vec_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    probes
+      .join(assign.select(col("vec_id").as("neighbor_id"),
+        col("v"), col("nrm"), col("cid")), "cid")
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select("vec_id", "neighbor_id", "rank", "cos")
+      .orderBy("vec_id", "rank")
+  }
+
+  // -----------------------------------------------------------------
   // ss_centroid: element-wise vector aggregation — per-label centroid
   // of the embedding column via posexplode + (label, idx) group-by.
   // This is the "reduce over vectors" primitive (class centroids,
@@ -162,6 +205,7 @@ object VectorSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> cosineTopK,
     "ss_ivf_topk" -> ivfTopK,
+    "ss_knn_graph" -> knnGraph,
     "ss_centroid" -> centroid,
   )
 
@@ -217,6 +261,29 @@ object VectorSearch {
                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
          SELECT query_id, neighbor_id, rank, cos FROM rk
          WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "ss_knn_graph" ->
+      s"""WITH e AS ($DVecs),
+         cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+           WHERE vec_id < $NumCentroids),
+         asg AS (SELECT vec_id, v, nrm, cid FROM (
+             SELECT e.vec_id, e.v, e.nrm, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${dCos("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         pr AS (SELECT vec_id, qv, qn, cid FROM (
+             SELECT e.vec_id, e.v AS qv, e.nrm AS qn, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${dCos("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
+             FROM e CROSS JOIN cent) WHERE rn <= $NProbe),
+         sc AS (SELECT pr.vec_id AS vec_id, asg.vec_id AS neighbor_id,
+             ${dCos("qv", "asg.v", "qn", "asg.nrm")} AS cos
+           FROM pr JOIN asg USING (cid)
+           WHERE asg.vec_id <> pr.vec_id),
+         rk AS (SELECT vec_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+         SELECT vec_id, neighbor_id, rank, cos FROM rk
+         WHERE rank <= $KnnK ORDER BY vec_id, rank""",
     "ss_centroid" ->
       """WITH x AS (SELECT CAST(label AS BIGINT) AS label,
            unnest(range(0, len(embedding))) AS idx,

@@ -64,6 +64,31 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall > 0.2)
   }
 
+  test("knn graph: every vector covered, exact cosines, measured recall") {
+    val rows = VectorSearch.knnGraph(spark, sf).collect()
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(byVec.size === vecs.size) // every corpus vector gets edges
+    var hit = 0; var total = 0
+    byVec.foreach { case (q, rs) =>
+      assert(rs.length <= VectorSearch.KnnK)
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to rs.length).toSeq)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") !== q)
+        assert(r.getAs[Double]("cos") ===
+          cos(vecs(q), vecs(r.getAs[Long]("neighbor_id"))))
+      }
+      val brute = bruteTopK(q, VectorSearch.KnnK).toSet
+      hit += rs.count(r => brute(r.getAs[Long]("neighbor_id")))
+      total += VectorSearch.KnnK
+    }
+    val recall = hit.toDouble / total
+    info(f"kNN-graph recall@${VectorSearch.KnnK} " +
+      f"(nprobe=${VectorSearch.NProbe}/${VectorSearch.NumCentroids}): " +
+      f"$recall%.2f")
+    assert(recall > 0.2)
+  }
+
   test("ivf plan broadcasts the centroid table") {
     val plan = VectorSearch.ivfTopK(spark, sf)
       .queryExecution.executedPlan.toString
