@@ -144,6 +144,13 @@ object VectorSearch {
   // construction (a true neighbor assigned to an unprobed list is
   // missed); [[cosineTopK]] remains the recall-1.0 tier for query
   // sets. Ties break by neighbor id — orderings agree cross-engine.
+  //
+  // SCALING RULE: with C fixed, pair evals are NProbe·N²/C —
+  // quadratic (measured: 10× data → 9× wall at the gate-sized C=16).
+  // Production IVF grows the centroid count with the corpus (C ≈ √N
+  // is the standard rule), keeping list sizes ≈ √N and total pair
+  // evals ≈ NProbe·N^1.5; the constant is one `val` and both
+  // engines' seeding/arithmetic are unchanged by it.
   val KnnK = 4
 
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
