@@ -101,6 +101,30 @@ class PlanAuditSpec extends SparkSpec {
         .filter(col("cid").isin(probes: _*)).count())
   }
 
+  test("interval join plans as an equi join on user_id, never a " +
+    "nested-loop/cartesian theta join") {
+    val p = plan(graft.streaming.EventOps.stIntervalJoin(spark, sf))
+    // The time window must be a RESIDUAL predicate on a keyed join —
+    // a theta plan (NLJ/cartesian) would evaluate |views|×|purchases|
+    // pairs regardless of user, the shape that dies at 100 TB.
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"))
+  }
+
+  test("lm_score count tables aggregate map-side; no UDFs anywhere") {
+    val p = plan(graft.text.TextAnalysis.lmScore(spark, sf))
+    assert(p.contains("partial_count")) // C1/C2 combine before shuffle
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("containment candidate stage is an equi join on the shingle key") {
+    val p = plan(graft.dedup.Dedup.containment(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"))
+  }
+
   test("approx_count_distinct (HLL++ scale path) tracks the exact count") {
     val r = Tables(spark, sf, "orders")
       .agg(countDistinct(col("o_custkey")).as("exact"),
