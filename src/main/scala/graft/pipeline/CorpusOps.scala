@@ -135,6 +135,27 @@ object CorpusOps {
       .orderBy("doc_id")
 
   // -----------------------------------------------------------------
+  // ta_sample: DETERMINISTIC-HASH downsampling — the reproducible
+  // sampler a multi-engine pipeline wants (identical keep-set in any
+  // engine, stable under reruns and input order, no RNG state),
+  // complementing [[graft.operators.Sampling]]'s engine-native seeded
+  // Bernoulli (spec-gated: XORShift draws are Spark-specific). The
+  // declared shape is the common ablation recipe: keep TrainPct% of
+  // the train split, all of validation/test — the sample draw is a
+  // SECOND independent md5 hash ("s:" ++ doc_id), so membership in
+  // the sample is independent of the split assignment hash. One
+  // narrow scan-stage filter; no shuffle.
+  val TrainPct = 10L
+
+  def sample(s: SparkSession, dir: String): DataFrame =
+    split(s, dir)
+      .filter(col("split") =!= "train" ||
+        hash60(concat(lit("s:"), col("doc_id").cast("string"))) % 100L
+          < TrainPct)
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  // -----------------------------------------------------------------
   // ta_pack: sequence packing — assign documents to fixed-capacity
   // training sequences (PackLen tokens) by start offset: docs are
   // laid out contiguously in doc_id order and a doc belongs to the
@@ -168,6 +189,7 @@ object CorpusOps {
     "ta_vocab" -> vocab,
     "ta_vocab_full" -> vocabFull,
     "ta_split" -> split,
+    "ta_sample" -> sample,
     "ta_pack" -> pack,
   )
 
@@ -198,6 +220,20 @@ object CorpusOps {
                 WHEN bucket < 90 THEN 'validation'
                 ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+    "ta_sample" ->
+      s"""WITH b AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 100 AS bucket FROM documents),
+         sp AS (SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split
+           FROM b)
+         SELECT doc_id, split FROM sp
+         WHERE split != 'train'
+           OR CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)),
+             1, 15)) AS BIGINT) % 100 < $TrainPct
+         ORDER BY doc_id""",
     "ta_pack" ->
       s"""WITH d AS (SELECT doc_id,
            CAST(len($Toks) AS BIGINT) AS n_tokens,
