@@ -9,9 +9,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q1,q2 restricts the dump (and the oracle json,
     // so tools/compare.py gates exactly the subset) — local-iteration
-    // convenience, same contract as Bench's filter.
+    // convenience, same contract as Bench's filter: set-but-EMPTY
+    // means no filter (an empty set here would dump nothing and make
+    // the differential gate pass vacuously on zero queries).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

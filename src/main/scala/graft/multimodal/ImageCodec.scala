@@ -61,8 +61,12 @@ object ImageCodec {
         b(off + 6) == 'D' && b(off + 7) == 'R'
       if (isIhdr) {
         if (len < 13 || off + 8 + 13 > b.length) return Unparsed
-        return ImageMeta("png", be32(b, off + 8).toInt,
-          be32(b, off + 12).toInt, b(off + 16) & 0xff)
+        val w = be32(b, off + 8); val h = be32(b, off + 12)
+        // The PNG spec caps dimensions at 2^31−1; anything above is a
+        // malformed value that would truncate negative as Int —
+        // classify as unparseable rather than emit garbage dims.
+        if (w > Int.MaxValue || h > Int.MaxValue) return Unparsed
+        return ImageMeta("png", w.toInt, h.toInt, b(off + 16) & 0xff)
       }
       if (len > Int.MaxValue - 12L - off) return Unparsed // overflow guard
       off += 12 + len.toInt // length + 4 type + data + 4 CRC

@@ -50,9 +50,18 @@ object SpillProof {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
-    // The listener bus delivers task-end events asynchronously; give
-    // it a moment to drain before reading the counters.
-    Thread.sleep(3000)
+    // The listener bus delivers task-end events asynchronously. A
+    // fixed sleep races the queue on a loaded box (undercounting the
+    // spill evidence), so poll until the counters are stable for two
+    // consecutive checks, bounded at 30 s.
+    var stable = 0
+    var last = (-1L, -1L)
+    var waited = 0
+    while (stable < 2 && waited < 60) {
+      Thread.sleep(500); waited += 1
+      val now = (mem.get, disk.get)
+      if (now == last) stable += 1 else { stable = 0; last = now }
+    }
     println(s"""{"ok":true,"memoryBytesSpilled":${mem.get},""" +
       s""""diskBytesSpilled":${disk.get}}""")
     spark.stop()

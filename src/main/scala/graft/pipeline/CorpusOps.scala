@@ -82,6 +82,12 @@ object CorpusOps {
 
   // The previous call's pinned layout, unpersisted on the next call so
   // repeated verify/bench cycles don't accumulate cached partitions.
+  // Between calls ONE layout stays cached (a few MB — it is the
+  // distinct-token count table, not the corpus), which is the price
+  // of making the (pid, rn) decomposition reuse-independent; callers
+  // interleaving two un-executed vocabFull frames would re-expose the
+  // reuse hazard for the first one, so don't — execute each result
+  // before building the next (Verify/Bench do).
   @volatile private var lastLaid: Option[DataFrame] = None
 
   def vocabFull(s: SparkSession, dir: String): DataFrame = {

@@ -60,6 +60,10 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.parse(bytes("FFD8FFDA0002")) === Unparsed) // SOS first
     assert(ImageCodec.parse(bytes("FFD8FFFE0001")) === Unparsed) // len < 2
     assert(ImageCodec.parse(bytes("00010203")) === Unparsed) // no magic
+    assert(ImageCodec.parse(bytes( // width FFFFFFFF > 2^31-1 spec cap
+      "89504E470D0A1A0A" + "0000000D49484452" +
+        "FFFFFFFF" + "00000003" + "08" + "02" + "000000" + "00000000")) ===
+      Unparsed)
   }
 
   // -----------------------------------------------------------------
