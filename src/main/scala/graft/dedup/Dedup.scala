@@ -731,6 +731,68 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // -----------------------------------------------------------------
+  // dd_bloom_decontam: decontamination via a distributed Bloom-filter
+  // prefilter. Same contract as [[decontam]] (eval split doc_id ≡ 3
+  // mod 10 so the two queries gate different rows) but the training
+  // side is prefiltered through a compact Bloom sketch of the eval
+  // shingle set BEFORE any join:
+  //
+  //  - the sketch is built DISTRIBUTED (`stat.bloomFilter` is a
+  //    treeAggregate of mergeable bit arrays — the same partial/final
+  //    shape as the GK/count-min tier in operators/Sketches.scala);
+  //  - the probe is Spark's own codegen'd `BloomFilterMightContain`
+  //    (the expression AQE runtime filters inject), applied to the
+  //    raw shingle hash with no UDF;
+  //  - Bloom filters have NO false negatives, so the exact verify
+  //    join on the survivors returns exactly the [[decontam]] answer;
+  //    false positives only cost a little extra join input.
+  //
+  // Scale shape: at 100 TB the eval set's distinct shingles number in
+  // the 10⁸–10⁹ range. A broadcast hash relation of 8-byte keys costs
+  // ~16–30 bytes/key on heap; the Bloom sketch at 1% FPR costs ~1.2
+  // BYTES per key — 10–20× smaller for the same routing decision —
+  // and the verify join can then be a SHUFFLE join whose input is
+  // only the ~|overlap| + 1% FP survivors instead of every training
+  // shingle. Here the verify stays broadcast (fixture-sized eval);
+  // the measured win is the prefilter dropping non-overlapping
+  // shingles before the join. `ExpectedEvalShingles` sizes the bits
+  // deterministically (no extra counting job); production would size
+  // from the eval corpus' persisted stats.
+  val BloomEvalMod = 3
+  val ExpectedEvalShingles = 1L << 20
+  val BloomFpp = 0.01
+
+  def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val sh = shingled(s, dir)
+    val ev = sh.filter(col("doc_id") % 10 === BloomEvalMod)
+      .select(explode(col("shingles")).as("sg")).distinct()
+    val tr = sh.filter(col("doc_id") % 10 =!= BloomEvalMod)
+
+    val bloom = ev.stat.bloomFilter("sg", ExpectedEvalShingles, BloomFpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), ColumnBridge.expression(col("sg"))))
+
+    val hits = tr
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .filter(mightContain)          // Bloom prefilter: scan-side, codegen'd
+      .join(broadcast(ev), "sg")     // exact verify kills false positives
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    hits
+      .join(tr.select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles")), "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> exact,
     "dd_minhash_lsh" -> minhashLsh,
@@ -745,6 +807,7 @@ object Dedup {
     "dd_cluster" -> cluster,
     "dd_keeplist" -> keeplist,
     "dd_decontam" -> decontam,
+    "dd_bloom_decontam" -> bloomDecontam,
   )
 
   // ---------------------------------------------------------------
@@ -1033,6 +1096,22 @@ object Dedup {
          ev AS (SELECT DISTINCT unnest(shingles) AS sg FROM sh
            WHERE doc_id % 10 = 7),
          tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 10 <> 7),
+         tx AS (SELECT doc_id, unnest(shingles) AS sg FROM tr),
+         hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+           FROM tx JOIN ev USING (sg) GROUP BY doc_id)
+         SELECT h.doc_id, h.n_overlap,
+           CAST(len(t.shingles) AS BIGINT) AS n_shingles
+         FROM hits h JOIN tr t USING (doc_id) ORDER BY doc_id""",
+    // Bloom prefilter has no false negatives and the verify join is
+    // exact, so the oracle is the plain exact-overlap SQL at the
+    // dd_bloom_decontam eval split — the gate proves the Bloom path
+    // changes nothing about the answer.
+    "dd_bloom_decontam" ->
+      s"""WITH d AS ($DHs),
+         sh AS ($DShingles),
+         ev AS (SELECT DISTINCT unnest(shingles) AS sg FROM sh
+           WHERE doc_id % 10 = 3),
+         tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 10 <> 3),
          tx AS (SELECT doc_id, unnest(shingles) AS sg FROM tr),
          hits AS (SELECT doc_id, COUNT(*) AS n_overlap
            FROM tx JOIN ev USING (sg) GROUP BY doc_id)

@@ -283,4 +283,25 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(1) <= r.getLong(2))     // n_overlap <= n_shingles
     }
   }
+
+  test("bloom decontam ≡ exact overlap: no false negatives survive the " +
+      "prefilter, and false positives are killed by the verify join") {
+    // Exact truth at the dd_bloom_decontam eval split, from the pure-
+    // Scala shingle sets (no Spark involved).
+    val evalSg = shingleSets.collect {
+      case (id, sh) if id % 10 == Dedup.BloomEvalMod => sh
+    }.foldLeft(Set.empty[Long])(_ ++ _)
+    val truth = shingleSets.collect {
+      case (id, sh) if id % 10 != Dedup.BloomEvalMod && sh.nonEmpty &&
+          (sh & evalSg).nonEmpty =>
+        id -> ((sh & evalSg).size.toLong, sh.size.toLong)
+    }
+
+    val rows = Dedup.bloomDecontam(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Bit-exact equality proves both directions at once: the Bloom
+    // prefilter dropped no true overlap (no false negatives) and the
+    // verify join admitted no spurious one (false positives killed).
+    assert(rows === truth)
+  }
 }
