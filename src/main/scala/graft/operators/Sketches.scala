@@ -47,8 +47,84 @@ object Sketches {
       .orderBy("q")
   }
 
+  // -----------------------------------------------------------------
+  // ta_heavy_hitters: φ-frequent bigrams via the two-pass distributed
+  // heavy-hitter pattern — per-partition Misra–Gries candidates, then
+  // an exact recount restricted to the candidate set.
+  //
+  // Misra–Gries(k) on a partition of n_p items keeps every item that
+  // occurs more than n_p/(k+1) times there. An item missed by EVERY
+  // partition therefore has global count ≤ Σ n_p/(k+1) = N/(k+1) —
+  // so with k+1 = 2048 > HHDenom = 1000, any bigram at or above the
+  // declared threshold ceil(N/1000) is guaranteed to be a candidate
+  // somewhere (superset property; SketchesSpec proves it on a skewed
+  // stream where distinct ≫ k). The exact recount then makes the
+  // OUTPUT exact — frequency ≥ ceil(N/1000), independent of MG
+  // internals — which is why this sketch query is hash-gated while
+  // the GK quantile one cannot be.
+  //
+  // Scale shape: pass 1 is a scan + O(k)-memory fold per partition
+  // emitting ≤ k candidates each (a few KB); pass 2 shuffles ONLY
+  // rows matching the broadcast candidate set — at 100 TB the full
+  // bigram space never shuffles, which is the entire point versus the
+  // plain groupBy of ta_bigrams. The third mergeable summary in this
+  // tier (GK quantiles, count-min counts, MG frequents).
+  val HHCounters = 2047
+  val HHDenom = 1000L
+
+  /** Misra–Gries(k): one pass, ≤ k counters. The decrement-all step
+    * amortizes O(1)/item (each decrement cancels one increment).
+    */
+  private[operators] def misraGries(k: Int, it: Iterator[String]): Iterator[String] = {
+    val ctr = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { x =>
+      ctr.get(x) match {
+        case Some(c) => ctr(x) = c + 1
+        case None if ctr.size < k => ctr(x) = 1L
+        case None =>
+          val dead = List.newBuilder[String]
+          ctr.foreach { case (key, c) =>
+            if (c == 1L) dead += key else ctr(key) = c - 1
+          }
+          dead.result().foreach(ctr.remove)
+      }
+    }
+    ctr.keysIterator
+  }
+
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = col("toks")
+    def bigrams: DataFrame = graft.Tables(s, dir, "documents")
+      .select(graft.functions.TextHash.tokens(col("text")).as("toks"))
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2), i =>
+          concat(element_at(toks, i + 1), lit(" "),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+
+    val candidates = bigrams.as[String]
+      .mapPartitions(it => misraGries(HHCounters, it))
+      .toDF("bigram").distinct()
+
+    // Threshold stays IN-PLAN (broadcast 1-row scalar, no action):
+    // N = Σ max(|toks|-1, 0) from a narrow scan, no explode needed.
+    val total = graft.Tables(s, dir, "documents")
+      .select(graft.functions.TextHash.tokens(col("text")).as("toks"))
+      .agg(sum(greatest(size(toks) - 1, lit(0))).cast("double").as("n"))
+
+    bigrams
+      .join(broadcast(candidates), "bigram")
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >= ceil(col("n") / HHDenom))
+      .select(col("bigram"), col("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_quantile_sketch" -> quantileSketch,
+    "ta_heavy_hitters" -> heavyHitters,
   )
 
   /** DuckDB's quantile_disc shares percentile_approx's "return an
@@ -58,5 +134,21 @@ object Sketches {
     * the exact sorted order, mergeability plan audit) rather than
     * hash-gated.
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // Exact because the MG candidates only PRUNE; the recount +
+    // threshold decide membership. ceil(n/1000.0) is the same IEEE
+    // double division on both engines, so the threshold is identical.
+    "ta_heavy_hitters" ->
+      s"""WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+           AS toks FROM documents),
+         b AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+             list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])
+           ELSE [] END) AS bigram FROM d),
+         tot AS (SELECT COUNT(*) AS n FROM b)
+         SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM b
+         GROUP BY bigram
+         HAVING COUNT(*) >= (SELECT ceil(n / $HHDenom.0) FROM tot)
+         ORDER BY cnt DESC, bigram""",
+  )
 }

@@ -69,4 +69,45 @@ class SketchesSpec extends SparkSpec {
     assert(over <= math.max(1, exact.size / 20),
       s"$over of ${exact.size} tokens exceed the eps*N=$bound bound")
   }
+
+  test("misra-gries: superset guarantee on a skewed stream where " +
+      "distinct >> counters; query output equals exact heavy set") {
+    import spark.implicits._
+    // Deterministic Zipf-ish stream: item id = 10^6 / (i+1) collapses
+    // a 200k-element range onto ~1.4k distinct values with a heavy
+    // head (item "1000000" appears once, item "5" ~ 33k times).
+    val n = 200000L
+    val stream = spark.range(n)
+      .select((lit(1000000) / (col("id") + 1)).cast("long")
+        .cast("string").as("item"))
+    val k = 64
+    val candidates = stream.as[String]
+      .mapPartitions(it => Sketches.misraGries(k, it))
+      .collect().toSet
+    assert(candidates.size <= k * 32,
+      "each partition emits at most k candidates")
+    val exact = stream.groupBy("item").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size > 2 * k,
+      s"fixture must stress pruning: ${exact.size} distinct <= 2k")
+    // Any item with global count > N/(k+1) MUST be a candidate.
+    val mustKeep = exact.filter(_._2 > n / (k + 1)).keySet
+    assert(mustKeep.nonEmpty)
+    val missed = mustKeep -- candidates
+    assert(missed.isEmpty, s"MG dropped guaranteed heavy items: $missed")
+
+    // And the declared query's output is the EXACT phi-frequent set
+    // over the real corpus (threshold from the same arithmetic as the
+    // oracle), independent of MG internals.
+    val rows = Sketches.heavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allBigrams = graft.Tables(spark, sf, "documents")
+      .select(graft.functions.TextHash.tokens(col("text")).as("toks"))
+      .as[Seq[String]].collect()
+      .flatMap(t => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+    val thr = math.ceil(allBigrams.length / Sketches.HHDenom.toDouble).toLong
+    val truth = allBigrams.groupBy(identity).view
+      .mapValues(_.length.toLong).filter(_._2 >= thr).toMap
+    assert(rows === truth)
+  }
 }
