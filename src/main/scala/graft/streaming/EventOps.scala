@@ -120,11 +120,40 @@ object EventOps {
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** LEFT OUTER variant of [[stIntervalJoin]] — attribution with the
+    * non-converting views kept (purchase columns null). The streaming
+    * twin is the harder operator: an outer stream-stream join can
+    * only emit the null-extended row once the watermark proves no
+    * matching purchase can still arrive, i.e. unmatched state is held
+    * exactly `window + delay` and then evicted with a null join —
+    * EventsStreamingSpec gates that emission timing on MemoryStreams.
+    * Batch semantics (this query) are the plain left outer; the
+    * shuffle still keys on user_id only, same as the inner form.
+    */
+  def stIntervalLeft(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("ts_ns DIV 1000").as("v_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        expr("ts_ns DIV 1000").as("p_us"), col("value").as("purchase_value"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("p_us") >= col("v_us") &&
+        col("p_us") <= col("v_us") + AttributionWindowUs, "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (col("p_us") - col("v_us")).as("lag_us"), col("purchase_value"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("view_id"),
+        asc_nulls_first("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_tumbling_hour" -> stTumbling,
     "st_sliding_halfhour" -> stSliding,
     "st_session_30m" -> stSession,
     "st_interval_join" -> stIntervalJoin,
+    "st_interval_left" -> stIntervalLeft,
   )
 
   // ---------------------------------------------------------------
@@ -152,6 +181,18 @@ object EventOps {
          FROM v JOIN p ON v.user_id = p.user_id
            AND p_us >= v_us AND p_us <= v_us + $AttributionWindowUs
          ORDER BY v.user_id, view_id, purchase_id""",
+    "st_interval_left" ->
+      s"""WITH v AS (SELECT user_id, event_id AS view_id,
+           $TsUs AS v_us FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+           $TsUs AS p_us, value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT user_id, view_id, purchase_id,
+           CAST(p_us - v_us AS BIGINT) AS lag_us, purchase_value
+         FROM v LEFT JOIN p ON user_id = p_user
+           AND p_us >= v_us AND p_us <= v_us + $AttributionWindowUs
+         ORDER BY user_id NULLS FIRST, view_id NULLS FIRST,
+           purchase_id NULLS FIRST""",
     "st_tumbling_hour" ->
       s"""WITH e AS (SELECT $TsUs AS us, event_type, value FROM events)
          SELECT ${fmtUs(s"us // $HourUs * $HourUs")} AS window_start,

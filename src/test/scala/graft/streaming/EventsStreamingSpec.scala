@@ -431,6 +431,67 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows emit " +
+      "with nulls only after the watermark closes their window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val i = imps.toDF().toDF("ad", "i_ts").withWatermark("i_ts", "10 seconds")
+    val c = clicks.toDF().toDF("c_ad", "c_ts")
+      .withWatermark("c_ts", "10 seconds")
+    val joined = i.join(c,
+      expr("ad = c_ad AND c_ts >= i_ts AND " +
+        "c_ts <= i_ts + interval 10 minutes"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssleft")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((1L, ts("2026-01-01 10:00:00")),  // will match
+        (2L, ts("2026-01-01 10:00:00")))             // will NOT match
+      clicks.addData((1L, ts("2026-01-01 10:05:00")))
+      q.processAllAvailable()
+      // The matched row may emit now; ad 2's null row MUST NOT yet —
+      // a matching click at 10:10 is still admissible.
+      val early = spark.table("ssleft").collect()
+      assert(!early.exists(r => r.getLong(0) == 2L),
+        "null-extended row emitted before its window closed")
+      // Advance both watermarks past 10:10:00 + 10 s delay: ad 2's
+      // join window is now provably unmatchable → null row evicts.
+      imps.addData((99L, ts("2026-01-01 11:00:00")))
+      clicks.addData((99L, ts("2026-01-01 11:00:00")))
+      q.processAllAvailable()
+      imps.addData((98L, ts("2026-01-01 12:00:00")))
+      clicks.addData((98L, ts("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssleft").collect()
+      val matched = rows.filter(r => r.getLong(0) == 1L)
+      assert(matched.length == 1 && !matched.head.isNullAt(2))
+      val evicted = rows.filter(r => r.getLong(0) == 2L)
+      assert(evicted.length == 1 && evicted.head.isNullAt(2),
+        "unmatched impression must surface exactly once with null click")
+    } finally q.stop()
+  }
+
+  test("batch st_interval_left: views superset of inner join; " +
+      "unmatched views carry all-null purchase columns") {
+    val inner = EventOps.stIntervalJoin(spark, sf)
+    val left = EventOps.stIntervalLeft(spark, sf)
+    assert(left.count() >= inner.count())
+    // Same matched rows; extra rows are null-extended and their
+    // view_ids are exactly the views absent from the inner result.
+    val innerViews = inner.select("view_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val nullRows = left.filter(col("purchase_id").isNull)
+    assert(nullRows.filter(col("lag_us").isNotNull ||
+      col("purchase_value").isNotNull).count() === 0)
+    val nullViews = nullRows.select("view_id").collect()
+      .map(_.getLong(0)).toSet
+    assert((nullViews & innerViews).isEmpty)
+    val allViews = EventOps.stIntervalLeft(spark, sf).select("view_id")
+      .distinct().count()
+    assert(nullViews.size + innerViews.size === allViews)
+  }
+
   test("file-source stream computes the same tumbling agg as batch") {
     val dir = Files.createTempDirectory("graft_stream_src")
     Files.copy(Paths.get(s"$sf/events.parquet"),
