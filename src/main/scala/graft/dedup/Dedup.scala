@@ -594,10 +594,20 @@ object Dedup {
   // replaces a join-based changed-row check. The long sum is safe
   // while node_count × max_doc_id < 2^62 (e.g. 2^30 nodes with ids
   // below 2^32); past that, sum labels as DECIMAL(38,0) instead.
-  def cluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+  def cluster(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("c").as("cluster_id"))
+      .orderBy("doc_id")
+
+  /** Iterative min-label connected components over a directed pair
+    * list (symmetrized here) — the shared engine behind [[cluster]]
+    * (text near-dup pairs) and [[semantic]] (embedding kNN edges).
+    * Returns (node, c) where c = the component's minimum node id.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p2 = pairs.toDF("u", "v")
+    val edges = p2
+      .union(p2.select(col("v"), col("u")))
       .toDF("u", "v")
       .localCheckpoint()
     var labels = edges.groupBy(col("u").as("node"))
@@ -630,11 +640,42 @@ object Dedup {
     // if it IS hit, the labels are not a fixpoint and silently
     // returning them would hand out wrong cluster ids — fail loudly.
     if (!converged) throw new IllegalStateException(
-      s"dd_cluster: min-label propagation did not converge in " +
+      s"connectedComponents: min-label propagation did not converge in " +
         s"$MaxRounds rounds — graph diameter exceeds the pointer-" +
         s"jumping bound; raise MaxRounds")
-    labels.select(col("node").as("doc_id"), col("c").as("cluster_id"))
-      .orderBy("doc_id")
+    labels
+  }
+
+  // -----------------------------------------------------------------
+  // dd_semantic: SEMANTIC deduplication (the SemDeDup recipe,
+  // Abbas et al. '23): near-duplicate MEANING, not near-duplicate
+  // text — paraphrases, re-renders and translations-of-themselves
+  // that every shingle-based operator above is blind to. Composition
+  // of two already-gated primitives:
+  //
+  //   kNN graph (IVF-bounded, `sim.VectorSearch.knnGraph`)
+  //     → edges where cos ≥ CosineThreshold
+  //     → [[connectedComponents]]
+  //     → per-vector keep list (cluster rep = min vec_id).
+  //
+  // Scale shape: the expensive step is the kNN graph, and it is the
+  // IVF-bounded one (~NProbe/C of brute force, already gated by
+  // ss_knn_graph); edges are a tiny derived relation; CC runs
+  // O(log diameter) label-join rounds on it; the final left join
+  // streams the corpus once. This is the embedding-space twin of
+  // dd_keeplist (text pairs → clusters → keep decisions).
+  def semantic(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.sim.VectorSearch.knnGraph(s, dir)
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("vec_id"), col("neighbor_id"))
+    val labels = connectedComponents(edges)
+      .withColumnRenamed("node", "vec_id")
+    Tables(s, dir, "embeddings").select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("c"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
   }
 
   // -----------------------------------------------------------------
@@ -806,6 +847,7 @@ object Dedup {
     "dd_incremental" -> incremental,
     "dd_cluster" -> cluster,
     "dd_keeplist" -> keeplist,
+    "dd_semantic" -> semantic,
     "dd_decontam" -> decontam,
     "dd_bloom_decontam" -> bloomDecontam,
   )
@@ -1090,6 +1132,27 @@ object Dedup {
            d0.doc_id = COALESCE(lab.cid, d0.doc_id) AS keep
          FROM documents d0 LEFT JOIN lab ON lab.node = d0.doc_id
          ORDER BY d0.doc_id""",
+    // Composes the ss_knn_graph CTE block (same graph, provably) with
+    // the dd_cluster-style recursive reach for connected components.
+    "dd_semantic" ->
+      s"""WITH RECURSIVE ${graft.sim.VectorSearch.KnnGraphCtes},
+         kg AS (SELECT vec_id, neighbor_id FROM rk
+           WHERE rank <= ${graft.sim.VectorSearch.KnnK}
+             AND cos >= $CosineThreshold),
+         edges AS (SELECT vec_id AS u, neighbor_id AS v FROM kg
+           UNION SELECT neighbor_id, vec_id FROM kg),
+         reach AS (
+           SELECT u AS node, v AS r FROM edges
+           UNION
+           SELECT reach.node, e2.v FROM reach
+           JOIN edges e2 ON reach.r = e2.u),
+         lab AS (SELECT node, LEAST(node, MIN(r)) AS cluster_id
+           FROM reach GROUP BY node)
+         SELECT emb.vec_id,
+           coalesce(lab.cluster_id, emb.vec_id) AS cluster_id,
+           (emb.vec_id = coalesce(lab.cluster_id, emb.vec_id)) AS keep
+         FROM embeddings emb LEFT JOIN lab ON lab.node = emb.vec_id
+         ORDER BY vec_id""",
     "dd_decontam" ->
       s"""WITH d AS ($DHs),
          sh AS ($DShingles),

@@ -230,6 +230,33 @@ object VectorSearch {
     s"""list_sum(list_prepend(CAST(0 AS DOUBLE),
        list_transform(range(1, 65), i -> $av[i] * $bv[i]))) / ($an * $bn)"""
 
+  /** The IVF-bounded kNN-graph pipeline as a reusable CTE block
+    * (`rk` = ranked candidate edges; consumers gate on `rank`).
+    * Shared by the ss_knn_graph oracle and `Dedup`'s dd_semantic
+    * oracle so the two queries provably score the same graph.
+    */
+  private[graft] lazy val KnnGraphCtes: String =
+    s"""e AS ($DVecs),
+       cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+         WHERE vec_id < $NumCentroids),
+       asg AS (SELECT vec_id, v, nrm, cid FROM (
+           SELECT e.vec_id, e.v, e.nrm, cent.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               ${dCos("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
+           FROM e CROSS JOIN cent) WHERE rn = 1),
+       pr AS (SELECT vec_id, qv, qn, cid FROM (
+           SELECT e.vec_id, e.v AS qv, e.nrm AS qn, cent.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               ${dCos("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
+           FROM e CROSS JOIN cent) WHERE rn <= $NProbe),
+       sc AS (SELECT pr.vec_id AS vec_id, asg.vec_id AS neighbor_id,
+           ${dCos("qv", "asg.v", "qn", "asg.nrm")} AS cos
+         FROM pr JOIN asg USING (cid)
+         WHERE asg.vec_id <> pr.vec_id),
+       rk AS (SELECT vec_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM sc)"""
+
   val oracles: Map[String, String] = Map(
     "ss_cosine_topk" ->
       s"""WITH e AS ($DVecs),
@@ -269,26 +296,7 @@ object VectorSearch {
          SELECT query_id, neighbor_id, rank, cos FROM rk
          WHERE rank <= $TopK ORDER BY query_id, rank""",
     "ss_knn_graph" ->
-      s"""WITH e AS ($DVecs),
-         cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
-           WHERE vec_id < $NumCentroids),
-         asg AS (SELECT vec_id, v, nrm, cid FROM (
-             SELECT e.vec_id, e.v, e.nrm, cent.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 ${dCos("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
-             FROM e CROSS JOIN cent) WHERE rn = 1),
-         pr AS (SELECT vec_id, qv, qn, cid FROM (
-             SELECT e.vec_id, e.v AS qv, e.nrm AS qn, cent.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 ${dCos("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
-             FROM e CROSS JOIN cent) WHERE rn <= $NProbe),
-         sc AS (SELECT pr.vec_id AS vec_id, asg.vec_id AS neighbor_id,
-             ${dCos("qv", "asg.v", "qn", "asg.nrm")} AS cos
-           FROM pr JOIN asg USING (cid)
-           WHERE asg.vec_id <> pr.vec_id),
-         rk AS (SELECT vec_id, neighbor_id, cos,
-             CAST(row_number() OVER (PARTITION BY vec_id
-               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+      s"""WITH $KnnGraphCtes
          SELECT vec_id, neighbor_id, rank, cos FROM rk
          WHERE rank <= $KnnK ORDER BY vec_id, rank""",
     "ss_centroid" ->

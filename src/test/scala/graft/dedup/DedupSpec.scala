@@ -284,6 +284,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: full coverage, endpoints of every thresholded " +
+      "kNN edge share a cluster, keepers are cluster minima") {
+    val rows = Dedup.semantic(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val nVecs = Tables(spark, sf, "embeddings").count()
+    assert(rows.size.toLong === nVecs)           // every vector decided
+    assert(rows.exists(!_._2._2), "fixture must contain semantic dups")
+    // Edge consistency: thresholded kNN edges never cross clusters.
+    val edges = graft.sim.VectorSearch.knnGraph(spark, sf)
+      .filter(col("cos") >= Dedup.CosineThreshold)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(rows(a)._1 === rows(b)._1, s"edge ($a,$b) crosses clusters")
+    }
+    // Keep policy: exactly the cluster minimum keeps; cluster_id IS
+    // that minimum.
+    rows.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+      members.foreach { case (id, (_, keep)) => assert(keep === (id == cid)) }
+    }
+  }
+
   test("bloom decontam ≡ exact overlap: no false negatives survive the " +
       "prefilter, and false positives are killed by the verify join") {
     // Exact truth at the dd_bloom_decontam eval split, from the pure-
