@@ -125,6 +125,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("HashJoin"))
   }
 
+  test("bloom decontam: codegen'd might_contain prefilter below the " +
+      "verify join; no theta join anywhere") {
+    val p = plan(graft.dedup.Dedup.bloomDecontam(spark, sf))
+    assert(p.contains("might_contain"),
+      "Bloom probe must appear as a scan-side filter expression")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // The prefilter must run BEFORE the exact join: in the formatted
+    // plan the Filter(might_contain) node feeds the join's streamed
+    // side, so might_contain appears below/before the first join op.
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = math.max(p.indexOf("BroadcastHashJoin"),
+      p.indexOf("SortMergeJoin"))
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "prefilter must sit under the verify join (plans print top-down)")
+  }
+
+  test("heavy hitters: candidate join broadcasts; recount aggregates " +
+      "map-side; MG pass shows as a typed mapPartitions only") {
+    val p = plan(graft.operators.Sketches.heavyHitters(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate set must broadcast — the full bigram space must not shuffle")
+    assert(p.contains("partial_count"), "recount must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("interval LEFT join keeps the inner variant's keyed-join shape") {
+    val p = plan(graft.streaming.EventOps.stIntervalLeft(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("LeftOuter"))
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"))
+  }
+
+  test("semantic dedup: corpus-side label join needs no theta join") {
+    val p = plan(graft.dedup.Dedup.semantic(spark, sf))
+    // knnGraph's centroid pass IS a broadcast nested loop by design
+    // (tiny centroid table against every vector — the IVF assignment);
+    // what must never appear is an unkeyed join over corpus-sized
+    // relations.
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("LeftOuter"), "keep list must cover every vector")
+  }
+
   test("approx_count_distinct (HLL++ scale path) tracks the exact count") {
     val r = Tables(spark, sf, "orders")
       .agg(countDistinct(col("o_custkey")).as("exact"),
