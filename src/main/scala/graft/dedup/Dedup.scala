@@ -605,7 +605,11 @@ object Dedup {
     * Returns (node, c) where c = the component's minimum node id.
     */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val p2 = pairs.toDF("u", "v")
+    // Checkpoint the pair list BEFORE symmetrizing: the union's two
+    // branches project differently, so exchange reuse cannot dedupe
+    // them and an un-checkpointed `pairs` (an expensive candidate
+    // pipeline — kNN graph or shingle join) would evaluate twice.
+    val p2 = pairs.toDF("u", "v").localCheckpoint()
     val edges = p2
       .union(p2.select(col("v"), col("u")))
       .toDF("u", "v")
