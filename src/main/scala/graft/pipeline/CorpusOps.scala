@@ -162,6 +162,53 @@ object CorpusOps {
       .orderBy("doc_id")
 
   // -----------------------------------------------------------------
+  // ta_mixture: DOMAIN-MIXTURE rebalancing — downsample every source
+  // ("domain" in mixture terms: crawl snapshot, books, code, …) to
+  // the smallest source's token budget, yielding a uniform domain
+  // mixture. This is the resampling half of domain-reweighting
+  // recipes (target weights × deterministic per-domain keep rates);
+  // the uniform target keeps the oracle free of a weights side-table
+  // while exercising the exact production shape:
+  //
+  //  1. per-source token totals — one tiny aggregate (|sources| rows);
+  //  2. the min total T as a broadcast 1-row scalar;
+  //  3. keep rate in parts-per-million, ppm_s = (10^6·T) div tok_s,
+  //     in INTEGER arithmetic (long `div`, not double `/`) so both
+  //     engines compute bit-identical rates;
+  //  4. the keep decision = md5-hash draw ("m:" ++ doc_id, a third
+  //     independent hash stream after split's and sample's) % 10^6
+  //     < ppm_s — per-doc deterministic, order- and engine-invariant.
+  //
+  // Scale shape: the corpus is touched by two narrow scan passes (one
+  // to count, one to filter+re-aggregate) joined against a broadcast
+  // |sources|-row rate table; nothing is ever shuffled by doc. The
+  // smallest source keeps ppm = 10^6 exactly — every draw passes —
+  // so the floor of the mixture is preserved unsampled.
+  val MixPpm = 1000000L
+
+  def mixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val tot = d.groupBy("source")
+      .agg(count(lit(1)).as("n_in"), sum("n_tok").as("tok_in"))
+    val tmin = tot.agg(min("tok_in").as("tmin"))
+    val rates = tot.crossJoin(broadcast(tmin))
+      .withColumn("keep_ppm", expr(s"($MixPpm * tmin) div tok_in"))
+      .select("source", "n_in", "tok_in", "keep_ppm")
+    val kept = d
+      .join(broadcast(rates.select("source", "keep_ppm")), "source")
+      .filter(hash60(concat(lit("m:"), col("doc_id").cast("string")))
+        % MixPpm < col("keep_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("tok_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_in"), col("tok_in"), col("keep_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+      .orderBy("source")
+  }
+
+  // -----------------------------------------------------------------
   // ta_pack: sequence packing — assign documents to fixed-capacity
   // training sequences (PackLen tokens) by start offset: docs are
   // laid out contiguously in doc_id order and a doc belongs to the
@@ -196,6 +243,7 @@ object CorpusOps {
     "ta_vocab_full" -> vocabFull,
     "ta_split" -> split,
     "ta_sample" -> sample,
+    "ta_mixture" -> mixture,
     "ta_pack" -> pack,
   )
 
@@ -240,6 +288,26 @@ object CorpusOps {
            OR CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)),
              1, 15)) AS BIGINT) % 100 < $TrainPct
          ORDER BY doc_id""",
+    "ta_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+           CAST(len($Toks) AS BIGINT) AS n_tok FROM documents),
+         t AS (SELECT source, COUNT(*) AS n_in,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_in FROM d GROUP BY source),
+         m AS (SELECT MIN(tok_in) AS tmin FROM t),
+         r AS (SELECT source, n_in, tok_in,
+           CAST(($MixPpm * tmin) // tok_in AS BIGINT) AS keep_ppm
+           FROM t, m),
+         k AS (SELECT d.source, COUNT(*) AS n_kept,
+           CAST(SUM(d.n_tok) AS BIGINT) AS tok_kept
+           FROM d JOIN r USING (source)
+           WHERE CAST(('0x' || substr(md5('m:' ||
+               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % $MixPpm < keep_ppm
+           GROUP BY d.source)
+         SELECT r.source, r.n_in, r.tok_in, r.keep_ppm,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.tok_kept, 0) AS tok_kept
+         FROM r LEFT JOIN k USING (source) ORDER BY source""",
     "ta_pack" ->
       s"""WITH d AS (SELECT doc_id,
            CAST(len($Toks) AS BIGINT) AS n_tokens,

@@ -75,6 +75,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("mixture: exact ppm law, floor source kept whole, kept ⊆ in") {
+    val rows = CorpusOps.mixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tmin = rows.map(_.getLong(2)).min
+    rows.foreach { r =>
+      val (nIn, tokIn, ppm, nKept, tokKept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      // the integer rate law, recomputed independently
+      assert(ppm === CorpusOps.MixPpm * tmin / tokIn)
+      assert(nKept <= nIn && tokKept <= tokIn)
+      // the smallest source draws at ppm = 10^6: every draw passes
+      if (tokIn == tmin) {
+        assert(ppm === CorpusOps.MixPpm)
+        assert(nKept === nIn && tokKept === tokIn)
+      }
+    }
+    // pure function of the corpus — rerun is identical
+    val again = CorpusOps.mixture(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("pack: per-bucket token conservation and monotone pack ids") {
     val d = graft.Tables(spark, sf, "documents")
       .select(col("doc_id"),
