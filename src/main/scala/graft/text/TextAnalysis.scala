@@ -427,7 +427,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // -----------------------------------------------------------------
+  // ta_filter_pipeline: the COMPOSITE quality filter — the actual
+  // keep/drop decision a C4/Gopher-style cleaning pass makes, with a
+  // REASON CODE recording which rule fired (the provenance column
+  // every curated corpus ships so ablations can re-admit rule-by-
+  // rule). Rules fire in fixed order, first hit wins:
+  //
+  //   too_short     n_tokens < 10
+  //   too_long      n_tokens > 5000
+  //   bad_tok_len   mean token length outside [2, 12] chars
+  //   low_stopword  stopword ratio < 5%
+  //   repetitive    most-frequent-token share > 20%
+  //   keep          (none fired)
+  //
+  // Every threshold is evaluated in INTEGER arithmetic (tok_chars vs
+  // n_tokens·bounds, stop_hits·20 vs n_tokens, best_run·5 vs
+  // n_tokens) so the decision is bit-identical across engines — no
+  // double ratio ever reaches a comparison. Single narrow scan pass;
+  // the max-multiplicity reuses [[repetition]]'s O(n log n)
+  // sort+longest-run fold rather than a per-token count scan.
+  def filterPipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+          .as("tok_chars"),
+        hits(col("toks"), MarkerWords.head._2).as("stop_hits"),
+        aggregate(array_sort(col("toks")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, t) => {
+            val run = when(t === acc.getField("prev"),
+              acc.getField("run") + 1L).otherwise(lit(1L))
+            struct(t.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")).as("best_run"))
+    base
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") < 10L, "too_short")
+          .when(col("n_tokens") > 5000L, "too_long")
+          .when(!col("tok_chars").between(
+            col("n_tokens") * 2L, col("n_tokens") * 12L), "bad_tok_len")
+          .when(col("stop_hits") * 20L < col("n_tokens"), "low_stopword")
+          .when(col("best_run") * 5L > col("n_tokens"), "repetitive")
+          .otherwise("keep").as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_filter_pipeline" -> filterPipeline,
     "ta_lm_score" -> lmScore,
     "ta_scrub" -> scrub,
     "ta_lang_ngram" -> langNgram,
@@ -463,6 +514,26 @@ object TextAnalysis {
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
     Map(
+      "ta_filter_pipeline" ->
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           b AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_prepend(0, list_transform(toks,
+               t -> length(t)))) AS BIGINT) AS tok_chars,
+             CAST(${dHits(MarkerWords.head._2)} AS BIGINT) AS stop_hits,
+             CAST(COALESCE(list_max(list_transform(toks, t ->
+               len(list_filter(toks, u -> u = t)))), 0) AS BIGINT)
+               AS best_run FROM d),
+           r AS (SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens < 10 THEN 'too_short'
+                  WHEN n_tokens > 5000 THEN 'too_long'
+                  WHEN NOT (tok_chars BETWEEN n_tokens * 2
+                    AND n_tokens * 12) THEN 'bad_tok_len'
+                  WHEN stop_hits * 20 < n_tokens THEN 'low_stopword'
+                  WHEN best_run * 5 > n_tokens THEN 'repetitive'
+                  ELSE 'keep' END AS reason FROM b)
+           SELECT doc_id, n_tokens, reason, reason = 'keep' AS keep
+           FROM r ORDER BY doc_id""",
       "ta_lm_score" ->
         s"""WITH d AS (SELECT doc_id, list_transform($Toks,
              w -> ${dH31("w")}) AS hs FROM documents),

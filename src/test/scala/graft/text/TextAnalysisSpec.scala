@@ -152,6 +152,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("filter pipeline: one row per doc, reason codes closed, " +
+      "rule order respected") {
+    val rows = TextAnalysis.filterPipeline(spark, sf).collect()
+    assert(rows.length === 500)
+    val valid = Set("too_short", "too_long", "bad_tok_len",
+      "low_stopword", "repetitive", "keep")
+    rows.foreach { r =>
+      val reason = r.getAs[String]("reason")
+      assert(valid.contains(reason))
+      assert(r.getAs[Boolean]("keep") === (reason == "keep"))
+      // length rules fire before content rules: a too-short doc can
+      // never surface a content reason
+      if (r.getAs[Long]("n_tokens") < 10L)
+        assert(reason === "too_short")
+    }
+    // the composite agrees with the standalone repetition signal on
+    // the docs it flags as repetitive: their top-token share really
+    // exceeds 20% (cross-operator consistency, not a re-derivation)
+    val rep = TextAnalysis.repetition(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("top_token_frac"))
+      .toMap
+    rows.filter(_.getAs[String]("reason") == "repetitive").foreach { r =>
+      assert(rep(r.getAs[Long]("doc_id")) > 0.2)
+    }
+  }
+
   test("char-ngram language-ID agrees with its score columns") {
     val rows = TextAnalysis.langNgram(spark, sf).collect()
     assert(rows.length === 500)
