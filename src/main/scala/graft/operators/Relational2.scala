@@ -218,8 +218,30 @@ object Relational2 {
       .orderBy("o_orderkey")
   }
 
+  // ---------------------------------------------------------------
+  // q40: UNPIVOT — the wide→long melt, inverse of q29's pivot. A
+  // per-returnflag aggregate (3 rows × 3 measure columns) melts into
+  // (l_returnflag, measure, value) rows via the relational UNPIVOT
+  // operator on both sides: Spark's `Dataset.unpivot` (planned as an
+  // Expand — one pass, no join, no shuffle beyond the aggregate's)
+  // and DuckDB's `UNPIVOT … INTO NAME … VALUE`. Measures are exact
+  // decimal sums surfaced as double ([[Exact]] discipline) so the
+  // melted value column is a single well-defined type.
+  def q40Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(dsum(money(col("l_quantity"))).as("sum_qty"),
+        dsum(money(col("l_extendedprice"))).as("sum_price"),
+        dsum(money(col("l_extendedprice")) *
+          (one - rate(col("l_discount")))).as("sum_disc_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc_price")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_range_frame" -> q38RangeFrame,
+    "q40_unpivot" -> q40Unpivot,
     "q31_window_family" -> q31WindowFamily,
     "q32_grouping_sets" -> q32GroupingSets,
     "q33_map_struct" -> q33MapStruct,
@@ -238,6 +260,18 @@ object Relational2 {
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
+    "q40_unpivot" ->
+      s"""WITH a AS (SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_price,
+         CAST($sumDisc AS DOUBLE) AS sum_disc_price
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, measure, value
+         FROM (UNPIVOT a ON sum_qty, sum_price, sum_disc_price
+           INTO NAME measure VALUE value)
+         ORDER BY l_returnflag, measure""",
     "q38_range_frame" ->
       """SELECT o_orderkey, o_custkey,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (

@@ -84,6 +84,31 @@ class Relational2Spec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q40 unpivot: 3 measures per flag, melt is an Expand (no join)") {
+    val df = Relational2.q40Unpivot(spark, sf)
+    val rows = df.collect()
+    // every id row melts into exactly one row per measure column
+    val byFlag = rows.groupBy(_.getString(0))
+    byFlag.values.foreach { rs =>
+      assert(rs.map(_.getString(1)).sorted.toSeq ===
+        Seq("sum_disc_price", "sum_price", "sum_qty"))
+    }
+    // melted values round-trip: each (flag, measure) value equals the
+    // wide aggregate's column (pivot⁻¹ ∘ pivot = id)
+    val wide = graft.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(Exact.dsum(Exact.money(col("l_quantity"))).as("sum_qty"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.filter(_.getString(1) == "sum_qty").foreach { r =>
+      assert(r.getDouble(2) === wide(r.getString(0)))
+    }
+    // physical shape: one Expand, zero joins — the melt must not be
+    // planned as a self-join or union of scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand in:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
   test("q37 market share: shares in [0,1]; weighted shares ≈ totals") {
     val rows = Relational2.q37MarketShare(spark, sf).collect()
     assert(rows.nonEmpty)
