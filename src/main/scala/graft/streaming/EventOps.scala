@@ -148,7 +148,43 @@ object EventOps {
         asc_nulls_first("purchase_id"))
   }
 
+  /** STREAM-STATIC enrichment join — the standard ingest shape where
+    * a fact stream is decorated with slowly-changing dimensions before
+    * aggregation: events joined to the static customer → nation chain,
+    * then tumbling-hour spend per nation. Written as a
+    * `DataFrame => DataFrame` transform over the event side so the
+    * SAME function runs in batch (this oracle gate) and as a
+    * streaming query (EventsStreamingSpec diffs a readStream run
+    * against this batch answer).
+    *
+    * Scale shape: the dimension side is BROADCAST (stream-static joins
+    * are stateless in Structured Streaming — no watermark, no join
+    * state; each micro-batch hash-probes the dim), so the only
+    * shuffle is the windowed aggregate's partial/final exchange on
+    * (window, nation). At 100 TB/day the dim table re-broadcasts per
+    * batch — the documented trade: for dims too big to broadcast the
+    * recipe becomes a pre-bucketed shuffle join, which this module's
+    * batch form would plan automatically once the hint is dropped.
+    */
+  def staticEnrich(ev: DataFrame, cust: DataFrame,
+      nat: DataFrame): DataFrame =
+    ev.join(broadcast(cust.select(col("c_custkey").as("user_id"),
+        col("c_nationkey"))), "user_id")
+      .join(broadcast(nat.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), "c_nationkey")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Val)).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("n_name"), col("n"), col("sum_value"))
+
+  def stStaticEnrich(s: SparkSession, dir: String): DataFrame =
+    staticEnrich(events(s, dir), Tables(s, dir, "customer"),
+      Tables(s, dir, "nation"))
+      .orderBy("window_start", "n_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_static_enrich" -> stStaticEnrich,
     "st_tumbling_hour" -> stTumbling,
     "st_sliding_halfhour" -> stSliding,
     "st_session_30m" -> stSession,
@@ -170,6 +206,15 @@ object EventOps {
     s"strftime(make_timestamp($expr), '%Y-%m-%d %H:%M:%S')"
 
   val oracles: Map[String, String] = Map(
+    "st_static_enrich" ->
+      s"""WITH e AS (SELECT $TsUs AS us, user_id, value FROM events),
+         j AS (SELECT us, value, n_name FROM e
+           JOIN customer ON user_id = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         SELECT ${fmtUs(s"us // $HourUs * $HourUs")} AS window_start,
+           n_name, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+         FROM j GROUP BY 1, 2 ORDER BY window_start, n_name""",
     "st_interval_join" ->
       s"""WITH v AS (SELECT user_id, event_id AS view_id,
            $TsUs AS v_us FROM events WHERE event_type = 'view'),

@@ -386,6 +386,39 @@ class EventsStreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment: streamed fixture equals the batch " +
+    "gate; dims hash-probed not stated") {
+    // The declared st_static_enrich query is the batch form; this runs
+    // the SAME transform with the event side streamed (file source +
+    // AvailableNow, Complete mode) and the dimensions static, and
+    // diffs the full 7k-row answer against the batch run. A
+    // stream-static join holds NO join state — the static side is
+    // hash-probed per micro-batch — so no watermark is needed.
+    val dir = Files.createTempDirectory("graft_enrich_stream")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      Paths.get(s"$sf/events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val ev = Tables.eventsFixup(
+      spark.readStream.schema(schema).parquet(dir.toString))
+    val out = EventOps.staticEnrich(ev,
+      Tables(spark, sf, "customer"), Tables(spark, sf, "nation"))
+    val q = out.writeStream.format("memory").queryName("enrichst")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val got = spark.table("enrichst").collect().map(_.toSeq).toSet
+      val want = EventOps.stStaticEnrich(spark, sf).collect()
+        .map(_.toSeq).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("enrichst")
+    }
+  }
+
   test("foreachBatch sink lands micro-batches as parquet") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
