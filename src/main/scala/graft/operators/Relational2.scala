@@ -239,9 +239,60 @@ object Relational2 {
         "measure", "value")
       .orderBy("l_returnflag", "measure")
 
+  // ---------------------------------------------------------------
+  // q41: data PROFILING — the ANALYZE-style per-column statistics
+  // table (row count, null count, exact distinct count, min/max)
+  // every catalog/maintenance layer computes before planning or
+  // after ingest. The profile is ONE aggregate over one scan of the
+  // table — all columns' stats in a single pass, melted to long form
+  // by exploding an array of per-column structs — never one scan per
+  // column (the naive shape that reads a 100 TB table six times).
+  // Min/max stay TYPED (numeric → double, string → string, date →
+  // canonical yyyy-MM-dd text) rather than forcing everything through
+  // a lossy to-string cast, so the gate is exact.
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num", "l_quantity" -> "num",
+    "l_extendedprice" -> "num", "l_returnflag" -> "str",
+    "l_linestatus" -> "str", "l_shipdate" -> "date")
+
+  def q41Profile(s: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { case (c, kind) =>
+      val (mn, mx) = kind match {
+        case "num" => (min(col(c)).cast("double"),
+          max(col(c)).cast("double"))
+        case "str" => (min(col(c)), max(col(c)))
+        case _ => (date_format(min(col(c)), "yyyy-MM-dd"),
+          date_format(max(col(c)), "yyyy-MM-dd"))
+      }
+      Seq(count(lit(1)).as(s"${c}__n"),
+        count(col(c)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        mn.as(s"${c}__min"), mx.as(s"${c}__max"))
+    }
+    val wide = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val entries = ProfileCols.map { case (c, kind) =>
+      struct(lit(c).as("column"),
+        col(s"${c}__n").as("n"),
+        (col(s"${c}__n") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        (if (kind == "num") col(s"${c}__min") else lit(null)
+          .cast("double")).as("min_num"),
+        (if (kind == "num") col(s"${c}__max") else lit(null)
+          .cast("double")).as("max_num"),
+        (if (kind == "num") lit(null).cast("string")
+          else col(s"${c}__min")).as("min_str"),
+        (if (kind == "num") lit(null).cast("string")
+          else col(s"${c}__max")).as("max_str"))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select("e.*")
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_range_frame" -> q38RangeFrame,
     "q40_unpivot" -> q40Unpivot,
+    "q41_profile" -> q41Profile,
     "q31_window_family" -> q31WindowFamily,
     "q32_grouping_sets" -> q32GroupingSets,
     "q33_map_struct" -> q33MapStruct,
@@ -272,6 +323,30 @@ object Relational2 {
          FROM (UNPIVOT a ON sum_qty, sum_price, sum_disc_price
            INTO NAME measure VALUE value)
          ORDER BY l_returnflag, measure""",
+    "q41_profile" -> {
+      def row(c: String, kind: String): String = {
+        val (mnN, mxN, mnS, mxS) = kind match {
+          case "num" => (s"CAST(MIN($c) AS DOUBLE)",
+            s"CAST(MAX($c) AS DOUBLE)", "CAST(NULL AS VARCHAR)",
+            "CAST(NULL AS VARCHAR)")
+          case "str" => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"MIN($c)", s"MAX($c)")
+          case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"strftime(MIN($c), '%Y-%m-%d')",
+            s"strftime(MAX($c), '%Y-%m-%d')")
+        }
+        s"""SELECT '$c' AS "column", COUNT(*) AS n,
+           COUNT(*) - COUNT($c) AS n_null,
+           COUNT(DISTINCT $c) AS n_distinct,
+           $mnN AS min_num, $mxN AS max_num,
+           $mnS AS min_str, $mxS AS max_str FROM lineitem"""
+      }
+      Seq("l_orderkey" -> "num", "l_quantity" -> "num",
+        "l_extendedprice" -> "num", "l_returnflag" -> "str",
+        "l_linestatus" -> "str", "l_shipdate" -> "date")
+        .map { case (c, k) => row(c, k) }
+        .mkString("", " UNION ALL ", " ORDER BY \"column\"")
+    },
     "q38_range_frame" ->
       """SELECT o_orderkey, o_custkey,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (

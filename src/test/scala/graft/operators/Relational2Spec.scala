@@ -109,6 +109,33 @@ class Relational2Spec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
 
+  test("q41 profile: one scan for all columns, internally consistent") {
+    val df = Relational2.q41Profile(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 6)
+    // same table ⇒ same row count on every profile row; distincts and
+    // nulls bounded by it; typed min/max populated per column kind
+    val n = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= n)
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= n)
+      val hasNum = !r.isNullAt(4)
+      val hasStr = !r.isNullAt(6)
+      assert(hasNum ^ hasStr) // exactly one typed min/max pair
+      if (hasNum) assert(r.getDouble(4) <= r.getDouble(5))
+      else assert(r.getString(6) <= r.getString(7))
+    }
+    // the whole profile must come from ONE pass over lineitem — a
+    // per-column loop would show one scan per profiled column
+    // the AQE plan string repeats the tree under "== Initial Plan ==";
+    // audit only the final plan section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+  }
+
   test("q37 market share: shares in [0,1]; weighted shares ≈ totals") {
     val rows = Relational2.q37MarketShare(spark, sf).collect()
     assert(rows.nonEmpty)
