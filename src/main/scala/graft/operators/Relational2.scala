@@ -289,10 +289,101 @@ object Relational2 {
       .orderBy("column")
   }
 
+  // ---------------------------------------------------------------
+  // q42: MERGE / UPSERT — the lakehouse table-maintenance operator
+  // (MERGE INTO base USING changes): a change batch carrying
+  // update / delete / insert ops is applied to the customer base in
+  // one pass. Spark has no MERGE statement outside table-format
+  // extensions, so this is the operator re-expressed Spark-first —
+  // exactly the join shape those extensions plan underneath:
+  //
+  //   base  LEFT JOIN changes(update|delete)  → drop deletes, patch
+  //                                             updates,
+  //   UNION ALL changes(insert)               → append new keys.
+  //
+  // The change batch is derived deterministically from the base
+  // (update ≡ 0 mod 7: acctbal += 100; delete ≡ 3 mod 11; insert: a
+  // shifted key +1e6 per ≡ 5 mod 13 source row) so both engines build
+  // the identical batch with no side fixture. Balance arithmetic in
+  // exact decimal, surfaced as double once.
+  //
+  // Scale shape: ONE shuffle join keyed on c_custkey (changes are
+  // small relative to base → broadcast in practice; left as a shuffle
+  // join here so the shape also covers the big-changes case), plus a
+  // union — no window, no second pass over base.
+  def q42MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+    val upd = base.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        (money(col("c_acctbal")) + money(lit(100.00)))
+          .as("new_bal"), lit("update").as("op"))
+    val del = base.filter(col("c_custkey") % 11 === 3 &&
+        col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey"), lit(null).cast(Money).as("new_bal"),
+        lit("delete").as("op"))
+    val ins = base.filter(col("c_custkey") % 13 === 5)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("NEW Customer#"), col("c_custkey").cast("string"))
+          .as("c_name"),
+        lit(0.0).cast(Money).cast("double").as("c_acctbal"),
+        lit("inserted").as("src"))
+    val merged = base
+      .join(upd.unionByName(del), Seq("c_custkey"), "left")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("c_custkey"), col("c_name"),
+        when(col("op") === "update", col("new_bal").cast("double"))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("op") === "update", lit("updated"))
+          .otherwise(lit("base")).as("src"))
+    merged.unionByName(ins).orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------
+  // q43: statistical aggregates — stddev / variance / correlation per
+  // group, computed the only way a float fold can be oracle-exact:
+  // the MOMENTS (Σx, Σx², Σy, Σy², Σxy) accumulate in exact decimal
+  // (order-insensitive, so partition scheduling cannot move the
+  // result), and the statistics derive from them in ONE deterministic
+  // double expression per value. Spark's built-in `stddev`/`corr`
+  // fold doubles in arrival order — bit-unstable across runs, let
+  // alone engines — which is why they cannot be hash-gated directly;
+  // the moment form is the mergeable partial-aggregate shape a
+  // distributed engine wants anyway (same partial/final tree as sum).
+  // The variable pair is (quantity, discount), both value-bounded, so
+  // every moment stays under ~1e15 scaled quanta through sf10 —
+  // inside double's 2^53 exact range; the decimal→double casts are
+  // exact and both engines' IEEE arithmetic agrees bitwise.
+  // (price² moments would overflow the exact range at sf0.01 already,
+  // where the two engines' decimal→double rounding paths can differ
+  // by an ulp — the same reason the built-ins aren't gateable.)
+  def q43StatsAgg(s: SparkSession, dir: String): DataFrame = {
+    val qty = money(col("l_quantity"))
+    val dsc = rate(col("l_discount"))
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(qty).cast("double").as("sx"),
+        sum(qty * qty).cast("double").as("sxx"),
+        sum(dsc).cast("double").as("sy"),
+        sum(dsc * dsc).cast("double").as("syy"),
+        sum(qty * dsc).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean_qty"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1)))).as("stddev_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_range_frame" -> q38RangeFrame,
     "q40_unpivot" -> q40Unpivot,
     "q41_profile" -> q41Profile,
+    "q42_merge_upsert" -> q42MergeUpsert,
+    "q43_stats_agg" -> q43StatsAgg,
     "q31_window_family" -> q31WindowFamily,
     "q32_grouping_sets" -> q32GroupingSets,
     "q33_map_struct" -> q33MapStruct,
@@ -323,6 +414,45 @@ object Relational2 {
          FROM (UNPIVOT a ON sum_qty, sum_price, sum_disc_price
            INTO NAME measure VALUE value)
          ORDER BY l_returnflag, measure""",
+    "q43_stats_agg" ->
+      """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n, sx / n AS mean_qty,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+             * sqrt(n * syy - sy * sy)) AS corr_qty_disc
+         FROM a ORDER BY l_returnflag""",
+    "q42_merge_upsert" ->
+      """WITH upd AS (SELECT c_custkey,
+           CAST(c_acctbal AS DECIMAL(12,2))
+             + CAST(100.00 AS DECIMAL(12,2)) AS new_bal,
+           'update' AS op FROM customer WHERE c_custkey % 7 = 0),
+         del AS (SELECT c_custkey, CAST(NULL AS DECIMAL(12,2)) AS new_bal,
+           'delete' AS op FROM customer
+           WHERE c_custkey % 11 = 3 AND c_custkey % 7 <> 0),
+         ch AS (SELECT * FROM upd UNION ALL SELECT * FROM del),
+         m AS (SELECT b.c_custkey, b.c_name,
+           CASE WHEN ch.op = 'update' THEN CAST(ch.new_bal AS DOUBLE)
+                ELSE b.c_acctbal END AS c_acctbal,
+           CASE WHEN ch.op = 'update' THEN 'updated'
+                ELSE 'base' END AS src
+           FROM customer b LEFT JOIN ch USING (c_custkey)
+           WHERE ch.op IS NULL OR ch.op <> 'delete'),
+         ins AS (SELECT c_custkey + 1000000 AS c_custkey,
+           'NEW Customer#' || CAST(c_custkey AS VARCHAR) AS c_name,
+           CAST(0.0 AS DOUBLE) AS c_acctbal, 'inserted' AS src
+           FROM customer WHERE c_custkey % 13 = 5)
+         SELECT c_custkey, c_name, c_acctbal, src FROM m
+         UNION ALL SELECT c_custkey, c_name, c_acctbal, src FROM ins
+         ORDER BY c_custkey""",
     "q41_profile" -> {
       def row(c: String, kind: String): String = {
         val (mnN, mxN, mnS, mxS) = kind match {

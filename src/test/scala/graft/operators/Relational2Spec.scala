@@ -136,6 +136,59 @@ class Relational2Spec extends SparkSpec {
     assert(scans === 1, s"expected 1 lineitem scan, got $scans:\n$plan")
   }
 
+  test("q42 merge: deletes gone, updates patched, inserts present, " +
+      "untouched rows identical") {
+    val base = graft.Tables(spark, sf, "customer").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3))).toMap
+    val got = Relational2.q42MergeUpsert(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+    base.keys.foreach { k =>
+      if (k % 11 == 3 && k % 7 != 0) assert(!got.contains(k)) // deleted
+      else if (k % 7 == 0) { // updated: +100.00 exactly
+        assert(got(k)._3 === "updated")
+        assert(got(k)._2 ===
+          (BigDecimal(base(k)._2).setScale(2) + 100).toDouble)
+      } else { // untouched
+        assert(got(k)._3 === "base")
+        assert(got(k)._1 === base(k)._1 && got(k)._2 === base(k)._2)
+      }
+      if (k % 13 == 5) { // inserted under the shifted key
+        assert(got(k + 1000000L)._3 === "inserted")
+        assert(got(k + 1000000L)._2 === 0.0)
+      }
+    }
+    // no keys beyond base ∪ shifted-inserts
+    assert(got.keySet.subsetOf(
+      base.keySet ++ base.keySet.filter(_ % 13 == 5).map(_ + 1000000L)))
+  }
+
+  test("q43 stats: moment-derived stddev/corr match Spark built-ins") {
+    val got = Relational2.q43StatsAgg(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // the built-ins fold doubles in arrival order (not hash-gateable),
+    // but they agree with the exact-moment form to float tolerance
+    val ref = graft.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)), avg("l_quantity"), stddev_samp("l_quantity"),
+        corr("l_quantity", "l_discount"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, (n, mean, sd, c)) =>
+      val (rn, rMean, rSd, rC) = ref(k)
+      assert(n === rn)
+      assert(math.abs(mean - rMean) < 1e-9 * math.abs(rMean))
+      assert(math.abs(sd - rSd) < 1e-9 * math.abs(rSd))
+      assert(math.abs(c - rC) < 1e-6)
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("q37 market share: shares in [0,1]; weighted shares ≈ totals") {
     val rows = Relational2.q37MarketShare(spark, sf).collect()
     assert(rows.nonEmpty)
