@@ -378,12 +378,51 @@ object Relational2 {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------
+  // q44: equi-width HISTOGRAM — the other half of profiling (q41
+  // gives the endpoints, this gives the shape): l_extendedprice
+  // bucketed into HistBuckets equal-width bins between the observed
+  // min/max. Bucketing is EXACT integer arithmetic on the decimal's
+  // cent quanta — bucket = (v−min)·B div (max−min+ε) with ε = one
+  // cent so the max value lands in bucket B−1 — because a double
+  // `(v-min)/(max-min)*B` floors differently at bin edges across
+  // engines (the ulp-at-boundary class the Exact discipline exists
+  // for).
+  //
+  // Scale shape: pass 1 computes (min, max) — a 2-value aggregate;
+  // pass 2 buckets and counts with map-side partial aggregation on
+  // ≤B keys. The min/max scalar joins in as a broadcast 1-row frame,
+  // NOT a collected driver value, so the whole thing is one job and
+  // the scan stays distributed.
+  val HistBuckets = 10L
+
+  def q44Histogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = (money(col("l_extendedprice")) * lit(100))
+      .cast("long")
+    val li = t(s, dir, "lineitem").select(cents.as("c"))
+    val mm = li.agg(min("c").as("cmin"), max("c").as("cmax"))
+    li.crossJoin(broadcast(mm))
+      .select(expr(s"((c - cmin) * $HistBuckets) div (cmax - cmin + 1)")
+        .as("bucket"), col("cmin"), col("cmax"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), first(col("cmin")).as("cmin"),
+        first(col("cmax")).as("cmax"))
+      // reconstruct the bin's lower edge in cents — integral div, not
+      // `/` (long `/` is double division in Spark)
+      .select(col("bucket"),
+        (expr(s"cmin + (bucket * (cmax - cmin + 1)) div $HistBuckets")
+          .cast("double") / 100.0).as("lo_value"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_range_frame" -> q38RangeFrame,
     "q40_unpivot" -> q40Unpivot,
     "q41_profile" -> q41Profile,
     "q42_merge_upsert" -> q42MergeUpsert,
     "q43_stats_agg" -> q43StatsAgg,
+    "q44_histogram" -> q44Histogram,
     "q31_window_family" -> q31WindowFamily,
     "q32_grouping_sets" -> q32GroupingSets,
     "q33_map_struct" -> q33MapStruct,
@@ -414,6 +453,17 @@ object Relational2 {
          FROM (UNPIVOT a ON sum_qty, sum_price, sum_disc_price
            INTO NAME measure VALUE value)
          ORDER BY l_returnflag, measure""",
+    "q44_histogram" ->
+      s"""WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           * 100 AS BIGINT) AS c FROM lineitem),
+         mm AS (SELECT MIN(c) AS cmin, MAX(c) AS cmax FROM c),
+         b AS (SELECT ((c - cmin) * $HistBuckets) // (cmax - cmin + 1)
+             AS bucket, cmin, cmax FROM c, mm)
+         SELECT bucket,
+           CAST(cmin + (bucket * (cmax - cmin + 1)) // $HistBuckets
+             AS DOUBLE) / 100.0 AS lo_value,
+           COUNT(*) AS n
+         FROM b GROUP BY bucket, cmin, cmax ORDER BY bucket""",
     "q43_stats_agg" ->
       """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,

@@ -189,6 +189,27 @@ class Relational2Spec extends SparkSpec {
     }
   }
 
+  test("q44 histogram: buckets partition the table, edges monotone, " +
+      "extremes land in the end bins") {
+    val rows = Relational2.q44Histogram(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Relational2.HistBuckets)
+    // counts conserve the table
+    val total = graft.Tables(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    // bucket ids in range, lower edges strictly increasing
+    val ids = rows.map(_.getLong(0))
+    assert(ids.forall(b => b >= 0 && b < Relational2.HistBuckets))
+    val los = rows.map(_.getDouble(1))
+    los.zip(los.tail).foreach { case (a, b) => assert(a < b) }
+    // the observed min/max land in the first/last occupied buckets
+    val mm = graft.Tables(spark, sf, "lineitem")
+      .agg(min("l_extendedprice"), max("l_extendedprice")).collect()(0)
+    assert(los.head <= mm.getDouble(0))
+    assert(los.last <= mm.getDouble(1))
+    assert(ids.last === Relational2.HistBuckets - 1 ||
+      mm.getDouble(1) < los.last + (los(1) - los(0)))
+  }
+
   test("q37 market share: shares in [0,1]; weighted shares ≈ totals") {
     val rows = Relational2.q37MarketShare(spark, sf).collect()
     assert(rows.nonEmpty)
