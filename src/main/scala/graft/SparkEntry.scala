@@ -24,6 +24,10 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracles),
     (Relational.queries, Relational.oracles),
     (Relational2.queries, Relational2.oracles),
+    (graft.operators.EventAnalytics.queries,
+      graft.operators.EventAnalytics.oracles),
+    (graft.operators.GraphBasket.queries,
+      graft.operators.GraphBasket.oracles),
     (graft.pipeline.CorpusOps.queries, graft.pipeline.CorpusOps.oracles),
     (graft.operators.Sketches.queries, graft.operators.Sketches.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),

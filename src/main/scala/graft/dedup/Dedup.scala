@@ -838,7 +838,66 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // dd_fuzzy_edit: character-level fuzzy dedup — edit-distance ≤ 1
+  // pairs over a name corpus via the DELETION-NEIGHBORHOOD join
+  // (FastSS, Bocek et al. '07; the algorithm inside SymSpell): index
+  // every string under itself plus its len(s) one-character-deletion
+  // variants, equi-join on the variant, verify candidates with exact
+  // levenshtein. PROVABLY COMPLETE for ED ≤ 1: equal pairs share the
+  // string itself; a deletion pair shares the shorter string; a
+  // substitution pair shares the common deletion at the edited
+  // position. This is the missing character-level member of the
+  // near-dup family (MinHash/SimHash/Jaccard are token-level; LSH is
+  // embedding-level) — the entity-resolution / typo-canonicalization
+  // workload.
+  //
+  // The corpus is the distinct part names (representative id =
+  // min(p_partkey)) plus a planted one-character-deletion typo for
+  // every even-id name (id+100000, deletion position seeded by the id
+  // — both engines derive the identical corpus, no side fixture), so
+  // the gate covers natural near-dups ("old bolt"↔"cold bolt") AND
+  // the planted ones.
+  //
+  // Scale shape: the index is (len+1)·N short strings — linear, not
+  // quadratic; candidates come from one equi-join on the variant
+  // string; levenshtein runs on candidates only. At production k=2
+  // the same shape applies with del² variants (SymSpell's published
+  // regime). No window, no cross join; the one DISTINCT dedups the
+  // ≤ (len+1)-way multi-matched pairs before the verify.
+  val FuzzyIdOffset = 100000L
+
+  def fuzzyEdit(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables(s, dir, "part")
+      .groupBy("p_name").agg(min("p_partkey").as("id"))
+      .select(col("id"), col("p_name").as("name"))
+    val typos = names.filter(col("id") % 2 === 0)
+      .select((col("id") + FuzzyIdOffset).as("id"),
+        expr("concat(substr(name, 1, ((id % (length(name) - 2)) + 2) - 1), " +
+          "substr(name, ((id % (length(name) - 2)) + 2) + 1))").as("name"))
+    val u = names.unionByName(typos)
+    val vars = u.select(col("id"), col("name"), col("name").as("v"))
+      .unionByName(u
+        .select(col("id"), col("name"),
+          explode(sequence(lit(1), length(col("name")))).as("p"))
+        .select(col("id"), col("name"),
+          expr("concat(substr(name, 1, p - 1), substr(name, p + 1))")
+            .as("v")))
+    val cand = vars.as("a")
+      .join(vars.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    cand
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_fuzzy_edit" -> fuzzyEdit,
     "dd_exact" -> exact,
     "dd_minhash_lsh" -> minhashLsh,
     "dd_simhash" -> simhash,
@@ -881,6 +940,29 @@ object Dedup {
        FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db"""
 
   val oracles: Map[String, String] = Map(
+    "dd_fuzzy_edit" ->
+      s"""WITH names AS (SELECT MIN(p_partkey) AS id, p_name AS name
+           FROM part GROUP BY p_name),
+         typos AS (SELECT id + $FuzzyIdOffset AS id,
+             substr(name, 1, ((id % (len(name) - 2)) + 2) - 1)
+               || substr(name, ((id % (len(name) - 2)) + 2) + 1) AS name
+           FROM names WHERE id % 2 = 0),
+         u AS (SELECT * FROM names UNION ALL SELECT * FROM typos),
+         vars AS (
+           SELECT id, name, name AS v FROM u
+           UNION ALL
+           SELECT id, name,
+             substr(name, 1, p - 1) || substr(name, p + 1) AS v
+           FROM u, LATERAL (SELECT unnest(generate_series(1, len(name)))
+             AS p) t
+         ),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.name AS name_a, b.name AS name_b
+           FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
+         SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(name_a, name_b) <= 1
+         ORDER BY id_a, id_b""",
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",

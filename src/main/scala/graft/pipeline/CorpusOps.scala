@@ -238,7 +238,41 @@ object CorpusOps {
       .orderBy("bucket", "pack_id")
   }
 
+  // -----------------------------------------------------------------
+  // ta_chunk: fixed-size overlapping token windows — the RAG /
+  // long-context chunker: each document becomes ⌈(n−C)/S⌉+1 chunks of
+  // C=ChunkLen tokens at stride S=ChunkStride (overlap C−S), the last
+  // chunk keeping the tail remainder. Chunk boundaries are integer
+  // token arithmetic, identical in both engines; the fixture text is
+  // single-space separated (verified: no doubled/leading/trailing
+  // spaces), so the literal-space split is the token stream.
+  //
+  // Scale shape: a narrow per-row generate (explode of a sequence
+  // whose length is the doc's own chunk count) — no shuffle at all
+  // until the final presentation sort; output volume is
+  // Σ ceil(n_i/S)·C tokens ≈ corpus × C/S, the expected ~1.33×
+  // inflation of 16-token overlap at 32/24.
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("nt"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), when(col("nt") <= ChunkLen, lit(0L))
+          .otherwise(expr(s"(nt - $ChunkLen + $ChunkStride - 1) DIV " +
+            s"$ChunkStride"))))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"size(slice(toks, chunk_idx * $ChunkStride + 1, $ChunkLen))")
+          .cast("long").as("n_tokens"),
+        expr(s"array_join(slice(toks, chunk_idx * $ChunkStride + 1, " +
+          s"$ChunkLen), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_chunk" -> chunk,
     "ta_vocab" -> vocab,
     "ta_vocab_full" -> vocabFull,
     "ta_split" -> split,
@@ -250,6 +284,21 @@ object CorpusOps {
   private val Toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   val oracles: Map[String, String] = Map(
+    "ta_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks, len(toks) AS nt FROM d),
+         g AS (SELECT doc_id, toks,
+           unnest(generate_series(0, CASE WHEN nt <= $ChunkLen THEN 0
+             ELSE (nt - $ChunkLen + $ChunkStride - 1) // $ChunkStride
+             END)) AS chunk_idx FROM n)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(toks[chunk_idx * $ChunkStride + 1 :
+             chunk_idx * $ChunkStride + $ChunkLen]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(toks[chunk_idx * $ChunkStride + 1 :
+             chunk_idx * $ChunkStride + $ChunkLen], ' ') AS chunk_text
+         FROM g ORDER BY doc_id, chunk_idx""",
     "ta_vocab" ->
       s"""WITH t AS (SELECT unnest($Toks) AS token FROM documents),
          c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
