@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Market-basket and graph analytics over the co-purchase structure
+  * latent in `lineitem` — two more classic warehouse workloads the
+  * engine should speak natively ([ext]; the reference has no joins at
+  * all, SURVEY.md §2.3):
+  *
+  *  - [[q49BasketRules]] — frequent-itemset pair mining with
+  *    support / confidence / lift (the Apriori k=2 pass — the one
+  *    that dominates runtime in practice, and the payload of every
+  *    "customers also bought" feature).
+  *  - [[q50Triangles]]  — per-vertex triangle counting on the
+  *    co-purchase graph, via DEGREE-ORDERED edge orientation (the
+  *    standard scale trick: orienting every edge from its lower-
+  *    (degree, id) endpoint to its higher one makes the wedge join's
+  *    fan-out per vertex O(max out-degree) = O(√m) on skewed graphs,
+  *    instead of O(max degree) — the hub vertex stops being a join
+  *    hot key).
+  *
+  * Both are pure integer-count arithmetic until a final double
+  * division per output row, so the DuckDB gate is bit-exact.
+  *
+  * Scale shape: baskets (distinct order→part) shuffle once on
+  * order key; the pair generation self-join is keyed on the order —
+  * fan-out bounded by basket size squared (TPC-H ≤ 7 items ⇒ ≤ 21
+  * pairs), never by catalog size; item supports reuse the same
+  * baskets frame; the triangle wedge join runs on the thresholded
+  * (supp ≥ 2) edge set, orders of magnitude smaller than raw pairs.
+  */
+object GraphBasket {
+
+  /** Minimum pair support for an association rule. */
+  val MinRuleSupport = 3L
+
+  /** Minimum co-purchase count for a graph edge. */
+  val MinEdgeSupport = 2L
+
+  /** Distinct (order, part) baskets. */
+  private def baskets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** Co-purchase pairs (pa < pb) with their support, thresholded. */
+  private def pairs(op: DataFrame, minSupp: Long): DataFrame =
+    op.as("a")
+      .join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupp)
+
+  // ---------------------------------------------------------------
+  // q49: association rules on frequent pairs — supp(ab) ≥ 3 with
+  // conf(a→b), conf(b→a) and lift. The scalar order count joins in
+  // as a broadcast 1-row frame (no collect); lift's numerator and
+  // denominator are exact integer products (< 2^53) so the single
+  // IEEE division matches DuckDB bitwise.
+  def q49BasketRules(s: SparkSession, dir: String): DataFrame = {
+    val op = baskets(s, dir)
+    val n = op.agg(countDistinct("o").as("n_orders"))
+    val item = op.groupBy(col("p")).agg(count(lit(1)).as("supp"))
+    pairs(op, MinRuleSupport)
+      .join(item.select(col("p").as("pa"), col("supp").as("supp_a")), "pa")
+      .join(item.select(col("p").as("pb"), col("supp").as("supp_b")), "pb")
+      .crossJoin(broadcast(n))
+      .select(col("pa"), col("pb"), col("supp_ab"),
+        col("supp_a"), col("supp_b"),
+        (col("supp_ab").cast("double") / col("supp_a")).as("conf_a_b"),
+        (col("supp_ab").cast("double") / col("supp_b")).as("conf_b_a"),
+        ((col("supp_ab") * col("n_orders")).cast("double") /
+          (col("supp_a") * col("supp_b"))).as("lift"))
+      .orderBy("pa", "pb")
+  }
+
+  // ---------------------------------------------------------------
+  // q50: per-part triangle participation on the supp ≥ 2 co-purchase
+  // graph. Edges are oriented low→high by (degree, id) — a total
+  // acyclic order, so each triangle is enumerated exactly once as
+  // e(a,b) ⋈ e(b,c) ⋈ e(a,c) — then unpivoted so every corner part
+  // gets credit.
+  def q50Triangles(s: SparkSession, dir: String): DataFrame = {
+    val e0 = pairs(baskets(s, dir), MinEdgeSupport)
+      .select("pa", "pb")
+    val deg = e0.select(col("pa").as("v"))
+      .unionByName(e0.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val e = e0
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), "pb")
+      .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
+        when(lower, col("pb")).otherwise(col("pa")).as("w"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.w") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.w") === col("e2.w"))
+      .select(col("e1.u").as("a"), col("e1.w").as("b"), col("e2.w").as("c"))
+    tri.select(col("a").as("part"))
+      .unionByName(tri.select(col("b").as("part")))
+      .unionByName(tri.select(col("c").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), asc("part"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_basket_rules" -> q49BasketRules,
+    "q50_triangles" -> q50Triangles,
+  )
+
+  private val Baskets =
+    "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem"
+
+  val oracles: Map[String, String] = Map(
+    "q49_basket_rules" ->
+      s"""WITH op AS ($Baskets),
+         n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+         item AS (SELECT p, COUNT(*) AS supp FROM op GROUP BY p),
+         pairs AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS supp_ab
+           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= $MinRuleSupport)
+         SELECT pa, pb, CAST(supp_ab AS BIGINT) AS supp_ab,
+           CAST(ia.supp AS BIGINT) AS supp_a,
+           CAST(ib.supp AS BIGINT) AS supp_b,
+           CAST(supp_ab AS DOUBLE) / ia.supp AS conf_a_b,
+           CAST(supp_ab AS DOUBLE) / ib.supp AS conf_b_a,
+           CAST(supp_ab * n_orders AS DOUBLE) / (ia.supp * ib.supp)
+             AS lift
+         FROM pairs JOIN item ia ON pa = ia.p
+           JOIN item ib ON pb = ib.p, n
+         ORDER BY pa, pb""",
+    "q50_triangles" ->
+      s"""WITH op AS ($Baskets),
+         e0 AS (SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+           ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= $MinEdgeSupport),
+         deg AS (SELECT v, COUNT(*) AS d FROM
+           (SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0)
+           GROUP BY v),
+         e AS (SELECT
+             CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+               THEN pa ELSE pb END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+               THEN pb ELSE pa END AS w
+           FROM e0 JOIN deg da ON pa = da.v JOIN deg db ON pb = db.v),
+         tri AS (SELECT e1.u AS a, e1.w AS b, e2.w AS c
+           FROM e e1 JOIN e e2 ON e1.w = e2.u
+           JOIN e e3 ON e3.u = e1.u AND e3.w = e2.w),
+         t3 AS (SELECT a AS part FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri)
+         SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         FROM t3 GROUP BY part ORDER BY n_triangles DESC, part""",
+  )
+}
