@@ -28,6 +28,8 @@ object SparkEntry {
       graft.operators.EventAnalytics.oracles),
     (graft.operators.GraphBasket.queries,
       graft.operators.GraphBasket.oracles),
+    (graft.operators.Hierarchy.queries,
+      graft.operators.Hierarchy.oracles),
     (graft.pipeline.CorpusOps.queries, graft.pipeline.CorpusOps.oracles),
     (graft.operators.Sketches.queries, graft.operators.Sketches.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
