@@ -33,19 +33,43 @@ import graft.functions.TextHash.hash60
   */
 object Hierarchy {
 
-  def q51Hierarchy(s: SparkSession, dir: String): DataFrame = {
-    val nodes = Tables(s, dir, "customer")
-      .select(col("c_custkey").as("k"))
-    // A_0: root anchors at itself with distance 0; everyone else at
-    // their parent with distance 1.
-    var anc = nodes.select(col("k").as("node"),
-        when(col("k") === 0, lit(0L))
-          .otherwise(hash60(concat(lit("h:"), col("k").cast("string")))
-            % col("k")).as("anc"),
-        when(col("k") === 0, lit(0L)).otherwise(lit(1L)).as("d"))
+  def q51Hierarchy(s: SparkSession, dir: String): DataFrame =
+    depths(Tables(s, dir, "customer").select(col("c_custkey").as("k")))
+      .select(col("node").as("c_custkey"), col("depth"))
+      .orderBy("c_custkey")
+
+  /** Depth of every key in the derived forest over an ARBITRARY key
+    * set. A node whose derived parent key is absent from the set is a
+    * ROOT (depth 0) — forest semantics, so gapped keyspaces (shard
+    * offsets, deleted ranges — e.g. the make_scale sf1 fixture's
+    * CUST_OFF-strided keys) stay total instead of silently dropping
+    * every chain that walks into a gap. With the root rule the
+    * doubling join below is total (every anc exists in the frame), so
+    * per-node d is monotone non-decreasing and the scalar-sum
+    * convergence check is sound.
+    */
+  private[graft] def depths(nodes: DataFrame): DataFrame = {
+    val rawPar = nodes.select(col("k").as("node"),
+      when(col("k") === 0, lit(null).cast("long"))
+        .otherwise(hash60(concat(lit("h:"), col("k").cast("string")))
+          % col("k")).as("par"))
+    // Root rule: parent NULL (node 0) or not in the key set.
+    val withEx = rawPar.join(
+      nodes.select(col("k").as("par"), lit(1).as("pex")), Seq("par"), "left")
+    // A_0: roots anchor at themselves with distance 0; everyone else
+    // at their parent with distance 1.
+    var anc = withEx.select(col("node"),
+        when(col("par").isNull || col("pex").isNull, col("node"))
+          .otherwise(col("par")).as("anc"),
+        when(col("par").isNull || col("pex").isNull, lit(0L))
+          .otherwise(lit(1L)).as("d"))
       .localCheckpoint()
-    def distSum(df: DataFrame): Long =
-      df.agg(sum(col("d"))).first().getLong(0)
+    def distSum(df: DataFrame): Long = {
+      // null-safe: SUM over an empty frame is NULL, and a frame this
+      // small should still fail loudly on the cap, not NPE here
+      val v = df.agg(sum(col("d"))).first()
+      if (v.isNullAt(0)) 0L else v.getLong(0)
+    }
     var prevSum = distSum(anc)
     var converged = false
     var rounds = 0
@@ -67,8 +91,7 @@ object Hierarchy {
       s"hierarchy: ancestor doubling did not converge in $MaxRounds " +
         "rounds — tree depth exceeds 2^MaxRounds or the parent " +
         "derivation produced a cycle")
-    anc.select(col("node").as("c_custkey"), col("d").as("depth"))
-      .orderBy("c_custkey")
+    anc.select(col("node"), col("d").as("depth"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -77,7 +100,8 @@ object Hierarchy {
 
   val oracles: Map[String, String] = Map(
     // The oracle is the recursive CTE itself: walk the identical
-    // derived forest top-down from the root.
+    // derived forest top-down from the roots (same root rule: a
+    // parent key absent from the key set makes the node a root).
     "q51_hierarchy" ->
       """WITH RECURSIVE par AS (
            SELECT c_custkey AS k,
@@ -85,11 +109,15 @@ object Hierarchy {
                ELSE CAST(('0x' || substr(md5('h:' || c_custkey), 1, 15))
                  AS BIGINT) % c_custkey END AS parent
            FROM customer),
+         par2 AS (
+           SELECT p.k,
+             CASE WHEN e.k IS NULL THEN NULL ELSE p.parent END AS parent
+           FROM par p LEFT JOIN par e ON p.parent = e.k),
          walk AS (
-           SELECT k, CAST(0 AS BIGINT) AS depth FROM par
+           SELECT k, CAST(0 AS BIGINT) AS depth FROM par2
            WHERE parent IS NULL
            UNION ALL
-           SELECT p.k, w.depth + 1 FROM par p JOIN walk w
+           SELECT p.k, w.depth + 1 FROM par2 p JOIN walk w
            ON p.parent = w.k)
          SELECT k AS c_custkey, depth FROM walk ORDER BY c_custkey""",
   )
