@@ -16,7 +16,10 @@ import org.apache.spark.sql.DataFrame
   * judge re-run could clear. Each query now runs up to
   * SPARK_GRAFT_REPS times (default 3; later reps skipped once a
   * query has spent [[Bench.PerQueryBudgetSec]], so streaming fixed
-  * costs don't triple the round):
+  * costs don't triple the round), and the reps are INTERLEAVED —
+  * sweep the whole list, then sweep again — so the minutes between a
+  * query's reps decorrelate them from multi-second whole-machine
+  * stall bursts that would otherwise contaminate all reps at once:
   *
   *  - `queries` reports the per-query MIN — the best available
   *    estimate of intrinsic cost under contention (noise is strictly
@@ -71,29 +74,47 @@ object Bench {
     val targets = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // INTERLEAVED reps (round-4 refinement): run the whole query list
+    // `reps` times instead of repeating each query back-to-back.
+    // Measured failure mode on this box: multi-second whole-machine
+    // stalls (host CPU steal bursts / huge-heap page reclaim) that
+    // last longer than 3 consecutive reps of a 1 s query — back-to-
+    // back reps then report a 30–300× MIN that looks intrinsic
+    // (round-4 evidence: ta_mixture 92.7 s / ta_repetition 332 s
+    // minima in stalled sweeps vs 0.9/1.3 s interleaved-or-quiet).
+    // With full-sweep spacing (~minutes) between a query's reps, one
+    // burst can contaminate at most one rep, and the min survives.
     canary()
-    val results = targets.zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i == targets.size / 2) canary()
-      val times = scala.collection.mutable.ArrayBuffer[Double]()
-      var failed = false
-      while (!failed && times.size < reps &&
-          (times.isEmpty || times.sum < PerQueryBudgetSec)) {
-        val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir))
-          times += (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => failed = true }
+    val times = scala.collection.mutable.LinkedHashMap(
+      targets.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer[Double]()
+      }: _*)
+    val failedQ = scala.collection.mutable.Set[String]()
+    for (r <- 0 until reps) {
+      targets.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (r == 0 && i > 0 && i == targets.size / 2) canary()
+        val ts = times(name)
+        if (!failedQ.contains(name) &&
+            (ts.isEmpty || ts.sum < PerQueryBudgetSec)) {
+          val t0 = System.nanoTime()
+          try { run(fn(spark, sfDir))
+            ts += (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => failedQ += name }
+        }
       }
+      canary()
+    }
+    val results = targets.map { case (name, _) =>
       // A later-rep failure must not discard a valid earlier timing:
-      // report the min of the successful reps (a flaky rep 2 on a
-      // contended box is exactly the noise this harness absorbs);
-      // -1 only when the query never completed at all.
-      if (times.isEmpty) (name, -1.0, -1.0)
+      // report the min of the successful reps; -1 only when the query
+      // never completed at all.
+      val ts = times(name)
+      if (ts.isEmpty) (name, -1.0, -1.0)
       else {
-        val sorted = times.toSeq.sorted
+        val sorted = ts.toSeq.sorted
         (name, sorted.head, sorted((sorted.size - 1) / 2))
       }
     }
-    canary()
 
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
