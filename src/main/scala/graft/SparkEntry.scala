@@ -30,6 +30,8 @@ object SparkEntry {
       graft.operators.GraphBasket.oracles),
     (graft.operators.Hierarchy.queries,
       graft.operators.Hierarchy.oracles),
+    (graft.operators.Warehouse.queries,
+      graft.operators.Warehouse.oracles),
     (graft.pipeline.CorpusOps.queries, graft.pipeline.CorpusOps.oracles),
     (graft.operators.Sketches.queries, graft.operators.Sketches.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),

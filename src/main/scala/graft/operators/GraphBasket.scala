@@ -109,9 +109,66 @@ object GraphBasket {
       .orderBy(desc("n_triangles"), asc("part"))
   }
 
+  // ---------------------------------------------------------------
+  // q52: PageRank on the undirected co-purchase graph — the canonical
+  // iterative-convergence workload (the reference has no iteration at
+  // all; its pipelines are single map→reduce passes,
+  // /root/reference/src/mapreduce.c:318-380).
+  //
+  // Hash-gate discipline: classic PageRank is double arithmetic whose
+  // per-vertex sums depend on partition arrival order, so it can never
+  // hash-match an oracle. Here ALL iteration state is integer: ranks
+  // are scaled to [[PrScale]] quanta, each contribution is an integral
+  // `div`, and the damping update is `(15·S) div (100·n) +
+  // (85·Σcontrib) div 100`. Integer sums are associative — any
+  // shuffle order gives bit-identical ranks in both engines — and the
+  // one double in the output is a single final division by a power of
+  // ten below 2^53. (Quantization error vs real PageRank is ≤
+  // deg·2^-40 per vertex per round — far below any ranking decision.)
+  //
+  // Scale shape: degree is joined into the edge list ONCE, so each of
+  // the [[PrIters]] rounds is one shuffle (join ranks on src) + one
+  // partial-aggregated shuffle (sum by dst); localCheckpoint flattens
+  // lineage so round k's plan does not re-derive rounds 1..k-1. On a
+  // cluster the edge list would be pre-partitioned by `u` and every
+  // round would reuse that exchange.
+  def q52PageRank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = pairs(baskets(s, dir), MinEdgeSupport).select("pa", "pb")
+    val ed = e0.select(col("pa").as("u"), col("pb").as("w"))
+      .unionByName(e0.select(col("pb").as("u"), col("pa").as("w")))
+    // deg and edges are checkpointed so the per-round eager actions
+    // below never re-derive the co-purchase graph from raw data
+    val deg = ed.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
+    val edges = ed.join(deg, "u").localCheckpoint()
+    val n = broadcast(deg.agg(count(lit(1)).as("nv")))
+    var r = deg.crossJoin(n)
+      .select(col("u").as("v"), expr(s"${PrScale}L div nv").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      r = edges.join(r, edges("u") === r("v"))
+        .select(col("w"), expr("r div d").as("c"))
+        .groupBy("w").agg(sum("c").as("m"))
+        .crossJoin(n)
+        .select(col("w").as("v"),
+          expr(s"((15 * ${PrScale}L) div (100 * nv)) + ((85 * m) div 100)")
+            .as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("v").as("part"), col("r").as("rank_scaled"),
+        (col("r").cast("double") / lit(PrScale).cast("double")).as("pr"))
+      .orderBy(desc("rank_scaled"), asc("part"))
+  }
+
+  /** Rank quantum: 1e-12 of total mass. */
+  val PrScale = 1000000000000L
+
+  /** Fixed iteration count — mirrored exactly by the unrolled oracle. */
+  val PrIters = 6
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_basket_rules" -> q49BasketRules,
     "q50_triangles" -> q50Triangles,
+    "q52_pagerank" -> q52PageRank,
   )
 
   private val Baskets =
@@ -157,5 +214,36 @@ object GraphBasket {
            UNION ALL SELECT c FROM tri)
          SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
          FROM t3 GROUP BY part ORDER BY n_triangles DESC, part""",
+    "q52_pagerank" -> prOracle,
   )
+
+  /** The PageRank oracle unrolls [[PrIters]] damping rounds as chained
+    * CTEs (aggregation inside a recursive CTE is non-portable). DuckDB
+    * `//` and Spark `div` agree on non-negative integers, and DuckDB's
+    * HUGEINT sums collapse back to the same BIGINT values Spark holds
+    * throughout.
+    */
+  private def prOracle: String = {
+    val rounds = (1 to PrIters).map { k =>
+      s"""r$k AS (SELECT e.w AS v,
+         ((15 * $PrScale) // (100 * n.nv))
+           + ((85 * SUM(p.r // e.d)) // 100) AS r
+         FROM edges e JOIN r${k - 1} p ON e.u = p.v, n
+         GROUP BY e.w, n.nv)"""
+    }.mkString(",\n         ")
+    s"""WITH op AS ($Baskets),
+       e0 AS (SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+         ON a.o = b.o AND a.p < b.p
+         GROUP BY 1, 2 HAVING COUNT(*) >= $MinEdgeSupport),
+       ed AS (SELECT pa AS u, pb AS w FROM e0
+         UNION ALL SELECT pb, pa FROM e0),
+       deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY u),
+       edges AS (SELECT ed.u, ed.w, deg.d FROM ed JOIN deg USING (u)),
+       n AS (SELECT COUNT(*) AS nv FROM deg),
+       r0 AS (SELECT u AS v, $PrScale // n.nv AS r FROM deg, n),
+       $rounds
+       SELECT v AS part, CAST(r AS BIGINT) AS rank_scaled,
+         CAST(r AS DOUBLE) / $PrScale AS pr
+       FROM r$PrIters ORDER BY rank_scaled DESC, part"""
+  }
 }

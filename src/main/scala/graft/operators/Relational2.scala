@@ -243,20 +243,30 @@ object Relational2 {
   // q41: data PROFILING — the ANALYZE-style per-column statistics
   // table (row count, null count, exact distinct count, min/max)
   // every catalog/maintenance layer computes before planning or
-  // after ingest. The profile is ONE aggregate over one scan of the
-  // table — all columns' stats in a single pass, melted to long form
-  // by exploding an array of per-column structs — never one scan per
-  // column (the naive shape that reads a 100 TB table six times).
-  // Min/max stay TYPED (numeric → double, string → string, date →
-  // canonical yyyy-MM-dd text) rather than forcing everything through
-  // a lossy to-string cast, so the gate is exact.
+  // after ingest. Min/max stay TYPED (numeric → double, string →
+  // string, date → canonical yyyy-MM-dd text) rather than forcing
+  // everything through a lossy to-string cast, so the gate is exact.
+  //
+  // Plan shape (re-engineered after an sf1 adjudication): the
+  // original single-pass form used one aggregate with six
+  // `count_distinct`s, which Catalyst plans as an Expand — every row
+  // replicated ×6 into one 6M×6-entry partial-dedup hash aggregate;
+  // at sf1 that hash table (dominated by the near-unique l_orderkey
+  // replicas dragging five null'd columns each) measured 150–400 s.
+  // The profile is now one aggregate PER COLUMN, unioned: each pass
+  // scans only its own column (parquet column pruning — ReadSchema
+  // is single-column, so at 100 TB the six passes together read the
+  // same bytes the fused pass did), each distinct dedups only its
+  // own values with map-side partial aggregation, and no row is ever
+  // replicated. sf1: 406 s → 5.2 s. "One scan, all columns" is only
+  // the right shape when the aggregate doesn't multiply the input.
   private val ProfileCols: Seq[(String, String)] = Seq(
     "l_orderkey" -> "num", "l_quantity" -> "num",
     "l_extendedprice" -> "num", "l_returnflag" -> "str",
     "l_linestatus" -> "str", "l_shipdate" -> "date")
 
   def q41Profile(s: SparkSession, dir: String): DataFrame = {
-    val aggs = ProfileCols.flatMap { case (c, kind) =>
+    val perCol = ProfileCols.map { case (c, kind) =>
       val (mn, mx) = kind match {
         case "num" => (min(col(c)).cast("double"),
           max(col(c)).cast("double"))
@@ -264,29 +274,24 @@ object Relational2 {
         case _ => (date_format(min(col(c)), "yyyy-MM-dd"),
           date_format(max(col(c)), "yyyy-MM-dd"))
       }
-      Seq(count(lit(1)).as(s"${c}__n"),
-        count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
-        mn.as(s"${c}__min"), mx.as(s"${c}__max"))
+      val isNum = kind == "num"
+      t(s, dir, "lineitem")
+        .select(col(c))
+        .agg(count(lit(1)).as("n"), count(col(c)).as("nn"),
+          count_distinct(col(c)).as("n_distinct"),
+          mn.as("mn"), mx.as("mx"))
+        .select(lit(c).as("column"), col("n"),
+          (col("n") - col("nn")).as("n_null"), col("n_distinct"),
+          (if (isNum) col("mn") else lit(null).cast("double"))
+            .as("min_num"),
+          (if (isNum) col("mx") else lit(null).cast("double"))
+            .as("max_num"),
+          (if (isNum) lit(null).cast("string") else col("mn"))
+            .as("min_str"),
+          (if (isNum) lit(null).cast("string") else col("mx"))
+            .as("max_str"))
     }
-    val wide = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
-    val entries = ProfileCols.map { case (c, kind) =>
-      struct(lit(c).as("column"),
-        col(s"${c}__n").as("n"),
-        (col(s"${c}__n") - col(s"${c}__nn")).as("n_null"),
-        col(s"${c}__nd").as("n_distinct"),
-        (if (kind == "num") col(s"${c}__min") else lit(null)
-          .cast("double")).as("min_num"),
-        (if (kind == "num") col(s"${c}__max") else lit(null)
-          .cast("double")).as("max_num"),
-        (if (kind == "num") lit(null).cast("string")
-          else col(s"${c}__min")).as("min_str"),
-        (if (kind == "num") lit(null).cast("string")
-          else col(s"${c}__max")).as("max_str"))
-    }
-    wide.select(explode(array(entries: _*)).as("e"))
-      .select("e.*")
-      .orderBy("column")
+    perCol.reduce(_ unionByName _).orderBy("column")
   }
 
   // ---------------------------------------------------------------

@@ -1,0 +1,335 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Warehouse-maintenance tier ([ext]): four daily-operations patterns
+  * every lakehouse pipeline runs that no other declared query covers —
+  * batch sessionization (the batch twin of `st_session_30m`), SCD
+  * type-2 dimension building, time-decayed activity scoring, and
+  * incremental materialized-view maintenance (merge partial aggregate
+  * states instead of recomputing — the 100 TB daily-ingest shape,
+  * complementing `dd_incremental` which does the same for dedup
+  * signatures).
+  *
+  * Timestamp discipline follows [[EventAnalytics]] (`ts_ns DIV 1000`
+  * ↔ DuckDB `epoch_ns(ts) // 1000`, exact integer µs); money follows
+  * [[Exact]] (decimal sums, one final cast).
+  */
+object Warehouse {
+
+  /** Session gap: 30 minutes, in µs — same constant as the streaming
+    * sessionizer so the two results are comparable.
+    */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("us"))
+
+  // ---------------------------------------------------------------
+  // q53: batch gap-sessionization. A new session starts at the first
+  // event and whenever the gap to the SAME user's previous event
+  // exceeds 30 min; sessions then aggregate to one row each. The
+  // (us, event_id) order key is tie-free, so lag/running-sum are
+  // deterministic.
+  //
+  // Scale shape: ONE hash exchange on user_id; lag, the running
+  // session counter, and the final per-session aggregate all evaluate
+  // in the same sorted partition (the groupBy keys are a prefix of
+  // the window partitioning, so AQE plans a partial-agg with no
+  // second wide exchange of comparable size).
+  def q53Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("prev", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("us") - col("prev") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_s").over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  // ---------------------------------------------------------------
+  // q54: SCD type-2 — compress each customer's order-priority history
+  // into validity intervals: keep only change rows (first value, or
+  // value ≠ previous), then valid_from = change date, valid_to = next
+  // change's date (NULL ⇒ current). (date, orderkey) is a total
+  // order, so same-day flips resolve identically in both engines.
+  //
+  // Scale shape: one exchange on custkey; both window passes (change
+  // detection, then version/lead over the filtered rows) reuse the
+  // same sort order — Catalyst plans a single sort.
+  def q54Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("custkey").orderBy("d", "ok")
+    Tables(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("ok"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_orderpriority").as("prio"))
+      .withColumn("prev", lag("prio", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead("d", 1).over(w))
+      .select(col("custkey"), col("version"), col("prio"),
+        col("d").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("custkey", "version")
+  }
+
+  // ---------------------------------------------------------------
+  // q55: time-decayed activity score — Σ over a user's events of
+  // 2^-min(age_weeks, 16), age anchored at the corpus max timestamp.
+  //
+  // Hash-gate discipline: a general λ^age sum of doubles is neither
+  // order-independent nor cross-engine stable. A POWER-OF-TWO decay
+  // is: every weight 2^-k (k ≤ 16) is an exact dyadic double, counts
+  // per (user, k) are ≤ 2^30, so every partial sum is an exact
+  // multiple of 2^-16 below 2^46 — no addition ever rounds, making
+  // the double SUM associative and bit-identical in both engines.
+  // The half-life (1 week) is the knob; the dyadic base is the
+  // determinism contract.
+  //
+  // Scale shape: corpus max rides a broadcast 1-row frame (no
+  // collect); then a single partial-aggregated groupBy(user).
+  def q55Decay(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val mx = broadcast(ev.agg(max("us").as("mx")))
+    val weekUs = 7L * 24 * 3600 * 1000 * 1000
+    ev.crossJoin(mx)
+      .select(col("user_id"),
+        expr(s"least((mx - us) div ${weekUs}L, 16L)").as("k"))
+      .select(col("user_id"),
+        (lit(1.0) / expr("cast(shiftleft(1L, cast(k as int)) as double)"))
+          .as("wt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("wt").as("decay_score"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q56: incremental materialized-view maintenance. The per-customer
+  // order summary is maintained as mergeable partial states: a
+  // persisted "state" aggregate over the history before [[MvSplit]]
+  // and a "delta" aggregate over the new partition are MERGED
+  // (second-stage sum over the union of partials) — never
+  // recomputed from base data. The oracle IS the full recompute, so
+  // the green row proves merge(state, delta) ≡ recompute(full) down
+  // to the hash — exact because counts are integers and money sums
+  // are decimal ([[Exact]]), both associative.
+  //
+  // Scale shape: at 100 TB the state side is a compact pre-aggregated
+  // table (one row per customer) and only the daily delta touches raw
+  // data — the union-merge shuffles rows proportional to DISTINCT
+  // customers, not to history size.
+  def q56IncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderdate"),
+        Exact.money(col("o_totalprice")).as("p"))
+    def partial(f: Column): DataFrame = o.filter(f).groupBy("custkey")
+      .agg(count(lit(1)).as("cnt"), sum("p").as("tot"))
+    val split = lit(MvSplit).cast("timestamp")
+    partial(col("o_orderdate") < split)
+      .unionByName(partial(col("o_orderdate") >= split))
+      .groupBy("custkey")
+      .agg(sum("cnt").as("n_orders"),
+        sum("tot").cast("double").as("total_spend"))
+      .orderBy("custkey")
+  }
+
+  /** State/delta boundary for the incremental view. */
+  val MvSplit = "1996-01-01"
+
+  // ---------------------------------------------------------------
+  // q57: Z-order (Morton) clustering key — the write-time layout key
+  // that makes row-group skipping work on TWO dimensions at once
+  // (complementing LayoutSpec's single-column sort gate). Each
+  // dimension is first mapped to [[ZBuckets]] equal-width buckets of
+  // ITS OWN observed range — q44's exact-integer bucketing, so both
+  // engines floor identically — and the two bucket ids are
+  // bit-interleaved. The range normalization is load-bearing:
+  // interleaving RAW keys starves the smaller-keyspace dimension
+  // (here l_suppkey, ~20× fewer values than l_partkey) of high-order
+  // bits, and the curve degenerates to a single-column sort —
+  // ZorderSpec caught exactly that on real written files. The key is
+  // pure shift/mask/add arithmetic (one whole-stage-codegen'd
+  // projection, identical in DuckDB), so the oracle hash-gates the
+  // exact clustering order a writer would apply; ZorderSpec proves
+  // the payoff (row-group skipping under single-dimension predicates
+  // on BOTH columns).
+  def q57Zorder(s: SparkSession, dir: String): DataFrame =
+    q57ZorderDf(Tables(s, dir, "lineitem"))
+
+  /** Table-shape-generic body (also the spec's unit-test entry). */
+  def q57ZorderDf(li0: DataFrame): DataFrame = {
+    val li = li0.select(col("l_orderkey"), col("l_linenumber")
+      .cast("long").as("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"))
+    val mm = li.agg(min("l_partkey").as("pmin"), max("l_partkey")
+      .as("pmax"), min("l_suppkey").as("smin"), max("l_suppkey")
+      .as("smax"))
+    li.crossJoin(broadcast(mm))
+      .withColumn("pb", expr(
+        s"((l_partkey - pmin) * $ZBuckets) div (pmax - pmin + 1)"))
+      .withColumn("sb", expr(
+        s"((l_suppkey - smin) * $ZBuckets) div (smax - smin + 1)"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), expr(mortonSpark("pb", "sb")).as("zkey"))
+      .orderBy("zkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** Bits per dimension in the Morton key. */
+  val ZBits = 8
+
+  /** Per-dimension bucket count (2^[[ZBits]]). */
+  val ZBuckets: Long = 1L << ZBits
+
+  /** Σ_i ((a>>i)&1)<<2i  +  ((b>>i)&1)<<(2i+1), Spark SQL dialect. */
+  private def mortonSpark(a: String, b: String): String =
+    (0 until ZBits).flatMap(i => Seq(
+      s"shiftleft(shiftright($a, $i) & 1, ${2 * i})",
+      s"shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})")).mkString(" + ")
+
+  /** Same key, DuckDB operator dialect. */
+  private def mortonDuck(a: String, b: String): String =
+    (0 until ZBits).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${2 * i})",
+      s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
+  // ---------------------------------------------------------------
+  // q58: data-quality audit — a declarative constraint suite (the
+  // Deequ/expectations pattern) over `orders`: key uniqueness,
+  // non-null, referential integrity against `customer`, a numeric
+  // range, and a categorical domain. One row per constraint with its
+  // violation count, so a pipeline gate can diff this result day
+  // over day.
+  //
+  // Scale shape: the three row-local constraints share ONE scan pass
+  // (a single conditional aggregate, unpivoted with stack); the
+  // uniqueness check is a partial-aggregated group-by; referential
+  // integrity is a broadcast anti join. Nothing rescans per
+  // constraint.
+  def q58DqAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val rowLocal = o.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("dom"))
+      .selectExpr("""stack(3,
+        'custkey_not_null', nn,
+        'totalprice_positive', pos,
+        'status_domain', dom) AS (check_name, n_violations)""")
+    val unique = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orderkey_unique").as("check_name"), col("n_violations"))
+    val cust = Tables(s, dir, "customer").select(col("c_custkey"))
+    val fk = o.join(broadcast(cust),
+        o("o_custkey") === cust("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("custkey_fk").as("check_name"), col("n_violations"))
+    rowLocal.unionByName(unique).unionByName(fk)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("check_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_sessionize" -> q53Sessionize,
+    "q54_scd2" -> q54Scd2,
+    "q55_decay" -> q55Decay,
+    "q56_incremental_mv" -> q56IncrementalMv,
+    "q57_zorder" -> q57Zorder,
+    "q58_dq_audit" -> q58DqAudit,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q53_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+           epoch_ns(ts) // 1000 AS us FROM events),
+         l AS (SELECT user_id, us,
+           CASE WHEN LAG(us) OVER w IS NULL
+             OR us - LAG(us) OVER w > $SessionGapUs
+             THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY us, event_id)),
+         si AS (SELECT user_id, us, SUM(new_s) OVER
+             (PARTITION BY user_id ORDER BY us
+              ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM l)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us,
+           MAX(us) - MIN(us) AS duration_us
+         FROM si GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+    "q54_scd2" ->
+      """WITH o AS (SELECT o_custkey AS custkey, o_orderkey AS ok,
+           CAST(o_orderdate AS DATE) AS d, o_orderpriority AS prio
+           FROM orders),
+         c AS (SELECT *, LAG(prio) OVER
+             (PARTITION BY custkey ORDER BY d, ok) AS prev FROM o),
+         f AS (SELECT * FROM c WHERE prev IS NULL OR prev <> prio)
+         SELECT custkey, CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           prio, d AS valid_from, LEAD(d) OVER w AS valid_to,
+           LEAD(d) OVER w IS NULL AS is_current
+         FROM f WINDOW w AS (PARTITION BY custkey ORDER BY d, ok)
+         ORDER BY custkey, version""",
+    "q55_decay" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
+           FROM events),
+         m AS (SELECT MAX(us) AS mx FROM e)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(1.0 / CAST((CAST(1 AS BIGINT) <<
+             LEAST((mx - us) // ${7L * 24 * 3600 * 1000 * 1000},
+               16)) AS DOUBLE)) AS decay_score
+         FROM e, m GROUP BY user_id ORDER BY user_id""",
+    "q56_incremental_mv" ->
+      """SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_spend
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q57_zorder" ->
+      s"""WITH s AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey)
+           AS pmax, MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+           FROM lineitem),
+         b AS (SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_partkey, l_suppkey,
+           ((l_partkey - pmin) * $ZBuckets) // (pmax - pmin + 1) AS pb,
+           ((l_suppkey - smin) * $ZBuckets) // (smax - smin + 1) AS sb
+           FROM lineitem, s)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           ${mortonDuck("pb", "sb")} AS zkey
+         FROM b ORDER BY zkey, l_orderkey, l_linenumber""",
+    "q58_dq_audit" ->
+      """WITH s AS (SELECT
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
+           SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS pos,
+           SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+             THEN 1 ELSE 0 END) AS dom
+           FROM orders),
+         u AS (SELECT COUNT(*) AS v FROM (SELECT o_orderkey FROM orders
+           GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+         f AS (SELECT COUNT(*) AS v FROM orders o LEFT JOIN customer c
+           ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+         r AS (SELECT 'custkey_not_null' AS check_name,
+             (SELECT nn FROM s) AS n
+           UNION ALL SELECT 'totalprice_positive', (SELECT pos FROM s)
+           UNION ALL SELECT 'status_domain', (SELECT dom FROM s)
+           UNION ALL SELECT 'orderkey_unique', (SELECT v FROM u)
+           UNION ALL SELECT 'custkey_fk', (SELECT v FROM f))
+         SELECT check_name, CAST(n AS BIGINT) AS n_violations,
+           n = 0 AS pass
+         FROM r ORDER BY check_name""",
+  )
+}

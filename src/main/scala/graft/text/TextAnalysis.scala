@@ -492,7 +492,71 @@ object TextAnalysis {
     "ta_fingerprint" -> fingerprint,
     "ta_tfidf" -> tfidf,
     "ta_bigrams" -> bigrams,
+    "ta_bm25" -> bm25,
   )
+
+  /** Fixed retrieval query for ta_bm25 (fixture-vocabulary terms).
+    * Order matters: the per-term contributions are added in THIS
+    * sequence on both engines.
+    */
+  val Bm25Terms: Seq[String] = Seq("data", "query", "window")
+
+  /** Result size of the ranked retrieval. */
+  val Bm25TopK = 20
+
+  // -----------------------------------------------------------------
+  // ta_bm25: BM25-style ranked retrieval (k1 = 1.2, b = 0.75) of the
+  // top-20 documents for a fixed 3-term query — the IR scoring twin
+  // of [[tfidf]].
+  //
+  // Hash-gate discipline: (a) the idf term is the RATIONAL
+  // (N − df + 0.5)/(df + 0.5) — the log in Robertson's idf is a
+  // monotone per-term transform, and ln() is not bit-reproducible
+  // across engines (same rule as [[lmScore]]); (b) a document's score
+  // is NOT a SUM aggregate (double sums are order-dependent) — each
+  // term's contribution is pivoted to its own column (exactly one row
+  // per (doc, term), so max() is selection, not arithmetic) and the
+  // three columns are added left-to-right in [[Bm25Terms]] order, the
+  // identical expression tree in both engines. Every remaining
+  // operation is a single correctly-rounded IEEE op on identical
+  // operands.
+  //
+  // Scale shape: tf touches only rows whose term is in the query
+  // (filter below the aggregation); df and the corpus stats (N, Σdl)
+  // are broadcast 1-row/vocabulary-sized frames; the top-20 frontier
+  // is TakeOrdered, not a global sort.
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val st = broadcast(d.agg(count(lit(1)).as("nd"),
+      sum(size(col("toks")).cast("long")).as("sl")))
+    val tf = d
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib =
+      (((col("nd") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) *
+        (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) *
+            ((col("dl") * col("nd")).cast("double") / col("sl"))))
+    val wide = tf.join(broadcast(dft), "term").crossJoin(st)
+      .select(col("doc_id"), col("term"), contrib.as("c"))
+      .groupBy("doc_id")
+      .agg(
+        coalesce(max(when(col("term") === Bm25Terms.head, col("c"))),
+          lit(0.0)).as(s"c_${Bm25Terms.head}"),
+        Bm25Terms.tail.map(t =>
+          coalesce(max(when(col("term") === t, col("c"))), lit(0.0))
+            .as(s"c_$t")): _*)
+    wide
+      .select(col("doc_id"),
+        Bm25Terms.map(t => col(s"c_$t")).reduce(_ + _).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(Bm25TopK)
+  }
 
   // ---------------------------------------------------------------
   // DuckDB oracles. Shared SQL fragments mirror TextHash exactly.
@@ -725,6 +789,34 @@ object TextAnalysis {
              CAST(len(clean) AS BIGINT) AS n_clean,
              md5(array_to_string(clean, ' ')) AS clean_md5
            FROM c ORDER BY doc_id""",
+      "ta_bm25" -> {
+        val inList = Bm25Terms.mkString("('", "', '", "')")
+        val pivots = Bm25Terms.map(t =>
+          s"COALESCE(MAX(CASE WHEN term = '$t' THEN c END), 0.0) AS c_$t")
+          .mkString(",\n             ")
+        // Left-to-right sum, same tree as the Scala reduce.
+        val scoreExpr = Bm25Terms.map(t => s"c_$t").reduce((a, b) => s"($a + $b)")
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           st AS (SELECT COUNT(*) AS nd,
+             SUM(CAST(len(toks) AS BIGINT)) AS sl FROM d),
+           t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             unnest(toks) AS term FROM d),
+           tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM t
+             WHERE term IN $inList GROUP BY 1, 2, 3),
+           dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           sc AS (SELECT doc_id, term,
+             ((CAST(nd - df AS DOUBLE) + 0.5) /
+               (CAST(df AS DOUBLE) + 0.5)) *
+               (CAST(tf AS DOUBLE) * 2.2) /
+               (CAST(tf AS DOUBLE) + 1.2 *
+                 (0.25 + 0.75 * (CAST(dl * nd AS DOUBLE) / sl))) AS c
+             FROM tf JOIN dft USING (term), st),
+           a AS (SELECT doc_id,
+             $pivots
+             FROM sc GROUP BY doc_id)
+           SELECT doc_id, $scoreExpr AS score FROM a
+           ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+      },
     )
   }
 }

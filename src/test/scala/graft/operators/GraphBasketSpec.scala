@@ -59,6 +59,34 @@ class GraphBasketSpec extends SparkSpec {
     assert(got.values.sum % 3 === 0)
   }
 
+  test("q52 pagerank == sequential BigInt power iteration") {
+    val edgeSet = pairSupp.filter(_._2 >= GraphBasket.MinEdgeSupport).keySet
+    val out = edgeSet.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = out.view.mapValues(_.size.toLong).toMap
+    val n = deg.size.toLong
+    val S = BigInt(GraphBasket.PrScale)
+    var r: Map[Long, BigInt] = deg.map { case (v, _) => v -> S / n }
+    for (_ <- 1 to GraphBasket.PrIters) {
+      val in = scala.collection.mutable.Map[Long, BigInt]()
+        .withDefaultValue(BigInt(0))
+      out.foreach { case (u, ws) =>
+        val c = r(u) / deg(u)
+        ws.foreach(w => in(w) += c)
+      }
+      r = deg.map { case (v, _) =>
+        v -> ((15 * S) / (100 * n) + (85 * in(v)) / 100)
+      }
+    }
+    val got = GraphBasket.q52PageRank(spark, sf).collect()
+      .map(x => x.getLong(0) -> BigInt(x.getLong(1))).toMap
+    assert(got === r)
+    // truncating divs only ever LOSE quanta: total mass stays within
+    // a few parts per thousand of one full unit of rank
+    val mass = got.values.sum
+    assert(mass <= S && mass > S * 9 / 10)
+  }
+
   test("pair generation joins on the order key, never cross-product") {
     val plan = GraphBasket.q49BasketRules(spark, sf)
       .queryExecution.executedPlan.toString

@@ -109,7 +109,8 @@ class Relational2Spec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
 
-  test("q41 profile: one scan for all columns, internally consistent") {
+  test("q41 profile: pruned per-column passes, no Expand, " +
+      "internally consistent") {
     val df = Relational2.q41Profile(spark, sf)
     val rows = df.collect()
     assert(rows.length === 6)
@@ -126,14 +127,21 @@ class Relational2Spec extends SparkSpec {
       if (hasNum) assert(r.getDouble(4) <= r.getDouble(5))
       else assert(r.getString(6) <= r.getString(7))
     }
-    // the whole profile must come from ONE pass over lineitem — a
-    // per-column loop would show one scan per profiled column
+    // the profile is one COLUMN-PRUNED pass per column (the fused
+    // single-pass alternative plans its multi-count_distinct as an
+    // Expand that replicates every row ×6 — 400 s at sf1): each scan's
+    // ReadSchema must carry exactly its own column, and no Expand may
+    // appear anywhere
     // the AQE plan string repeats the tree under "== Initial Plan ==";
     // audit only the final plan section
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans === 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+    assert(!plan.contains("Expand"), s"row-replicating Expand:\n$plan")
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.length === 6, s"expected 6 pruned scans:\n$plan")
+    assert(reads.forall(r => !r.contains(",")),
+      s"a profile scan read more than its own column: $reads")
   }
 
   test("q42 merge: deletes gone, updates patched, inserts present, " +

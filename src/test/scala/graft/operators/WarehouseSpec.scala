@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+
+/** q53–q56: each warehouse-maintenance operator checked against a
+  * driver-side sequential recompute or a structural invariant the SQL
+  * oracle cannot express.
+  */
+class WarehouseSpec extends SparkSpec {
+
+  test("q53 sessions == sequential per-user replay") {
+    val ev = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "ts_ns DIV 1000 AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2)).map(_._3)
+      // replay: assign session index by walking the gap sequence
+      val idx = sorted.scanLeft((0L, Long.MinValue)) {
+        case ((i, prev), us) =>
+          (if (prev == Long.MinValue ||
+            us - prev > Warehouse.SessionGapUs) i + 1 else i, us)
+      }.tail.map(_._1)
+      sorted.zip(idx).groupBy(_._2).map { case (si, es) =>
+        (u, si, es.size.toLong, es.map(_._1).min, es.map(_._1).max)
+      }
+    }.toSet
+    val got = Warehouse.q53Sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q54 SCD2 intervals tile each customer's history") {
+    val rows = Warehouse.q54Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDate(3), Option(r.getDate(4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, h0) =>
+      val h = h0.sortBy(_._2)
+      // versions contiguous from 1
+      assert(h.map(_._2).toSeq === (1L to h.length).toSeq)
+      // exactly one open (current) interval, and it is the last
+      assert(h.count(_._5.isEmpty) === 1 && h.last._5.isEmpty)
+      assert(h.forall(r => r._6 === r._5.isEmpty))
+      // each interval closes exactly where the next opens, and the
+      // tracked value actually changed at every boundary
+      h.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4))
+          assert(a._3 !== b._3)
+        case _ =>
+      }
+    }
+  }
+
+  test("q55 decay score is bit-exact vs rational recompute") {
+    val ev = Tables(spark, sf, "events")
+      .selectExpr("user_id", "ts_ns DIV 1000 AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mx = ev.map(_._2).max
+    val weekUs = 7L * 24 * 3600 * 1000 * 1000
+    // exact rational sum: weights are 2^-k, k <= 16, so Σ·2^16 is an
+    // integer — compare as scaled integers, then assert the double
+    // the engine returns is exactly that rational
+    val expected = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map { case (_, us) =>
+        (1L << 16) >> math.min((mx - us) / weekUs, 16L).toInt
+      }.sum
+    }
+    val got = Warehouse.q55Decay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (u, _, score) =>
+      assert(score * 65536.0 === expected(u).toDouble,
+        s"user $u score not the exact dyadic rational")
+    }
+  }
+
+  test("q56 merged partial states == single-pass recompute, bitwise") {
+    import org.apache.spark.sql.functions._
+    val direct = Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Exact.money(col("o_totalprice"))).cast("double")
+          .as("total_spend"))
+      .orderBy("custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val merged = Warehouse.q56IncrementalMv(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(merged.toSeq === direct.toSeq)
+    assert(merged.nonEmpty)
+  }
+
+  test("q53/q55 plans: one user-keyed exchange, no cartesian blowup") {
+    val p53 = Warehouse.q53Sessionize(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p53.contains("CartesianProduct"))
+    val p55 = Warehouse.q55Decay(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the corpus-max scalar must ride a broadcast, not a cartesian
+    assert(!p55.contains("CartesianProduct"))
+    assert(p55.contains("BroadcastNestedLoopJoin")
+      || p55.contains("BroadcastExchange"))
+  }
+}

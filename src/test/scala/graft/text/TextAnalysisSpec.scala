@@ -218,4 +218,40 @@ class TextAnalysisSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(rows(2L).getAs[String]("clean_md5") === md)
   }
+
+  test("ta_bm25 == driver recompute with the identical float tree") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextHash.tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val nd = toks.size.toLong
+    val sl = toks.values.map(_.size.toLong).sum
+    val terms = TextAnalysis.Bm25Terms
+    val df = terms.map(t =>
+      t -> toks.count(_._2.contains(t)).toLong).toMap
+    // only documents containing >=1 query term participate (the tf
+    // frame is empty for the rest, in operator and oracle alike)
+    val scores = toks.filter(_._2.exists(terms.contains)).map {
+      case (id, ts) =>
+        val dl = ts.size.toLong
+      // contributions added in Bm25Terms order — the same
+      // left-to-right tree the operator and the oracle use
+        id -> terms.map { t =>
+          val tf = ts.count(_ == t).toLong
+          if (tf == 0L || df(t) == 0L) 0.0
+          else ((nd - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5) *
+            (tf.toDouble * 2.2) /
+            (tf.toDouble + 1.2 * (0.25 + 0.75 * ((dl * nd).toDouble / sl)))
+        }.reduce(_ + _)
+    }
+    val expected = scores.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(TextAnalysis.Bm25TopK)
+    val got = TextAnalysis.bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+    assert(got.size === math.min(TextAnalysis.Bm25TopK, scores.size))
+    assert(got.head._2 > 0.0)
+  }
 }
