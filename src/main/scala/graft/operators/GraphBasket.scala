@@ -165,10 +165,55 @@ object GraphBasket {
   /** Fixed iteration count — mirrored exactly by the unrolled oracle. */
   val PrIters = 6
 
+  // ---------------------------------------------------------------
+  // q60: BFS shortest-path distances from a deterministic source (the
+  // minimum vertex id) on the co-purchase graph, bounded to
+  // [[BfsRounds]] hops — the frontier-expansion workload (reachability
+  // / "products within k recommendation hops"), completing the
+  // iterative-graph trio with q51's DAG doubling and q52's full
+  // per-round relaxation.
+  //
+  // Hash-gate discipline: distances are pure integers and min() is
+  // order-independent, so a fixed round count gives bit-identical
+  // results in any execution order; vertices still unreached after
+  // [[BfsRounds]] rounds are absent in both engines.
+  //
+  // Scale shape: each round is one shuffle join of the edge list
+  // against the CURRENT distance frame plus a min-recombine; the
+  // distance frame is vertex-sized, not edge-sized. localCheckpoint
+  // flattens per-round lineage exactly as in q52PageRank. (True
+  // frontier-only expansion — joining just the rows whose d changed —
+  // is an optimization that does not change the fixed-round result.)
+  def q60Bfs(s: SparkSession, dir: String): DataFrame = {
+    val e0 = pairs(baskets(s, dir), MinEdgeSupport).select("pa", "pb")
+    val edges = e0.select(col("pa").as("u"), col("pb").as("w"))
+      .unionByName(e0.select(col("pb").as("u"), col("pa").as("w")))
+      .localCheckpoint()
+    val src = broadcast(edges.agg(min("u").as("sv")))
+    var dist = edges.crossJoin(src)
+      .filter(col("u") === col("sv"))
+      .select(col("u").as("v"), lit(0L).as("d"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      dist = dist
+        .unionByName(edges.join(dist, edges("u") === dist("v"))
+          .select(col("w").as("v"), (col("d") + 1L).as("d")))
+        .groupBy("v").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    dist.select(col("v").as("part"), col("d").as("dist"))
+      .orderBy("dist", "part")
+  }
+
+  /** Hop bound for the BFS — mirrored by the unrolled oracle. */
+  val BfsRounds = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_basket_rules" -> q49BasketRules,
     "q50_triangles" -> q50Triangles,
     "q52_pagerank" -> q52PageRank,
+    "q60_bfs" -> q60Bfs,
   )
 
   private val Baskets =
@@ -215,7 +260,32 @@ object GraphBasket {
          SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
          FROM t3 GROUP BY part ORDER BY n_triangles DESC, part""",
     "q52_pagerank" -> prOracle,
+    "q60_bfs" -> bfsOracle,
   )
+
+  /** BFS oracle: [[BfsRounds]] min-relaxation rounds as chained CTEs
+    * (same unrolling rationale as [[prOracle]]); the source is the
+    * minimum vertex id, a deterministic scalar subquery.
+    */
+  private def bfsOracle: String = {
+    val rounds = (1 to BfsRounds).map { k =>
+      s"""d$k AS (SELECT v, MIN(d) AS d FROM (
+           SELECT v, d FROM d${k - 1}
+           UNION ALL
+           SELECT e.w AS v, p.d + 1 AS d
+           FROM edges e JOIN d${k - 1} p ON e.u = p.v) GROUP BY v)"""
+    }.mkString(",\n         ")
+    s"""WITH op AS ($Baskets),
+       e0 AS (SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+         ON a.o = b.o AND a.p < b.p
+         GROUP BY 1, 2 HAVING COUNT(*) >= $MinEdgeSupport),
+       edges AS (SELECT pa AS u, pb AS w FROM e0
+         UNION ALL SELECT pb, pa FROM e0),
+       d0 AS (SELECT MIN(u) AS v, 0 AS d FROM edges),
+       $rounds
+       SELECT v AS part, CAST(d AS BIGINT) AS dist
+       FROM d$BfsRounds ORDER BY dist, part"""
+  }
 
   /** The PageRank oracle unrolls [[PrIters]] damping rounds as chained
     * CTEs (aggregation inside a recursive CTE is non-portable). DuckDB

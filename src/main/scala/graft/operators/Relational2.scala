@@ -421,8 +421,52 @@ object Relational2 {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------
+  // q59: per-brand Pareto SKYLINE — within each p_brand, the parts no
+  // other part of the brand dominates (dominates = price ≤ AND size ≥
+  // with at least one strict). The multi-objective frontier query
+  // (Börzsönyi et al., ICDE '01) that product/offer pipelines run;
+  // nothing else in the registry exercises dominance semantics.
+  //
+  // Shape: the O(n²) NOT-EXISTS self-join (which the oracle runs —
+  // fine at DuckDB fixture scale) is replaced by the sweep-line
+  // identity: a part is on the frontier iff its size equals its
+  // brand+price group's max AND that max strictly exceeds every
+  // max at a strictly lower price in the brand. So: (1) aggregate to
+  // one row per (brand, price) — the massive reducer; (2) a
+  // rows-frame prefix max over the per-brand price-sorted groups
+  // (strict prefix ⇒ "strictly cheaper", since each row is a distinct
+  // price); (3) semi-join survivors back to recover part rows.
+  //
+  // Hash-gate discipline: price is compared and equi-joined, never
+  // arithmetic'd, so double is safe; everything else is int/long.
+  //
+  // Scale shape: one partial-aggregated shuffle on (brand, price);
+  // the window partitions BY BRAND (parallel, never a single global
+  // partition); the survivor set is frontier-sized, so the final join
+  // broadcasts. The part scan reads 4 columns (pruned).
+  def q59Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_brand"), col("p_partkey"),
+      col("p_retailprice"), col("p_size").cast("long").as("p_size"))
+    val grp = p.groupBy("p_brand", "p_retailprice")
+      .agg(max("p_size").as("gmax"))
+    val w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = grp
+      .withColumn("pmax", max("gmax").over(w))
+      .filter(col("pmax").isNull || col("gmax") > col("pmax"))
+      .select(col("p_brand"), col("p_retailprice"),
+        col("gmax").as("p_size"))
+    p.join(broadcast(frontier),
+        Seq("p_brand", "p_retailprice", "p_size"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("p_size"))
+      .orderBy("p_brand", "p_retailprice", "p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_range_frame" -> q38RangeFrame,
+    "q59_skyline" -> q59Skyline,
     "q40_unpivot" -> q40Unpivot,
     "q41_profile" -> q41Profile,
     "q42_merge_upsert" -> q42MergeUpsert,
@@ -532,6 +576,20 @@ object Relational2 {
         .map { case (c, k) => row(c, k) }
         .mkString("", " UNION ALL ", " ORDER BY \"column\"")
     },
+    // The oracle is the definition itself: dominance as NOT EXISTS —
+    // quadratic within brand, which DuckDB handles at fixture scale;
+    // the Spark side's sweep-line plan must reproduce it exactly.
+    "q59_skyline" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+         CAST(p_size AS BIGINT) AS p_size
+         FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM part q
+           WHERE q.p_brand = p.p_brand
+             AND q.p_retailprice <= p.p_retailprice
+             AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size))
+         ORDER BY p_brand, p_retailprice, p_partkey""",
     "q38_range_frame" ->
       """SELECT o_orderkey, o_custkey,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (

@@ -493,6 +493,7 @@ object TextAnalysis {
     "ta_tfidf" -> tfidf,
     "ta_bigrams" -> bigrams,
     "ta_bm25" -> bm25,
+    "ta_pmi" -> pmi,
   )
 
   /** Fixed retrieval query for ta_bm25 (fixture-vocabulary terms).
@@ -556,6 +557,65 @@ object TextAnalysis {
         Bm25Terms.map(t => col(s"c_$t")).reduce(_ + _).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(Bm25TopK)
+  }
+
+  /** Minimum co-occurrence count for a PMI candidate (kills the
+    * noisy hapax tail, standard collocation practice).
+    */
+  val PmiMinCount = 5L
+
+  /** Result size of the collocation ranking. */
+  val PmiTopK = 50
+
+  // -----------------------------------------------------------------
+  // ta_pmi: collocation extraction — adjacent token pairs ranked by
+  // pointwise mutual information, the corpus statistic tokenizer
+  // builders use to decide which pairs deserve a merged vocab entry
+  // (complementing [[bigrams]], which ranks by raw frequency and so
+  // surfaces only stopword pairs).
+  //
+  // Hash-gate discipline: PMI is log(P(ab)/(P(a)P(b))), but log is a
+  // libm call with no cross-engine bit guarantee — and it is monotone,
+  // so the RANKING is identical if we emit the rational argument
+  // instead: lift = (c_ab·Nu²)/(c_a·c_b·Nb). The integer counts are
+  // exact doubles (< 2^53), and both engines evaluate the identical
+  // five-op tree (mul, mul, div, div, mul) on them — every step
+  // correctly rounded on identical operands, hence bit-identical.
+  //
+  // Scale shape: one exploded pass each for unigram and bigram counts
+  // (partial aggregation on both); the two count joins are
+  // vocabulary-sized (AQE broadcasts them at any realistic vocab);
+  // corpus totals ride broadcast 1-row frames; the final frontier is
+  // TakeOrdered(PmiTopK), never a global sort.
+  def pmi(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(tokens(col("text")).as("toks"))
+    val toks = col("toks")
+    val uni = d.select(explode(toks).as("tkn"))
+      .groupBy("tkn").agg(count(lit(1)).as("c"))
+    val nu = broadcast(uni.agg(sum("c").as("nu")))
+    val pairs = d
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2), i =>
+          struct(element_at(toks, i + 1).as("a"),
+            element_at(toks, i + 2).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>")))
+        .as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val nb = broadcast(pairs.agg(sum("cab").as("nb")))
+    val ca = uni.select(col("tkn").as("a"), col("c").as("c_a"))
+    val cb = uni.select(col("tkn").as("b"), col("c").as("c_b"))
+    pairs.filter(col("cab") >= PmiMinCount)
+      .join(ca, "a").join(cb, "b")
+      .crossJoin(nu).crossJoin(nb)
+      .select(concat(col("a"), lit(" "), col("b")).as("bigram"),
+        col("cab").as("pair_cnt"),
+        (((col("cab").cast("double") * col("nu").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))) *
+          (col("nu").cast("double") / col("nb").cast("double")))
+          .as("lift"))
+      .orderBy(desc("lift"), asc("bigram"))
+      .limit(PmiTopK)
   }
 
   // ---------------------------------------------------------------
@@ -789,6 +849,30 @@ object TextAnalysis {
              CAST(len(clean) AS BIGINT) AS n_clean,
              md5(array_to_string(clean, ' ')) AS clean_md5
            FROM c ORDER BY doc_id""",
+      // Identical five-op float tree as the operator (see pmi's
+      // Scaladoc); SUMs of BIGINT go HUGEINT in DuckDB, so the corpus
+      // totals are cast back before entering the tree.
+      "ta_pmi" ->
+        s"""WITH d AS (SELECT $Toks AS toks FROM documents),
+           u AS (SELECT unnest(toks) AS tkn FROM d),
+           uc AS (SELECT tkn, COUNT(*) AS c FROM u GROUP BY 1),
+           nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uc),
+           p AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                 i -> {'a': toks[i], 'b': toks[i+1]})
+             ELSE [] END) AS pr FROM d),
+           pc AS (SELECT pr.a AS a, pr.b AS b, COUNT(*) AS cab
+             FROM p GROUP BY 1, 2),
+           nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS nb FROM pc)
+           SELECT pc.a || ' ' || pc.b AS bigram,
+             CAST(cab AS BIGINT) AS pair_cnt,
+             ((CAST(cab AS DOUBLE) * CAST(nu AS DOUBLE)) /
+               (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) *
+               (CAST(nu AS DOUBLE) / CAST(nb AS DOUBLE)) AS lift
+           FROM pc JOIN uc ca ON pc.a = ca.tkn
+             JOIN uc cb ON pc.b = cb.tkn, nu, nb
+           WHERE cab >= $PmiMinCount
+           ORDER BY lift DESC, bigram LIMIT $PmiTopK""",
       "ta_bm25" -> {
         val inList = Bm25Terms.mkString("('", "', '", "')")
         val pivots = Bm25Terms.map(t =>

@@ -87,6 +87,24 @@ class GraphBasketSpec extends SparkSpec {
     assert(mass <= S && mass > S * 9 / 10)
   }
 
+  test("q60 bfs == sequential breadth-first search, capped at 4 hops") {
+    val edgeSet = pairSupp.filter(_._2 >= GraphBasket.MinEdgeSupport).keySet
+    val adj = edgeSet.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val src = adj.keys.min
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    for (k <- 1 to GraphBasket.BfsRounds if frontier.nonEmpty) {
+      val next = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      next.foreach(v => dist += v -> k.toLong)
+      frontier = next
+    }
+    val got = GraphBasket.q60Bfs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+    assert(got.nonEmpty && got(src) === 0L)
+  }
+
   test("pair generation joins on the order key, never cross-product") {
     val plan = GraphBasket.q49BasketRules(spark, sf)
       .queryExecution.executedPlan.toString

@@ -218,6 +218,31 @@ class Relational2Spec extends SparkSpec {
       mm.getDouble(1) < los.last + (los(1) - los(0)))
   }
 
+  test("q59 skyline == brute-force dominance; no quadratic join") {
+    val parts = graft.Tables(spark, sf, "part")
+      .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3).toLong))
+    val expected = parts.filter { case (br, _, price, sz) =>
+      !parts.exists { case (br2, _, p2, s2) =>
+        br2 == br && p2 <= price && s2 >= sz && (p2 < price || s2 > sz)
+      }
+    }.sortBy { case (br, k, p, _) => (br, p, k) }.toSeq
+    val got = Relational2.q59Skyline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the operator must use the sweep-line shape, never an O(n²)
+    // dominance self-join
+    val plan = Relational2.q59Skyline(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"quadratic join in skyline plan:\n$plan")
+  }
+
   test("q37 market share: shares in [0,1]; weighted shares ≈ totals") {
     val rows = Relational2.q37MarketShare(spark, sf).collect()
     assert(rows.nonEmpty)

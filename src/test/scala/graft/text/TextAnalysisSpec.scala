@@ -219,6 +219,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2L).getAs[String]("clean_md5") === md)
   }
 
+  test("ta_pmi == driver recompute; lift ranking matches log-PMI order") {
+    val toks = graft.Tables(spark, sf, "documents")
+      .select(graft.functions.TextHash.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val nu = uni.values.sum
+    val prs = toks.flatMap(ts => ts.zip(ts.drop(1)))
+    val pc = prs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nb = pc.values.sum
+    val expected = pc.toSeq
+      .filter(_._2 >= TextAnalysis.PmiMinCount)
+      .map { case ((a, b), cab) =>
+        val lift = ((cab.toDouble * nu.toDouble) /
+          (uni(a).toDouble * uni(b).toDouble)) *
+          (nu.toDouble / nb.toDouble)
+        (s"$a $b", cab, lift)
+      }
+      .sortBy { case (bg, _, l) => (-l, bg) }
+      .take(TextAnalysis.PmiTopK)
+    val got = TextAnalysis.pmi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // lift is a monotone surrogate for PMI: the emitted ranking must
+    // equal the ranking by log of the same rational
+    val byLog = got.sortBy { case (bg, _, l) => (-math.log(l), bg) }
+    assert(byLog === got)
+  }
+
   test("ta_bm25 == driver recompute with the identical float tree") {
     import org.apache.spark.sql.functions._
     val toks = graft.Tables(spark, sf, "documents")
