@@ -139,7 +139,11 @@ object GraphBasket {
     // deg and edges are checkpointed so the per-round eager actions
     // below never re-derive the co-purchase graph from raw data
     val deg = ed.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
-    val edges = ed.join(deg, "u").localCheckpoint()
+    // hash-partition the edge list on the per-round join key ONCE;
+    // localCheckpoint preserves the partitioning, so every round's
+    // join exchanges only the (small) rank frame, not the edges
+    val edges = ed.join(deg, "u")
+      .repartition(col("u")).localCheckpoint()
     val n = broadcast(deg.agg(count(lit(1)).as("nv")))
     var r = deg.crossJoin(n)
       .select(col("u").as("v"), expr(s"${PrScale}L div nv").as("r"))
@@ -188,7 +192,7 @@ object GraphBasket {
     val e0 = pairs(baskets(s, dir), MinEdgeSupport).select("pa", "pb")
     val edges = e0.select(col("pa").as("u"), col("pb").as("w"))
       .unionByName(e0.select(col("pb").as("u"), col("pa").as("w")))
-      .localCheckpoint()
+      .repartition(col("u")).localCheckpoint() // see q52PageRank
     val src = broadcast(edges.agg(min("u").as("sv")))
     var dist = edges.crossJoin(src)
       .filter(col("u") === col("sv"))
