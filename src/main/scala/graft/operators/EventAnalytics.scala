@@ -165,17 +165,65 @@ object EventAnalytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // ---------------------------------------------------------------
+  // q61: event-type TRANSITION MATRIX — first-order Markov counts and
+  // probabilities over each user's time-ordered event stream (the
+  // "what happens after an error?" product-analytics staple, and the
+  // empirical transition model session-simulation needs).
+  //
+  // Hash-gate discipline: counts are integers; each probability is a
+  // SINGLE division of two exactly-represented longs (the denominator
+  // is a window SUM of counts — integer, associative), so every cell
+  // is bit-identical across engines. The (us, event_id) order key is
+  // tie-free, so lag() picks the same predecessor everywhere.
+  //
+  // Scale shape: one hash exchange on user_id for the lag pass, then
+  // a partial-aggregated groupBy on (from, to) — at most |types|²
+  // groups; the normalizing window runs over that tiny frame, never
+  // the events.
+  def q61Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wf = Window.partitionBy("from_type")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr(TsUsCol).as("us"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum("n").over(wf).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_fill_forward" -> q45FillForward,
     "q46_resample" -> q46Resample,
     "q47_funnel" -> q47Funnel,
     "q48_cohort_retention" -> q48CohortRetention,
+    "q61_transitions" -> q61Transitions,
   )
 
   // DuckDB oracles — µs integer bucketing identical to the Spark side.
   private val TsUs = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's window SUM(BIGINT) yields HUGEINT; the value is small
+    // and exact, so the cast to DOUBLE produces the identical
+    // denominator Spark divides by.
+    "q61_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+           $TsUs AS us FROM events),
+         l AS (SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev FROM e),
+         c AS (SELECT prev AS from_type, event_type AS to_type,
+           COUNT(*) AS n FROM l WHERE prev IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
+             PARTITION BY from_type) AS DOUBLE) AS p
+         FROM c ORDER BY from_type, to_type""",
     "q45_fill_forward" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, value,
            $TsUs AS us FROM events)

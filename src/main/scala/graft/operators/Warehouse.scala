@@ -242,6 +242,45 @@ object Warehouse {
       .orderBy("check_name")
   }
 
+  // ---------------------------------------------------------------
+  // q62: z-score OUTLIER detection — events whose `value` sits more
+  // than [[OutlierSigmas]]σ from their event-type group's mean (the
+  // data-quality/feature-sanity filter every training pipeline runs
+  // before fitting anything; events.value is the one genuinely
+  // heavy-tailed column in the fixture, |z| up to ~9).
+  //
+  // Hash-gate discipline: group moments come from exact decimal sums
+  // ([[Exact]], same tree as q43); mean/σ/z are then a fixed sequence
+  // of correctly-rounded double ops on identical operands, so even
+  // rows AT the threshold boundary classify identically in both
+  // engines.
+  //
+  // Scale shape: the stats frame is |event types| rows — broadcast
+  // back onto the scan, so the whole operator is two passes over the
+  // fact table with no wide shuffle of fact rows at all.
+  def q62Outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        Exact.money(col("value")).as("xd"))
+    val st = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd")).cast("double").as("sx"),
+        sum(col("xd") * col("xd")).cast("double").as("sxx"))
+      .select(col("event_type"),
+        (col("sx") / col("n")).as("mean_x"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1)))).as("sd_x"))
+    ev.join(broadcast(st), "event_type")
+      .withColumn("z",
+        (col("xd").cast("double") - col("mean_x")) / col("sd_x"))
+      .filter(abs(col("z")) > OutlierSigmas)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  /** Flag threshold, in group standard deviations. */
+  val OutlierSigmas = 2.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_sessionize" -> q53Sessionize,
     "q54_scd2" -> q54Scd2,
@@ -249,9 +288,26 @@ object Warehouse {
     "q56_incremental_mv" -> q56IncrementalMv,
     "q57_zorder" -> q57Zorder,
     "q58_dq_audit" -> q58DqAudit,
+    "q62_outliers" -> q62Outliers,
   )
 
   val oracles: Map[String, String] = Map(
+    // Identical moment tree to the Spark side (and to q43): decimal
+    // sums cast to double, then the same div/sqrt sequence.
+    "q62_outliers" ->
+      s"""WITH ev AS (SELECT event_id, event_type, value,
+           CAST(value AS DECIMAL(12,2)) AS xd FROM events),
+         st AS (SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(xd) AS DOUBLE) AS sx,
+           CAST(SUM(xd * xd) AS DOUBLE) AS sxx FROM ev GROUP BY 1),
+         s2 AS (SELECT event_type, sx / n AS mean_x,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd_x FROM st)
+         SELECT event_id, ev.event_type, value,
+           (CAST(xd AS DOUBLE) - mean_x) / sd_x AS z
+         FROM ev JOIN s2 USING (event_type)
+         WHERE abs((CAST(xd AS DOUBLE) - mean_x) / sd_x)
+           > $OutlierSigmas
+         ORDER BY event_id""",
     "q53_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id,
            epoch_ns(ts) // 1000 AS us FROM events),

@@ -113,4 +113,29 @@ class EventAnalyticsSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum === purchasers)
   }
+
+  test("q61 transitions == sequential replay; rows sum to 1 per source") {
+    val ev = graft.Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "ts_ns DIV 1000 AS us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val pairCnt = ev.groupBy(_._1).values.flatMap { xs =>
+      val types = xs.sortBy(x => (x._4, x._2)).map(_._3)
+      types.zip(types.drop(1))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTot = pairCnt.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val expected = pairCnt.toSeq.map { case ((f, t), n) =>
+      (f, t, n, n.toDouble / fromTot(f).toDouble)
+    }.sortBy(x => (x._1, x._2))
+    val got = EventAnalytics.q61Transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    // probabilities are a distribution per source type
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-12)
+    }
+  }
 }

@@ -104,4 +104,37 @@ class WarehouseSpec extends SparkSpec {
     assert(p55.contains("BroadcastNestedLoopJoin")
       || p55.contains("BroadcastExchange"))
   }
+
+  test("q62 outliers == driver recompute; stats join is broadcast") {
+    val ev = Tables(spark, sf, "events")
+      .selectExpr("event_id", "event_type", "value",
+        "CAST(value AS DECIMAL(12,2)) AS xd")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDecimal(3)))
+    val expected = ev.groupBy(_._2).values.flatMap { xs =>
+      val n = xs.size.toLong
+      // exact decimal sums, then the operator's double tree
+      val sx = xs.map(_._4).reduce(_ add _).doubleValue()
+      val sxx = xs.map(x => x._4.multiply(x._4))
+        .reduce(_ add _).doubleValue()
+      val mean = sx / n
+      val sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+      xs.flatMap { x =>
+        val z = (x._4.doubleValue() - mean) / sd
+        if (math.abs(z) > Warehouse.OutlierSigmas)
+          Some((x._1, x._2, x._3, z))
+        else None
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Warehouse.q62Outliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    val plan = Warehouse.q62Outliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats join must broadcast:\n$plan")
+  }
 }
