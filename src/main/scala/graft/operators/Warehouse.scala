@@ -281,6 +281,53 @@ object Warehouse {
   /** Flag threshold, in group standard deviations. */
   val OutlierSigmas = 2.0
 
+  // ---------------------------------------------------------------
+  // q63: top session PATHS — sessionize (same 30-min gap rule as
+  // q53), render each session's first [[PathLen]] event types as an
+  // ordered `a>b>c` path string, and count sessions per path (the
+  // navigation-flow analysis behind every "common user journeys"
+  // dashboard).
+  //
+  // Determinism: collect_list under groupBy has NO ordering contract
+  // in a distributed shuffle, so the path is built by collecting
+  // (row_number, type) STRUCTS and array_sort-ing them — row_number
+  // over the tie-free (us, event_id) order makes the rendered string
+  // identical in any execution order, matching DuckDB's ordered
+  // string_agg.
+  //
+  // Scale shape: ONE hash exchange on user_id drives sessionization,
+  // row numbering, AND the per-session aggregate (all partition-by
+  // prefixes of the same key); the path-count aggregate then shuffles
+  // one short row per session, and the top-[[PathTopK]] frontier is
+  // TakeOrdered.
+  def q63Paths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ws = Window.partitionBy("user_id", "session_idx")
+      .orderBy("us", "event_id")
+    events(s, dir)
+      .withColumn("prev", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("us") - col("prev") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_s").over(run))
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= PathLen)
+      .groupBy("user_id", "session_idx")
+      .agg(collect_list(struct(col("rn"), col("event_type"))).as("steps"))
+      .select(array_join(transform(array_sort(col("steps")),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(PathTopK)
+  }
+
+  /** Path prefix length (events per session rendered into the path). */
+  val PathLen = 5
+
+  /** Result size of the path ranking. */
+  val PathTopK = 20
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_sessionize" -> q53Sessionize,
     "q54_scd2" -> q54Scd2,
@@ -289,6 +336,7 @@ object Warehouse {
     "q57_zorder" -> q57Zorder,
     "q58_dq_audit" -> q58DqAudit,
     "q62_outliers" -> q62Outliers,
+    "q63_paths" -> q63Paths,
   )
 
   val oracles: Map[String, String] = Map(
@@ -308,6 +356,29 @@ object Warehouse {
          WHERE abs((CAST(xd AS DOUBLE) - mean_x) / sd_x)
            > $OutlierSigmas
          ORDER BY event_id""",
+    // Same session CTE chain as q53, then DuckDB's ORDERED string_agg
+    // renders each session prefix — the mirror of the Spark side's
+    // sorted-struct collect.
+    "q63_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_ns(ts) // 1000 AS us FROM events),
+         l AS (SELECT user_id, event_id, event_type, us,
+           CASE WHEN LAG(us) OVER w IS NULL
+             OR us - LAG(us) OVER w > $SessionGapUs
+             THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY us, event_id)),
+         si AS (SELECT user_id, event_id, event_type, us,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_idx FROM l),
+         r AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY user_id, session_idx
+             ORDER BY us, event_id) AS rn FROM si),
+         p AS (SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM r WHERE rn <= $PathLen GROUP BY user_id, session_idx)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT $PathTopK""",
     "q53_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id,
            epoch_ns(ts) // 1000 AS us FROM events),

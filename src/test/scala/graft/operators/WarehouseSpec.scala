@@ -105,6 +105,38 @@ class WarehouseSpec extends SparkSpec {
       || p55.contains("BroadcastExchange"))
   }
 
+  test("q63 paths == sequential sessionize-and-render replay") {
+    val ev = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "ts_ns DIV 1000 AS us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { xs =>
+      val sorted = xs.sortBy(x => (x._4, x._2))
+      // split into sessions at >30-min gaps, render first PathLen
+      val sessions = sorted.foldLeft(List.empty[List[(String, Long)]]) {
+        case (acc, e) =>
+          acc match {
+            case cur :: rest
+              if e._4 - cur.head._2 <= Warehouse.SessionGapUs =>
+              ((e._3, e._4) :: cur) :: rest
+            case _ => List((e._3, e._4)) :: acc
+          }
+      }
+      sessions.map(s =>
+        s.reverse.take(Warehouse.PathLen).map(_._1).mkString(">"))
+    }
+    val expected = paths.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .map { case (p, n) => (p, n) }
+      .sortBy { case (p, n) => (-n, p) }
+      .take(Warehouse.PathTopK)
+    val got = Warehouse.q63Paths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("q62 outliers == driver recompute; stats join is broadcast") {
     val ev = Tables(spark, sf, "events")
       .selectExpr("event_id", "event_type", "value",
