@@ -197,12 +197,50 @@ object EventAnalytics {
       .orderBy("from_type", "to_type")
   }
 
+  // ---------------------------------------------------------------
+  // q64: rolling 7-day distinct active users (the DAU/WAU board
+  // metric). A sliding COUNT(DISTINCT) cannot partial-aggregate — the
+  // naive collect_set-over-frame shape materializes every window's
+  // full user set per row. Instead each distinct (user, active-day)
+  // pair fans out to the ≤[[DauWindowDays]] report days it supports
+  // (a bounded, shuffle-free explode), turning the rolling distinct
+  // into a plain two-phase COUNT(DISTINCT) per report day.
+  //
+  // Report days past the corpus's last active day are clipped via a
+  // broadcast 1-row max frame (q44's histogram-extent pattern — no
+  // collect); days before the first active day cannot arise because
+  // fan-out only moves forward.
+  //
+  // Scale shape: distinct on (user_id, day) with map-side partial
+  // agg, ×7 narrow fan-out, then one distinct-aggregate exchange on
+  // day — fan-out volume is bounded by 7×|user-days| regardless of
+  // window length semantics, vs the frame shape's |days|×|window
+  // users| state.
+  def q64RollingDau(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), expr(s"($TsUsCol) DIV $DayUs").as("day"))
+      .distinct()
+    val hi = ud.agg(max("day").as("max_day"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + lit(DauWindowDays - 1L))).as("day"))
+      .crossJoin(broadcast(hi))
+      .filter(col("day") <= col("max_day"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("dau7"))
+      .orderBy("day")
+  }
+
+  /** Rolling-window length, in days. */
+  val DauWindowDays = 7L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_fill_forward" -> q45FillForward,
     "q46_resample" -> q46Resample,
     "q47_funnel" -> q47Funnel,
     "q48_cohort_retention" -> q48CohortRetention,
     "q61_transitions" -> q61Transitions,
+    "q64_rolling_dau" -> q64RollingDau,
   )
 
   // DuckDB oracles — µs integer bucketing identical to the Spark side.
@@ -224,6 +262,16 @@ object EventAnalytics {
            CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
              PARTITION BY from_type) AS DOUBLE) AS p
          FROM c ORDER BY from_type, to_type""",
+    // Same fan-out construction: the inner `day + o AS day` rebinds
+    // the column to the report day the pair supports.
+    "q64_rolling_dau" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id, $TsUs // $DayUs AS day
+           FROM events),
+         g AS (SELECT user_id, day + o AS day
+           FROM ud, range($DauWindowDays) t(o))
+         SELECT day, COUNT(DISTINCT user_id) AS dau7 FROM g
+         WHERE day <= (SELECT MAX(day) FROM ud)
+         GROUP BY day ORDER BY day""",
     "q45_fill_forward" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, value,
            $TsUs AS us FROM events)

@@ -328,6 +328,47 @@ object Warehouse {
   /** Result size of the path ranking. */
   val PathTopK = 20
 
+  // ---------------------------------------------------------------
+  // q65: interval merge (gaps-and-islands) — each order opens a
+  // service interval [start, start + orderkey % [[IntervalMaxDays]]]
+  // in epoch days; overlapping-or-touching intervals per customer
+  // coalesce into islands (the validity-interval consolidation every
+  // warehouse runs on contract/subscription tables). The sweep-line
+  // rule — a new island starts exactly when an interval's start
+  // exceeds the running max end of all earlier intervals — replaces
+  // the O(n²) interval-overlap self-join.
+  //
+  // Determinism: day arithmetic is exact integer (datediff from the
+  // epoch), and (s, e, ok) is a tie-free total order, so the running
+  // max and island counter agree across engines.
+  //
+  // Scale shape: ONE hash exchange on custkey; the running max, the
+  // island counter, and the per-island aggregate all evaluate in the
+  // same sorted partition (the groupBy keys are a prefix of the
+  // window partitioning).
+  def q65IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("custkey").orderBy("s", "e", "ok")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("ok"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("s"))
+      .withColumn("e", col("s") + col("ok") % lit(IntervalMaxDays))
+      .withColumn("prevmax", max("e").over(prior))
+      .withColumn("ni", when(col("prevmax").isNull ||
+        col("s") > col("prevmax"), 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(run))
+      .groupBy("custkey", "island")
+      .agg(min("s").as("start_day"), max("e").as("end_day"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("custkey", "island")
+  }
+
+  /** Interval length modulus: order k spans k % 30 days. */
+  val IntervalMaxDays = 30L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_sessionize" -> q53Sessionize,
     "q54_scd2" -> q54Scd2,
@@ -337,6 +378,7 @@ object Warehouse {
     "q58_dq_audit" -> q58DqAudit,
     "q62_outliers" -> q62Outliers,
     "q63_paths" -> q63Paths,
+    "q65_interval_merge" -> q65IntervalMerge,
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,6 +421,27 @@ object Warehouse {
          SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
          FROM p GROUP BY path
          ORDER BY n_sessions DESC, path LIMIT $PathTopK""",
+    // Window SUM(BIGINT) is HUGEINT in DuckDB — island is cast back.
+    "q65_interval_merge" ->
+      s"""WITH iv AS (SELECT o_custkey AS custkey, o_orderkey AS ok,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             AS BIGINT) AS s,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             AS BIGINT) + o_orderkey % $IntervalMaxDays AS e
+           FROM orders),
+         m AS (SELECT *, MAX(e) OVER (PARTITION BY custkey
+             ORDER BY s, e, ok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prevmax FROM iv),
+         f AS (SELECT *, CASE WHEN prevmax IS NULL OR s > prevmax
+             THEN 1 ELSE 0 END AS ni FROM m),
+         i AS (SELECT *, SUM(ni) OVER (PARTITION BY custkey
+             ORDER BY s, e, ok ROWS UNBOUNDED PRECEDING) AS island
+           FROM f)
+         SELECT custkey, CAST(island AS BIGINT) AS island,
+           MIN(s) AS start_day, MAX(e) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM i GROUP BY custkey, island ORDER BY custkey, island""",
     "q53_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id,
            epoch_ns(ts) // 1000 AS us FROM events),

@@ -138,4 +138,25 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-12)
     }
   }
+
+  test("q64 rolling DAU == windowed distinct replay") {
+    val ud = events
+      .selectExpr("user_id", "us DIV 86400000000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val maxDay = ud.map(_._2).max
+    val minDay = ud.map(_._2).min
+    // independent definition: for each report day, count users with
+    // any active day inside the trailing window
+    val expected = (minDay to maxDay).flatMap { d =>
+      val n = ud.collect {
+        case (u, a)
+          if a >= d - (EventAnalytics.DauWindowDays - 1) && a <= d => u
+      }.distinct.size.toLong
+      if (n > 0) Some((d, n)) else None
+    }
+    val got = EventAnalytics.q64RollingDau(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }

@@ -137,6 +137,39 @@ class WarehouseSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q65 interval islands == sequential sweep-line replay") {
+    val iv = Tables(spark, sf, "orders")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')" +
+          " AS BIGINT) AS s")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = iv.groupBy(_._1).flatMap { case (ck, xs) =>
+      val sorted = xs.map { case (_, ok, s) =>
+        (s, s + ok % Warehouse.IntervalMaxDays, ok)
+      }.sortBy(x => (x._1, x._2, x._3))
+      // sweep: an interval joins the current island iff its start is
+      // at or before the island's running max end
+      val islands = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, (s, e, _)) => acc match {
+          case (is, ie, n) :: rest if s <= ie =>
+            (is, math.max(ie, e), n + 1) :: rest
+          case _ => (s, e, 1L) :: acc
+        }
+      }.reverse
+      islands.zipWithIndex.map { case ((s0, e0, n), i) =>
+        (ck, (i + 1).toLong, s0, e0, n)
+      }
+    }.toSet
+    val got = Warehouse.q65IntervalMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // and merging actually happened somewhere (islands < orders)
+    assert(got.size < iv.length)
+  }
+
   test("q62 outliers == driver recompute; stats join is broadcast") {
     val ev = Tables(spark, sf, "events")
       .selectExpr("event_id", "event_type", "value",
