@@ -54,4 +54,18 @@ object Formats {
 
   def readOrc(s: SparkSession, path: String): DataFrame =
     s.read.orc(path)
+
+  /** Partition backfill / restatement: with `partitionOverwriteMode=
+    * dynamic`, an Overwrite write replaces ONLY the partitions present
+    * in `df` and leaves every other partition's files physically
+    * untouched — the idempotent "recompute one day and swap it in"
+    * maintenance op behind every backfill job. The default (static)
+    * mode would truncate the whole table first, so at 100 TB the
+    * difference is rewriting one day vs rewriting three years.
+    */
+  def backfillPartitions(df: DataFrame, partCol: String,
+      path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
 }

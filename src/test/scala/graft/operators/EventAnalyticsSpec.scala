@@ -139,6 +139,20 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q64 plan: fan-out is shuffle-free; max-day clip is broadcast") {
+    val plan = EventAnalytics.q64RollingDau(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the 1-row max frame joins via broadcast nested loop, never a
+    // cartesian; the only hash exchanges are the (user,day) distinct
+    // and the per-day distinct aggregate — the ×7 explode itself
+    // never shuffles
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx")
+  }
+
   test("q64 rolling DAU == windowed distinct replay") {
     val ud = events
       .selectExpr("user_id", "us DIV 86400000000 AS day")

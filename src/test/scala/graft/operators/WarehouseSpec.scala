@@ -105,6 +105,21 @@ class WarehouseSpec extends SparkSpec {
       || p55.contains("BroadcastExchange"))
   }
 
+  test("q63/q65 plans: ONE data-keyed hash exchange each (group keys " +
+    "extend the window partitioning, so the aggregate reuses it)") {
+    for (df <- Seq(Warehouse.q63Paths(spark, sf),
+        Warehouse.q65IntervalMerge(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"))
+      // all windows + the per-group aggregate ride one user/customer
+      // hash exchange; only the final total-order sort adds a range
+      // exchange (q63's top-k path count adds one more short-row one)
+      val hashEx = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx")
+    }
+  }
+
   test("q63 paths == sequential sessionize-and-render replay") {
     val ev = Tables(spark, sf, "events")
       .selectExpr("user_id", "event_id", "event_type",

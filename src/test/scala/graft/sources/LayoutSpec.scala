@@ -65,6 +65,37 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.collect().forall(_.getString(1) == "en"))
   }
 
+  test("dynamic partition overwrite restates ONE partition; every " +
+      "other partition's files are physically untouched") {
+    val dir = Files.createTempDirectory("graft_layout_backfill").toString
+    val docs = Tables(spark, sf, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val otherBefore = spark.read.parquet(dir)
+      .filter(col("lang") =!= "en")
+      .agg(count(lit(1)), sum("doc_id")).collect()(0)
+    val otherDir = new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("lang=") && f.getName != "lang=en")
+      .head
+    val filesBefore = otherDir.listFiles
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    // restate en with a marker transform so replacement is observable
+    Formats.backfillPartitions(
+      docs.filter(col("lang") === "en")
+        .withColumn("doc_id", col("doc_id") + lit(10000000L)),
+      "lang", dir)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("lang") === "en")
+      .agg(min("doc_id")).collect()(0).getLong(0) >= 10000000L,
+      "target partition must hold the restated rows")
+    assert(after.filter(col("lang") =!= "en")
+      .agg(count(lit(1)), sum("doc_id")).collect()(0) === otherBefore,
+      "non-target partitions must be value-identical")
+    val filesAfter = otherDir.listFiles
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    assert(filesAfter === filesBefore,
+      "non-target partition files must not be rewritten")
+  }
+
   test("sorted write enables row-group skipping on a range predicate; " +
       "unsorted layout reads everything") {
     // Force many small row groups so the file carries several min/max
