@@ -55,6 +55,43 @@ object Formats {
   def readOrc(s: SparkSession, path: String): DataFrame =
     s.read.orc(path)
 
+  /** Schema-evolution read: `mergeSchema` unions the per-file schemas
+    * (columns added by later ingest batches surface as NULL in older
+    * files) instead of trusting one random footer. Costs a footer read
+    * per file — acceptable for an evolution boundary, not a default
+    * (at 100 TB, pin the unified schema explicitly once known).
+    */
+  def readParquetMerged(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
+  /** Quarantining JSON ingest: PERMISSIVE mode parses what it can and
+    * lands each unparseable line whole in `_corrupt_record`, so bad
+    * records route to a quarantine sink instead of killing the job
+    * (FAILFAST) or vanishing (DROPMALFORMED) — at crawl scale some
+    * fraction of every landing is malformed and must stay auditable.
+    */
+  def readJsonQuarantine(s: SparkSession, path: String,
+      ddl: String): DataFrame =
+    s.read.option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(ddl + ", _corrupt_record STRING").json(path)
+
+  /** Small-file compaction (the OPTIMIZE half of the layout story —
+    * [[graft.operators.Warehouse]]'s Z-order covers the multi-column
+    * variant): streaming/incremental ingest leaves thousands of tiny
+    * files whose per-file open/footer overhead dominates scans;
+    * rewrite into `nFiles` range-partitioned, internally-sorted files
+    * so the compacted layout ALSO earns min/max row-group skipping on
+    * the sort column (LayoutSpec's rule: cluster the hottest filter
+    * column at write time).
+    */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+      sortCol: String, nFiles: Int): Unit =
+    s.read.parquet(inPath)
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
   /** Partition backfill / restatement: with `partitionOverwriteMode=
     * dynamic`, an Overwrite write replaces ONLY the partitions present
     * in `df` and leaves every other partition's files physically

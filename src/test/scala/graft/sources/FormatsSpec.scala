@@ -56,6 +56,68 @@ class FormatsSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("o_totalprice"))
   }
 
+  test("mergeSchema read unions evolved file schemas; pre-evolution " +
+      "files surface the new column as null") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val v1 = orders.select("o_orderkey", "o_custkey")
+    v1.write.mode("append").parquet(dir)
+    v1.withColumn("priority_class", lit("std"))
+      .write.mode("append").parquet(dir)
+    val back = Formats.readParquetMerged(spark, dir)
+    assert(back.columns.toSet ===
+      Set("o_orderkey", "o_custkey", "priority_class"))
+    assert(back.count() === 2 * v1.count())
+    assert(back.filter(col("priority_class").isNull).count()
+      === v1.count(), "old files must read the new column as null")
+  }
+
+  test("PERMISSIVE json ingest quarantines malformed lines instead of " +
+      "failing or dropping them") {
+    val dir = Files.createTempDirectory("graft_quarantine")
+    val f = dir.resolve("landing.json")
+    Files.write(f, java.util.Arrays.asList(
+      """{"id": 1, "v": 10.5}""",
+      """{"id": 2 "v": broken""", // malformed: missing comma, bad token
+      """{"id": 3, "v": 7.0}"""))
+    val back = Formats.readJsonQuarantine(spark, dir.toString,
+      "id BIGINT, v DOUBLE").cache() // cache: corrupt-col-only filters
+    try {
+      val bad = back.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length === 1)
+      assert(bad.head.getAs[String]("_corrupt_record").contains("broken"),
+        "the malformed line must be preserved verbatim for audit")
+      val good = back.filter(col("_corrupt_record").isNull)
+        .select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(good.sortBy(_._1).toSeq === Seq((1L, 10.5), (3L, 7.0)))
+    } finally back.unpersist()
+  }
+
+  test("compaction rewrites many small files into few range-clustered " +
+      "ones with identical data and disjoint per-file key ranges") {
+    val small = Files.createTempDirectory("graft_small").toString
+    val compacted = Files.createTempDirectory("graft_compacted").toString
+    orders.repartition(64).write.mode("overwrite").parquet(small)
+    val nSmall = new java.io.File(small).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nSmall > 16, s"fixture must fragment (got $nSmall files)")
+    Formats.compact(spark, small, compacted, "o_orderkey", 4)
+    val outFiles = new java.io.File(compacted).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(outFiles.length <= 4)
+    assert(canon(Formats.readParquet(spark, compacted)) === canon(orders))
+    // range partitioning: per-file [min,max] key spans must not overlap
+    val spans = outFiles.map { f =>
+      val keys = spark.read.parquet(f.getPath)
+        .agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+      (keys.getLong(0), keys.getLong(1))
+    }
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo,
+        s"file ranges overlap: $spans")
+      case _ =>
+    }
+  }
+
   test("TextSink sharded mode keeps global order across part files") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sharded").toString
