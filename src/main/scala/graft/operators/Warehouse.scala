@@ -369,6 +369,34 @@ object Warehouse {
   /** Interval length modulus: order k spans k % 30 days. */
   val IntervalMaxDays = 30L
 
+  // ---------------------------------------------------------------
+  // q66: NATIVE session windows — the same 30-min-gap sessions as q53
+  // through Spark's built-in `session_window` aggregate instead of
+  // the lag/running-sum window chain, exercising the dedicated
+  // merging-session physical operator (UpdatingSessions +
+  // MergingSessions) that also backs `st_session_30m` in streaming.
+  //
+  // Boundary semantics differ from q53 BY DESIGN and the oracle
+  // encodes them: a session's window is [first, last + gap), and an
+  // event AT exactly last + gap falls outside (end-exclusive), so it
+  // opens a NEW session — where q53's `gap > SessionGapUs` rule keeps
+  // it. The oracle's `>=` mirrors this.
+  //
+  // Scale shape: one hash exchange on user_id; sessions merge in a
+  // sorted per-partition pass with partial aggregation — no window
+  // function state, no second exchange.
+  def q66SessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("tsw", timestamp_micros(col("us")))
+      .groupBy(col("user_id"),
+        session_window(col("tsw"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_sessionize" -> q53Sessionize,
     "q54_scd2" -> q54Scd2,
@@ -379,6 +407,7 @@ object Warehouse {
     "q62_outliers" -> q62Outliers,
     "q63_paths" -> q63Paths,
     "q65_interval_merge" -> q65IntervalMerge,
+    "q66_session_window" -> q66SessionWindow,
   )
 
   val oracles: Map[String, String] = Map(
@@ -421,6 +450,25 @@ object Warehouse {
          SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
          FROM p GROUP BY path
          ORDER BY n_sessions DESC, path LIMIT $PathTopK""",
+    // Same session chain as q53 but with the `>=` boundary rule of
+    // Spark's end-exclusive session_window; end_us = last + gap.
+    "q66_session_window" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+           epoch_ns(ts) // 1000 AS us FROM events),
+         l AS (SELECT user_id, event_id, us,
+           CASE WHEN LAG(us) OVER w IS NULL
+             OR us - LAG(us) OVER w >= $SessionGapUs
+             THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY us, event_id)),
+         si AS (SELECT user_id, us,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_idx FROM l)
+         SELECT user_id, MIN(us) AS start_us,
+           MAX(us) + $SessionGapUs AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM si GROUP BY user_id, session_idx
+         ORDER BY user_id, start_us""",
     // Window SUM(BIGINT) is HUGEINT in DuckDB — island is cast back.
     "q65_interval_merge" ->
       s"""WITH iv AS (SELECT o_custkey AS custkey, o_orderkey AS ok,

@@ -185,6 +185,36 @@ class WarehouseSpec extends SparkSpec {
     assert(got.size < iv.length)
   }
 
+  test("q66 native session_window == sequential replay with the " +
+      "end-exclusive boundary; plan uses the merging-session operator") {
+    val ev = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "ts_ns DIV 1000 AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2)).map(_._3)
+      // end-exclusive rule: gap >= 30 min opens a new session
+      val sessions = sorted.foldLeft(List.empty[List[Long]]) {
+        case (cur :: rest, us)
+          if us - cur.head < Warehouse.SessionGapUs =>
+          (us :: cur) :: rest
+        case (acc, us) => List(us) :: acc
+      }
+      sessions.map(ses =>
+        (u, ses.min, ses.max + Warehouse.SessionGapUs, ses.size.toLong))
+    }.toSet
+    val df = Warehouse.q66SessionWindow(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UpdatingSessions")
+      || plan.contains("MergingSessions")
+      || plan.contains("session_window"),
+      "the native session operator must drive the plan")
+  }
+
   test("q62 outliers == driver recompute; stats join is broadcast") {
     val ev = Tables(spark, sf, "events")
       .selectExpr("event_id", "event_type", "value",
