@@ -271,8 +271,52 @@ object CorpusOps {
           s"$ChunkLen), ' ')").as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
 
+  // -----------------------------------------------------------------
+  // ta_line_dedup: C4-style boilerplate-line removal — the corpus-
+  // wide pass that deletes text segments occurring verbatim across
+  // many documents (navigation bars, cookie banners, license
+  // footers; Raffel et al. '20 drop any three-sentence span seen
+  // more than once). The fixture text has no newlines, so the "line"
+  // unit here is a fixed SegLen-token segment; the mechanism —
+  // segment the corpus, count distinct documents per segment, drop
+  // segments recurring in >= LineDedupMinDocs docs, reassemble the
+  // survivors in order — is the real pipeline shape either way.
+  //
+  // Scale shape: the segment pass is a narrow per-row generate
+  // (token volume / SegLen rows out); the distinct-doc count is a
+  // hash aggregate with partial aggregation; the verdicts come back
+  // via a seg-keyed equi join (NOT broadcast: the recurring-segment
+  // list is unbounded on a web corpus — at 100 TB you'd key this
+  // join on a 128-bit segment digest instead of the string to cut
+  // shuffle bytes; kept as the exact string here so the oracle gate
+  // is collision-free); reassembly is one hash aggregate on doc_id.
+  // Three key-hashed shuffles total, no windows, no driver state.
+  val SegLen = 8
+  val LineDedupMinDocs = 2
+
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = docs(s, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0L, (size(toks) - 1) DIV $SegLen), " +
+          s"i -> array_join(slice(toks, CAST(i * $SegLen + 1 AS INT), " +
+          s"$SegLen), ' '))")).as(Seq("seg_no", "seg")))
+    val verdict = segs.groupBy(col("seg"))
+      .agg((countDistinct(col("doc_id")) >= LineDedupMinDocs).as("drop"))
+    segs.join(verdict, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("drop"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          when(!col("drop"), struct(col("seg_no"), col("seg"))))),
+          x => x.getField("seg")), " ").as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_chunk" -> chunk,
+    "ta_line_dedup" -> lineDedup,
     "ta_vocab" -> vocab,
     "ta_vocab_full" -> vocabFull,
     "ta_split" -> split,
@@ -284,6 +328,30 @@ object CorpusOps {
   private val Toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   val oracles: Map[String, String] = Map(
+    // Same segment chain: 1-based inclusive list slice == Spark's
+    // slice(toks, i*L+1, L); string_agg FILTERed to survivors keeps
+    // the seg_no order; COALESCE covers an all-boilerplate document.
+    "ta_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, toks,
+           unnest(generate_series(0, (len(toks) - 1) // $SegLen))
+             AS seg_no FROM d),
+         s AS (SELECT doc_id, seg_no,
+           array_to_string(toks[seg_no * $SegLen + 1 :
+             seg_no * $SegLen + $SegLen], ' ') AS seg FROM g),
+         c AS (SELECT seg,
+           COUNT(DISTINCT doc_id) >= $LineDedupMinDocs AS drop
+           FROM s GROUP BY seg)
+         SELECT s.doc_id,
+           CAST(SUM(CASE WHEN c.drop THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN c.drop THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           COALESCE(string_agg(CASE WHEN NOT c.drop THEN s.seg END,
+             ' ' ORDER BY s.seg_no), '') AS text_clean
+         FROM s JOIN c USING (seg)
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
     "ta_chunk" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),

@@ -97,6 +97,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("lineDedup: matches sequential replay and actually drops " +
+      "recurring segments") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val segsOf = (text: String) =>
+      text.split(' ').grouped(CorpusOps.SegLen).map(_.mkString(" ")).toSeq
+    val docCount = docs.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val expected = docs.map { case (id, t) =>
+      val segs = segsOf(t)
+      val kept = segs.filter(docCount(_) < CorpusOps.LineDedupMinDocs)
+      (id, kept.size.toLong, (segs.size - kept.size).toLong,
+        kept.mkString(" "))
+    }.toSet
+    val got = CorpusOps.lineDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.exists(_._3 > 0L), "fixture must exercise the drop path")
+    assert(got.exists(_._2 > 0L))
+  }
+
   test("pack: per-bucket token conservation and monotone pack ids") {
     val d = graft.Tables(spark, sf, "documents")
       .select(col("doc_id"),
