@@ -397,8 +397,52 @@ object Warehouse {
         col("n_events"))
       .orderBy("user_id", "start_us")
 
+  // ---------------------------------------------------------------
+  // q67: CDC snapshot diff — the table-compare every warehouse runs
+  // after a load: given yesterday's and today's snapshot of a keyed
+  // table, emit one row per key whose state differs, classified
+  // added / removed / changed (unchanged rows are filtered out, so
+  // output is the changelog, not the table). The two snapshots are
+  // derived deterministically from `orders`: keys ≡7 (mod 100) are
+  // absent from the old snapshot ("added since"), keys ≡3 (mod 97)
+  // absent from the new ("removed since"), and keys ≡0 (mod 5) get
+  // a decimal +50.00 price bump in the new snapshot ("changed").
+  //
+  // Scale shape: one full-outer sort-merge join keyed on the
+  // primary key — both sides shuffle once. On a real lakehouse the
+  // snapshots would share a bucket layout and this diff is
+  // zero-exchange (see BucketedJoinSpec); the classify + filter is
+  // a codegen'd post-join projection, so output volume is only the
+  // changed fraction. Money arithmetic is decimal-exact per [[Exact]].
+  val DiffAddMod = 100L
+  val DiffRemoveMod = 97L
+  val DiffBump = 50.00
+
+  def q67SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val oldv = orders.filter(col("o_orderkey") % DiffAddMod =!= 7L)
+      .select(col("o_orderkey").as("k_old"),
+        col("o_totalprice").as("old_price"))
+    val newv = orders.filter(col("o_orderkey") % DiffRemoveMod =!= 3L)
+      .select(col("o_orderkey").as("k_new"),
+        when(col("o_orderkey") % 5L === 0L,
+          (Exact.money(col("o_totalprice")) + Exact.money(lit(DiffBump)))
+            .cast("double"))
+          .otherwise(col("o_totalprice")).as("new_price"))
+    oldv.join(newv, col("k_old") === col("k_new"), "full_outer")
+      .filter(col("k_old").isNull || col("k_new").isNull ||
+        col("old_price") =!= col("new_price"))
+      .select(coalesce(col("k_old"), col("k_new")).as("o_orderkey"),
+        when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .otherwise("changed").as("change"),
+        col("old_price"), col("new_price"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_sessionize" -> q53Sessionize,
+    "q67_snapshot_diff" -> q67SnapshotDiff,
     "q54_scd2" -> q54Scd2,
     "q55_decay" -> q55Decay,
     "q56_incremental_mv" -> q56IncrementalMv,
@@ -411,6 +455,25 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_snapshot_diff" ->
+      s"""WITH oldv AS (SELECT o_orderkey AS k_old,
+           o_totalprice AS old_price FROM orders
+           WHERE o_orderkey % $DiffAddMod != 7),
+         newv AS (SELECT o_orderkey AS k_new,
+           CASE WHEN o_orderkey % 5 = 0 THEN
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + $DiffBump
+               AS DOUBLE)
+           ELSE o_totalprice END AS new_price FROM orders
+           WHERE o_orderkey % $DiffRemoveMod != 3)
+         SELECT COALESCE(k_old, k_new) AS o_orderkey,
+           CASE WHEN k_old IS NULL THEN 'added'
+                WHEN k_new IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           old_price, new_price
+         FROM oldv FULL OUTER JOIN newv ON k_old = k_new
+         WHERE k_old IS NULL OR k_new IS NULL
+           OR old_price != new_price
+         ORDER BY o_orderkey""",
     // Identical moment tree to the Spark side (and to q43): decimal
     // sums cast to double, then the same div/sqrt sequence.
     "q62_outliers" ->

@@ -215,6 +215,37 @@ class WarehouseSpec extends SparkSpec {
       "the native session operator must drive the plan")
   }
 
+  test("q67 snapshot diff == set replay; all three change classes fire") {
+    val orders = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val oldv = orders.filter(_._1 % Warehouse.DiffAddMod != 7)
+      .map { case (k, p) => k -> p }.toMap
+    val newv = orders.filter(_._1 % Warehouse.DiffRemoveMod != 3)
+      .map { case (k, p) =>
+        k -> (if (k % 5 == 0)
+          (BigDecimal(p).setScale(2) + BigDecimal("50.00")).toDouble
+        else p)
+      }.toMap
+    val expected = (oldv.keySet ++ newv.keySet).flatMap { k =>
+      (oldv.get(k), newv.get(k)) match {
+        case (None, Some(n))    => Some((k, "added", None, Some(n)))
+        case (Some(o), None)    => Some((k, "removed", Some(o), None))
+        case (Some(o), Some(n)) if o != n =>
+          Some((k, "changed", Some(o), Some(n)))
+        case _ => None
+      }
+    }
+    val got = Warehouse.q67SnapshotDiff(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toSet
+    assert(got === expected)
+    Seq("added", "removed", "changed").foreach(c =>
+      assert(got.exists(_._2 == c), s"fixture must exercise '$c'"))
+  }
+
   test("q62 outliers == driver recompute; stats join is broadcast") {
     val ev = Tables(spark, sf, "events")
       .selectExpr("event_id", "event_type", "value",
