@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -440,9 +440,61 @@ object Warehouse {
       .orderBy("o_orderkey")
   }
 
+  // ---------------------------------------------------------------
+  // q68: bucketed co-located join — the write-time layout that turns
+  // the biggest fact⋈dim cost at 100 TB (shuffling both sides on the
+  // join key) into a partition-local merge: both tables are written
+  // bucketBy/sortBy the key, so bucket i joins bucket i with ZERO
+  // hash exchanges, and the following per-customer aggregate reuses
+  // the same bucket distribution (its key is a prefix), so the WHOLE
+  // query runs shuffle-free up to the presentation sort. The `merge`
+  // hint pins sort-merge so fixture-size broadcasting can't bypass
+  // the layout being demonstrated.
+  //
+  // Unlike the BucketedJoinSpec mechanism test, this row is oracle-
+  // gated (the answer hash-matches DuckDB's plain join) AND self-
+  // auditing: it throws at plan time if any hash exchange appears,
+  // so a layout regression fails CORRECTNESS, not just a spec.
+  val BucketCount = 16
+
+  def q68BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // A fresh JVM gets an empty in-memory catalog, but the managed-
+    // table LOCATION under spark.sql.warehouse.dir survives from
+    // prior runs and blocks saveAsTable — drop both sides explicitly.
+    Seq("graft_b_orders", "graft_b_customer").foreach { name =>
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Tables(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(BucketCount, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_b_orders")
+    Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(BucketCount, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_b_customer")
+    val j = s.table("graft_b_orders").hint("merge")
+      .join(s.table("graft_b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Exact.money(col("o_totalprice"))).cast("double")
+          .as("total_spend"))
+      .orderBy("c_custkey")
+    val plan = j.queryExecution.executedPlan.toString
+    require(plan.contains("SortMergeJoin"),
+      s"bucketed join must plan as sort-merge:\n$plan")
+    require(!plan.contains("Exchange hashpartitioning"),
+      s"bucket layout must satisfy join+agg distribution:\n$plan")
+    j
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_sessionize" -> q53Sessionize,
     "q67_snapshot_diff" -> q67SnapshotDiff,
+    "q68_bucketed_join" -> q68BucketedJoin,
     "q54_scd2" -> q54Scd2,
     "q55_decay" -> q55Decay,
     "q56_incremental_mv" -> q56IncrementalMv,
@@ -455,6 +507,13 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // The layout is invisible to the answer: plain join + group-by.
+    "q68_bucketed_join" ->
+      """SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_spend
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
     "q67_snapshot_diff" ->
       s"""WITH oldv AS (SELECT o_orderkey AS k_old,
            o_totalprice AS old_price FROM orders

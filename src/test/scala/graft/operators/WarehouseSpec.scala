@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.{SparkSpec, Tables}
 
 /** q53–q56: each warehouse-maintenance operator checked against a
@@ -244,6 +246,25 @@ class WarehouseSpec extends SparkSpec {
     assert(got === expected)
     Seq("added", "removed", "changed").foreach(c =>
       assert(got.exists(_._2 == c), s"fixture must exercise '$c'"))
+  }
+
+  test("q68 bucketed join == plain shuffled join, zero hash exchanges") {
+    val got = Warehouse.q68BucketedJoin(spark, sf)
+    // The in-query require() already gated SortMergeJoin + no hash
+    // exchange at plan time; here gate the ANSWER against the plain
+    // (shuffle-as-Spark-likes) formulation of the same query.
+    val plain = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Exact.money(col("o_totalprice"))).cast("double")
+          .as("total_spend"))
+    val toSet = (rows: Array[org.apache.spark.sql.Row]) => rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val gotSet = toSet(got.collect())
+    assert(gotSet === toSet(plain.collect()))
+    assert(gotSet.nonEmpty)
   }
 
   test("q62 outliers == driver recompute; stats join is broadcast") {
