@@ -22,15 +22,30 @@ object Tables {
     if (name == "events") eventsFixup(raw) else raw
   }
 
-  /** events.ts arrives as int64 nanoseconds (see GraftSession
-    * scaladoc). Keep the exact nanos (ts_ns) for oracle parity
-    * (DuckDB epoch_ns), and a truncated-to-micros NTZ timestamp for
+  /** events.ts normalization. The fixture has shipped `ts` as BOTH
+    * parquet TIMESTAMP(NANOS) (read as int64 nanos under
+    * `nanosAsLong`, see GraftSession scaladoc) and plain
+    * TIMESTAMP(MICROS) (read as `timestamp_ntz`), so dispatch on the
+    * arrived type instead of assuming one generation of the fixture.
+    * Either way the exposed shape is identical: exact epoch nanos
+    * (`ts_ns`) for oracle parity (DuckDB `epoch_ns` works on both
+    * physical types), and a micros-precision NTZ `ts` for
     * window/date functions. Shared by batch reads and the streaming
     * file source (which reads the same parquet schema).
     */
-  def eventsFixup(raw: DataFrame): DataFrame =
+  def eventsFixup(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val tsNs = raw.schema("ts").dataType match {
+      case LongType => col("ts")
+      // NTZ micros → epoch nanos. The session zone is pinned UTC, so
+      // the ntz→ltz cast inside unix_micros shifts nothing.
+      case _ => expr("unix_micros(cast(ts as timestamp))") * lit(1000L)
+    }
     raw
-      .withColumnRenamed("ts", "ts_ns")
+      .select(raw.columns.toIndexedSeq.map {
+        case "ts" => tsNs.as("ts_ns")
+        case c => col(c)
+      }: _*)
       .withColumn(
         "ts",
         // Integral DIV, not `/`: epoch nanos (~1.7e18) exceed double's
@@ -38,6 +53,7 @@ object Tables {
         // hour-boundary timestamps vs DuckDB's integer epoch_ns//1000.
         timestamp_micros(expr("ts_ns DIV 1000"))
           .cast("timestamp_ntz"))
+  }
 
   /** Register every fixture table as a temp view for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
