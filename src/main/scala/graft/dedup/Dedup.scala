@@ -312,6 +312,118 @@ object Dedup {
   }
 
   // -----------------------------------------------------------------
+  // dd_substring_span: EXACT SUBSTRING-SPAN dedup — the span-level
+  // twin of document-level near-dup (the ExactSubstr technique of
+  // Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better", ACL 2022): a verbatim token run appearing in two or
+  // more documents is memorization fuel even when the documents as
+  // wholes are dissimilar, so training-data pipelines locate every
+  // duplicated span of length ≥ k and cut the repeats. The paper
+  // finds spans with a corpus-wide suffix array; the distributed
+  // re-expression is the k-token rolling window: a duplicated run of
+  // length L ≥ k is exactly a maximal chain of L−k+1 duplicated
+  // k-spans, so "group k-spans by content, keep those in ≥2 docs"
+  // finds the same text with one equi-shuffle and no global index.
+  //
+  // Output is the per-document damage report the pipeline acts on:
+  // total spans, spans whose content occurs in some other document
+  // (n_dup_spans — the paper's "fraction of doc in duplicated text"
+  // numerator), and distinct such span contents. Docs shorter than k
+  // tokens carry no span evidence and are excluded by contract.
+  //
+  // Scale shape: the shuffle carries (md5-of-span, doc_id) — derived
+  // 32-byte keys, never raw text; the ≥2-docs filter is a partial-agg
+  // group-by; the per-doc rollup re-joins spans to the surviving
+  // hashes (hash join on md5 keys, AQE-skew-splittable if one
+  // boilerplate span is corpus-hot). toks is materialized behind the
+  // doc_id exchange so the final n_spans join hits ReusedExchange
+  // instead of re-tokenizing (rules 3–4 above: explode only the
+  // cheap derived array computed from the materialized attribute).
+  val SpanK = 8
+
+  /** doc_id → token array, ≥ SpanK tokens only, materialized behind
+    * a doc_id exchange (shared by the span queries; see shingled()
+    * notes for why the exchange matters).
+    */
+  private def spanToked(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(size(tokens(col("text"))) >= SpanK)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+
+  /** (doc_id, i, span): md5 of the SpanK-token window at 1-based
+    * position i.
+    */
+  private def spanTable(toked: DataFrame): DataFrame =
+    toked.select(col("doc_id"),
+      posexplode(transform(sequence(lit(1), size(col("toks")) - (SpanK - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(SpanK))))))
+        .as(Seq("p0", "span")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"), col("span"))
+
+  /** Span hashes occurring in ≥ 2 distinct documents (partial-agg
+    * group-by of derived 32-byte keys).
+    */
+  private def dupSpans(spans: DataFrame): DataFrame =
+    spans.groupBy("span")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("span")
+
+  def substringSpan(s: SparkSession, dir: String): DataFrame = {
+    val toked = spanToked(s, dir)
+    val spans = spanTable(toked).select("doc_id", "span")
+    val dup = dupSpans(spans)
+    val perDoc = spans.join(dup, "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        count_distinct(col("span")).as("n_dup_distinct"))
+    toked
+      .select(col("doc_id"),
+        (size(col("toks")) - (SpanK - 1)).cast("long").as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_spans", "n_dup_distinct"))
+      .orderBy("doc_id")
+  }
+
+  // -----------------------------------------------------------------
+  // dd_span_scrub: ACT on the substring-span report — remove every
+  // token covered by some cross-document duplicated SpanK-span (the
+  // cut step of the ExactSubstr pipeline; cutting ALL occurrences is
+  // the deterministic contract — C4 does the same for its duplicated
+  // three-sentence spans). Per doc: union the covered intervals
+  // [i, i+k-1] of its duplicated spans (distinct-position explode —
+  // interval union as a set, computed where the doc's rows live),
+  // keep the uncovered tokens in order, and report the cut size plus
+  // the md5 of the cleaned text so the oracle gates the actual
+  // surviving token sequence, not just counts. Same scale shape as
+  // substringSpan plus one per-doc set aggregation whose size is
+  // bounded by the doc's token count.
+  def spanScrub(s: SparkSession, dir: String): DataFrame = {
+    val toked = spanToked(s, dir)
+    val spans = spanTable(toked)
+    val dup = dupSpans(spans.select("doc_id", "span"))
+    val cov = spans.join(dup, "span")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SpanK - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("cov"))
+    toked.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_cut"),
+        md5(concat_ws(" ",
+          filter(
+            transform(sequence(lit(1), size(col("toks"))), p =>
+              when(!array_contains(col("cov"), p),
+                element_at(col("toks"), p))),
+            x => x.isNotNull))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  // -----------------------------------------------------------------
   // dd_embed_cosine: exact cosine-threshold near-dup pairs over the
   // embedding column, via the native codegen'd dot product
   // (graft.functions.DoubleDot — same strict left-to-right IEEE fold
@@ -904,6 +1016,8 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_jaccard_prefix" -> jaccardPrefix,
     "dd_containment" -> containment,
+    "dd_substring_span" -> substringSpan,
+    "dd_span_scrub" -> spanScrub,
     "dd_embed_cosine" -> embedCosine,
     "dd_embed_lsh" -> embedLsh,
     "dd_embed_lsh_hi" -> embedLshHi,
@@ -1107,6 +1221,55 @@ object Dedup {
          SELECT doc_a, doc_b, inter, n_a, n_b FROM ver
          WHERE inter * 10 >= n_a * $ContainmentThreshold10
          ORDER BY doc_a, doc_b""",
+    "dd_substring_span" ->
+      s"""WITH d AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, toks FROM d WHERE len(toks) >= $SpanK),
+         sp AS (SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - ${SpanK - 2}),
+             i -> md5(array_to_string(toks[i:i+${SpanK - 1}], ' '))))
+             AS span
+           FROM f),
+         dup AS (SELECT span FROM sp GROUP BY span
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         pd AS (SELECT doc_id, COUNT(*) AS nds,
+             COUNT(DISTINCT span) AS ndd
+           FROM sp JOIN dup USING (span) GROUP BY doc_id)
+         SELECT f.doc_id,
+           CAST(len(f.toks) - ${SpanK - 1} AS BIGINT) AS n_spans,
+           CAST(COALESCE(pd.nds, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(pd.ndd, 0) AS BIGINT) AS n_dup_distinct
+         FROM f LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
+    "dd_span_scrub" ->
+      s"""WITH d AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, toks FROM d WHERE len(toks) >= $SpanK),
+         sp AS (SELECT doc_id,
+           unnest(range(1, len(toks) - ${SpanK - 2})) AS i,
+           unnest(list_transform(range(1, len(toks) - ${SpanK - 2}),
+             i -> md5(array_to_string(toks[i:i+${SpanK - 1}], ' '))))
+             AS span
+           FROM f),
+         dup AS (SELECT span FROM sp GROUP BY span
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         cv AS (SELECT DISTINCT doc_id,
+             unnest(range(i, i + $SpanK)) AS p
+           FROM sp JOIN dup USING (span)),
+         cov AS (SELECT doc_id, list(p) AS cov FROM cv GROUP BY doc_id),
+         j AS (SELECT f.doc_id, f.toks,
+             COALESCE(cov.cov, CAST([] AS BIGINT[])) AS cov
+           FROM f LEFT JOIN cov USING (doc_id))
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(cov) AS BIGINT) AS n_cut,
+           md5(COALESCE(array_to_string(list_filter(
+             list_transform(range(1, len(toks) + 1),
+               p -> CASE WHEN NOT list_contains(cov, p)
+                 THEN toks[p] END),
+             x -> x IS NOT NULL), ' '), '')) AS clean_md5
+         FROM j ORDER BY doc_id""",
     "dd_embed_lsh_hi" -> {
       def planeSql(p: Int): String =
         planeSigns(p).map(d => if (d > 0) "1.0" else "-1.0")

@@ -105,6 +105,67 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substring-span counts match a pure-Scala sliding-window scan") {
+    val k = Dedup.SpanK
+    val toked = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    // The operator compares md5(span text); raw span text induces the
+    // same equality partition (md5 is injective on the fixture).
+    val spans = toked.flatMap { case (id, toks) =>
+      if (toks.size >= k) toks.sliding(k).map(w => id -> w.mkString(" "))
+      else Iterator.empty
+    }
+    val dupSet = spans.groupBy(_._2)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = toked.filter(_._2.size >= k).map { case (id, toks) =>
+      val sp = toks.sliding(k).map(_.mkString(" ")).toVector
+      val d = sp.filter(dupSet)
+      (id, sp.size.toLong, d.size.toLong, d.distinct.size.toLong)
+    }.sortBy(_._1).toSeq
+    val got = Dedup.substringSpan(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === expected)
+    // The fixture must actually exercise the dup path.
+    assert(expected.exists(_._3 > 0))
+  }
+
+  test("span scrub cuts exactly the covered positions; clean text " +
+      "md5 matches a pure-Scala replay incl. fully-cut docs") {
+    val k = Dedup.SpanK
+    val toked = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+      .filter(_._2.size >= k)
+    val spans = toked.flatMap { case (id, toks) =>
+      toks.sliding(k).zipWithIndex.map { case (w, i) =>
+        (id, i + 1, w.mkString(" "))
+      }
+    }
+    val dupSet = spans.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val covByDoc = spans.filter(sp => dupSet(sp._3))
+      .flatMap { case (id, i, _) => (i until i + k).map(id -> _) }
+      .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expected = toked.map { case (id, toks) =>
+      val cov = covByDoc.getOrElse(id, Set.empty[Int])
+      val clean = toks.zipWithIndex.collect {
+        case (t, i) if !cov(i + 1) => t
+      }
+      (id, toks.size.toLong, cov.size.toLong, md5hex(clean.mkString(" ")))
+    }.sortBy(_._1).toSeq
+    val got = Dedup.spanScrub(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === expected)
+    // The fixture must exercise both the cut and the fully-cut path.
+    assert(expected.exists(e => e._3 > 0 && e._3 < e._2))
+    assert(expected.exists(e => e._3 == e._2))
+  }
+
   test("containment catches a truncation dup that Jaccard misses") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
