@@ -209,11 +209,133 @@ object VectorSearch {
           .as("centroid"))
       .orderBy("label", "idx")
 
+  // -----------------------------------------------------------------
+  // ss_pq_topk: PRODUCT-QUANTIZATION ANN (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+  // MEMORY-side scale path, complementing IVF's compute-side pruning.
+  // At 100 TB the embedding column itself is the bottleneck: 64
+  // float32 dims = 256 bytes/vector, while PQ codes are PqM bytes
+  // (32× compression), so the entire searchable index fits in
+  // executor memory where raw vectors cannot. The three classic
+  // stages, each a narrow relational pass:
+  //
+  //  1. ENCODE: split each vector into PqM subvectors; quantize each
+  //     to its nearest codebook entry (argmin of squared-L2, tie →
+  //     smallest code, via the lexicographic min-of-struct trick).
+  //     Codebooks are seeded deterministically from the first
+  //     PqCodes vectors (no iterative training — same convention as
+  //     the IVF centroids, so both engines agree exactly).
+  //  2. ADC (asymmetric distance computation): per query, a distance
+  //     TABLE d[m][c] = ||q_m − c_m||² (PqM·PqCodes doubles — what
+  //     FAISS precomputes per query); the estimated distance of a
+  //     corpus vector is the strict left-to-right sum of PqM table
+  //     lookups by its codes — never touching the raw vector.
+  //  3. RERANK: the PqRerank best ADC candidates (est asc, id asc)
+  //     are re-scored with the exact cosine; output is the top
+  //     TopK by true cosine. Approximate by construction;
+  //     [[cosineTopK]] is the recall-1.0 tier.
+  //
+  // Scale shape: codebook and per-query tables are broadcast (KB);
+  // the ADC pass streams over the CODES table (PqM bytes/row);
+  // only PqRerank rows per query ever read raw vectors again.
+  val PqM = 8       // subspaces
+  val PqDs = 8      // dims per subspace (PqM · PqDs = 64)
+  val PqCodes = 16  // codebook entries per subspace
+  // ADC candidates re-ranked exactly. Fixture-scale note: 40 of 500
+  // vectors (recall 0.65 measured vs the exact tier; 100 → 0.9). At
+  // production scale R stays fixed while N grows (R/N → 0) and
+  // recall is governed by codebook quality — a trained k-means
+  // codebook replaces the deterministic seeding used here for
+  // cross-engine exactness, same convention as the IVF centroids.
+  val PqRerank = 40
+
+  /** Squared L2 between the m-th subvectors (0-based m; slice is
+    * 1-based): strict left-to-right fold, same op sequence as the
+    * oracle's list_reduce.
+    */
+  private def subDist(a: Column, b: Column, m: Column): Column =
+    aggregate(
+      zip_with(slice(a, m * PqDs + 1, lit(PqDs)),
+        slice(b, m * PqDs + 1, lit(PqDs)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** (code, cbv): the PqCodes codebook source vectors. One codebook
+    * table serves all subspaces (entry c of subspace m is the m-th
+    * subvector of source vector c).
+    */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").cast("int").as("code"), col("v").as("cbv"))
+
+  /** vec_id → codes (array of PqM ints): the PQ-encoded corpus. */
+  private def pqEncoded(e: DataFrame): DataFrame =
+    e.join(broadcast(pqCodebook(e)))
+      .select(col("vec_id"), col("code"),
+        transform(sequence(lit(0), lit(PqM - 1)),
+          m => subDist(col("v"), col("cbv"), m)).as("ds"))
+      .select(col("vec_id"), col("code"),
+        posexplode(col("ds")).as(Seq("m", "d")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("m"), col("best.code").as("code")))
+        .as("mc"))
+      .select(col("vec_id"),
+        transform(sort_array(col("mc")), x => x.getField("code"))
+          .as("codes"))
+
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    // Per-query flat distance table: index m·PqCodes + code.
+    val dts = q.join(broadcast(pqCodebook(e)))
+      .select(col("query_id"), col("code"),
+        transform(sequence(lit(0), lit(PqM - 1)),
+          m => subDist(col("qv"), col("cbv"), m)).as("ds"))
+      .select(col("query_id"), col("code"),
+        posexplode(col("ds")).as(Seq("m", "d")))
+      .select(col("query_id"),
+        struct((col("m") * PqCodes + col("code")).as("k"), col("d"))
+          .as("kd"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(col("kd"))).as("kds"))
+      .select(col("query_id"),
+        transform(col("kds"), x => x.getField("d")).as("dt"))
+    // ADC estimate: PqM table lookups, folded left-to-right.
+    val wc = Window.partitionBy("query_id")
+      .orderBy(asc("est"), asc("neighbor_id"))
+    val cand = pqEncoded(e)
+      .join(broadcast(dts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("dt"),
+            m * PqCodes + element_at(col("codes"), m + 1) + 1))
+          .as("est"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= PqRerank)
+      .select("query_id", "neighbor_id")
+    // Exact re-rank of the candidate lists only.
+    val wr = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cand.join(broadcast(q), "query_id")
+      .join(e, col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_cosine_topk" -> cosineTopK,
     "ss_ivf_topk" -> ivfTopK,
     "ss_knn_graph" -> knnGraph,
     "ss_centroid" -> centroid,
+    "ss_pq_topk" -> pqTopK,
   )
 
   // ---------------------------------------------------------------
@@ -299,6 +421,57 @@ object VectorSearch {
       s"""WITH $KnnGraphCtes
          SELECT vec_id, neighbor_id, rank, cos FROM rk
          WHERE rank <= $KnnK ORDER BY vec_id, rank""",
+    "ss_pq_topk" -> {
+      // ||a_m − b_m||² with the same left-to-right fold as subDist.
+      def dSub(av: String, bv: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, ${PqDs + 1}),
+             i -> ($av[mm.m*$PqDs+i] - $bv[mm.m*$PqDs+i])
+                * ($av[mm.m*$PqDs+i] - $bv[mm.m*$PqDs+i]))),
+           (acc, x) -> acc + x)"""
+      s"""WITH e AS ($DVecs),
+         cb AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cbv
+           FROM e WHERE vec_id < $PqCodes),
+         mm AS (SELECT unnest(range(0, $PqM)) AS m),
+         sd AS (SELECT e.vec_id, cb.code, mm.m,
+             ${dSub("e.v", "cb.cbv")} AS d
+           FROM e CROSS JOIN cb CROSS JOIN mm),
+         bst AS (SELECT vec_id, m, code FROM (
+             SELECT vec_id, m, code, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY d, code) AS rn
+             FROM sd) WHERE rn = 1),
+         codes AS (SELECT vec_id, list(code ORDER BY m) AS codes
+           FROM bst GROUP BY vec_id),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+           WHERE vec_id < $NumQueries),
+         qd AS (SELECT query_id, cb.code, mm.m,
+             ${dSub("q.qv", "cb.cbv")} AS d
+           FROM q CROSS JOIN cb CROSS JOIN mm),
+         dt AS (SELECT query_id,
+             list(d ORDER BY m * $PqCodes + code) AS dt
+           FROM qd GROUP BY query_id),
+         est AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(0, $PqM),
+                 m -> dt.dt[m * $PqCodes + codes.codes[m + 1] + 1])),
+               (acc, x) -> acc + x) AS est
+           FROM dt CROSS JOIN codes
+           WHERE codes.vec_id <> dt.query_id),
+         cand AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY est, neighbor_id) AS rn
+             FROM est) WHERE rn <= $PqRerank),
+         sc AS (SELECT cand.query_id, cand.neighbor_id,
+             ${dCos("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+           FROM cand JOIN q USING (query_id)
+             JOIN e ON e.vec_id = cand.neighbor_id),
+         rk AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM sc)
+         SELECT query_id, neighbor_id, rank, cos FROM rk
+         WHERE rank <= $TopK ORDER BY query_id, rank"""
+    },
     "ss_centroid" ->
       """WITH x AS (SELECT CAST(label AS BIGINT) AS label,
            unnest(range(0, len(embedding))) AS idx,

@@ -64,6 +64,35 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall > 0.2)
   }
 
+  test("pq top-k: exact rerank cosines, valid ranks, measured recall " +
+      "vs brute force") {
+    val rows = VectorSearch.pqTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === VectorSearch.NumQueries)
+    var hit = 0; var total = 0
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length <= VectorSearch.TopK)
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to rs.length).toSeq)
+      // Rerank is exact: reported cosines must be the true cosines.
+      rs.foreach { r =>
+        assert(r.getAs[Double]("cos") ===
+          cos(vecs(q), vecs(r.getAs[Long]("neighbor_id"))))
+      }
+      val brute = bruteTopK(q, VectorSearch.TopK).toSet
+      hit += rs.count(r => brute(r.getAs[Long]("neighbor_id")))
+      total += VectorSearch.TopK
+    }
+    val recall = hit.toDouble / total
+    info(f"PQ recall@${VectorSearch.TopK} (M=${VectorSearch.PqM}, " +
+      f"Ks=${VectorSearch.PqCodes}, rerank=${VectorSearch.PqRerank}): " +
+      f"$recall%.2f")
+    // Untrained (seeded) codebook + rerank of PqRerank/N of the
+    // corpus: well above chance, below the exact tier by design.
+    assert(recall > 0.3)
+  }
+
   test("knn graph: every vector covered, exact cosines, measured recall") {
     val rows = VectorSearch.knnGraph(spark, sf).collect()
     val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
