@@ -175,19 +175,27 @@ object VectorSearch {
     val cent = e.filter(col("vec_id") < c)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cn"))
-    val wa = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
-    val assign = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+    // NARROW top-C window (round-5 rewrite): with C ≈ √N the
+    // vector×centroid frame is N·√N rows, and carrying the 64-double
+    // vector through the row_number exchange made the window shuffle
+    // ~20× wider than needed (measured 12.2 s at sf1). Rank on
+    // (vec_id, cid, ccos) only — ~24 bytes/row — then join the
+    // vectors back by vec_id (an N-row narrow shuffle). One shared
+    // ranked frame serves both the rn=1 assignment and the
+    // rn ≤ NProbe probe list (ReusedExchange).
+    val scored = e.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
         cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("ccos"))
-      .withColumn("rn", row_number().over(wa))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-    val wp = Window.partitionBy("vec_id").orderBy(desc("pcos"), asc("cid"))
-    val probes = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("pcos"))
-      .withColumn("rn", row_number().over(wp))
+    val wa = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val ranked = scored.withColumn("rn", row_number().over(wa))
       .filter(col("rn") <= NProbe)
+      .select(col("vec_id"), col("cid"), col("rn"))
+      .repartition(col("vec_id"))
+    val assign = ranked.filter(col("rn") === 1).drop("rn")
+      .join(e, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val probes = ranked.drop("rn")
+      .join(e, "vec_id")
       .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("cid"))
     // No distinct needed: assignment gives each neighbor ONE cid, and

@@ -120,6 +120,24 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall > 0.2)
   }
 
+  test("knn centroid-count law: max(16, floor(sqrt(N))), and the " +
+    "declared graph uses at most that many lists") {
+    assert(VectorSearch.knnCentroidCount(100) === 16)   // floor
+    assert(VectorSearch.knnCentroidCount(256) === 16)
+    assert(VectorSearch.knnCentroidCount(500) === 22)   // sf0.01
+    assert(VectorSearch.knnCentroidCount(5000) === 70)  // sf0.1
+    assert(VectorSearch.knnCentroidCount(50000) === 223) // sf1
+    val n = graft.Tables(spark, sf, "embeddings").count()
+    val c = VectorSearch.knnCentroidCount(n)
+    // Every neighbor edge's source list is one of the C centroids:
+    // neighbor ids assigned to cid < C only (centroids are the first
+    // C vectors by construction).
+    val maxCid = VectorSearch.ivfAssign(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("cid")).head.getLong(0)
+    assert(maxCid < VectorSearch.NumCentroids) // fixed-C path intact
+    assert(c >= VectorSearch.NumCentroids)
+  }
+
   test("ivf plan broadcasts the centroid table") {
     val plan = VectorSearch.ivfTopK(spark, sf)
       .queryExecution.executedPlan.toString
