@@ -488,11 +488,17 @@ object Dedup {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .select(col("vec_id"), col("v"), l2norm(col("v")).as("nrm"))
     val tot = all.agg(count(lit(1)).as("n_total"))
+    // repartition: materialize the derived (v, nrm, sample-filter)
+    // frame behind one exchange so the quadratic self-join's two
+    // sides hit ReusedExchange instead of each re-running the scan +
+    // norm + guard (the shingled()/embedLsh discipline; measured
+    // ~0.7 s of the row's 2.9 s at sf0.1).
     val e = all.crossJoin(broadcast(tot))
       .filter(col("n_total") <= VerifyCap ||
         hash60(col("vec_id").cast("string")) %
           expr(s"(n_total + ${VerifyCap - 1}) DIV $VerifyCap") === 0)
       .select("vec_id", "v", "nrm")
+      .repartition(col("vec_id"))
     e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
