@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -272,6 +272,70 @@ object CorpusOps {
       .orderBy("doc_id", "chunk_idx")
 
   // -----------------------------------------------------------------
+  // ta_cdc_chunk: CONTENT-DEFINED chunking — the dedup-stable
+  // complement of ta_chunk's fixed-stride windows (LBFS/rsync
+  // lineage; FastCDC is the modern form). Fixed-stride boundaries
+  // shift under any insertion, so one edited token re-chunks the
+  // whole document tail and every downstream chunk hash changes;
+  // content-defined boundaries are a pure function of a local token
+  // window, so an edit disturbs at most the chunk it lands in —
+  // chunk-hash dedup across document versions keeps matching
+  // everything else. The pipeline use is CDC-chunk → md5 → exact
+  // dedup at sub-document granularity.
+  //
+  // Boundary rule: a cut falls AFTER token i (W ≤ i ≤ n−1) when the
+  // rolling W=CdcWindow-token polynomial hash (the shingles3Seq
+  // arithmetic, one order higher, over per-token 31-bit md5 hashes)
+  // is ≡ 0 mod CdcMask — expected chunk length = CdcMask tokens with
+  // a geometric tail. No min/max-length guards: the statistical form
+  // keeps both engines' logic one expression (production FastCDC adds
+  // them; they would be the same filter arithmetic on both sides).
+  //
+  // Scale shape: per-row array codegen only (hash transform, filter,
+  // zip, one generate) — zero shuffles before the presentation sort;
+  // output rows ≈ corpus tokens / CdcMask.
+  val CdcWindow = 4
+  val CdcMask = 64L
+
+  def cdcChunk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHash.{hash31, Prime}
+    val p = Prime
+    def at(hs: Column, i: Column): Column = element_at(hs, i.cast("int"))
+    def winHash(hs: Column, i: Column): Column =
+      ((((at(hs, i - 3) * 131 + at(hs, i - 2)) % p)
+        * 131 + at(hs, i - 1)) % p
+        * 131 + at(hs, i)) % p
+    docs(s, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("nt"),
+        transform(col("toks"), w => hash31(w)).as("hs"))
+      .select(col("doc_id"), col("toks"), col("nt"),
+        // cuts: window-end positions i in [W, nt-1] whose rolling
+        // hash hits the mask (i = nt excluded — a cut at the last
+        // token is a no-op). sequence() guards against descending
+        // ranges when nt < W+1.
+        when(col("nt") >= CdcWindow + 1,
+          filter(sequence(lit(CdcWindow.toLong), col("nt") - 1),
+            i => winHash(col("hs"), i) % CdcMask === 0))
+          .otherwise(array().cast("array<bigint>")).as("cuts"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(arrays_zip(
+          concat(array(lit(1L)), transform(col("cuts"), c => c + 1))
+            .as("s"),
+          concat(col("cuts"), array(col("nt"))).as("e")))
+          .as(Seq("k", "se")))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+        col("se.s").as("start_tok"),
+        (col("se.e") - col("se.s") + 1).as("n_tokens"),
+        md5(array_join(
+          slice(col("toks"), col("se.s").cast("int"),
+            (col("se.e") - col("se.s") + 1).cast("int")), " "))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // -----------------------------------------------------------------
   // ta_line_dedup: C4-style boilerplate-line removal — the corpus-
   // wide pass that deletes text segments occurring verbatim across
   // many documents (navigation bars, cookie banners, license
@@ -316,6 +380,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_chunk" -> chunk,
+    "ta_cdc_chunk" -> cdcChunk,
     "ta_line_dedup" -> lineDedup,
     "ta_vocab" -> vocab,
     "ta_vocab_full" -> vocabFull,
@@ -366,6 +431,36 @@ object CorpusOps {
              AS n_tokens,
            array_to_string(toks[chunk_idx * $ChunkStride + 1 :
              chunk_idx * $ChunkStride + $ChunkLen], ' ') AS chunk_text
+         FROM g ORDER BY doc_id, chunk_idx""",
+    // Content-defined chunking: same rolling-hash arithmetic as the
+    // Spark side (per-token 31-bit md5 hashes, 4-token polynomial
+    // window mod Prime, cut when == 0 mod CdcMask). range(4, nt) is
+    // end-exclusive = Spark's sequence(4, nt-1) inclusive, and is
+    // empty when nt <= 4, so no length guard is needed here.
+    "ta_cdc_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         h AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt,
+           list_transform(toks, w ->
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+               % ${graft.functions.TextHash.Prime}) AS hs FROM d),
+         c AS (SELECT doc_id, toks, nt,
+           list_filter(range(4, nt), i ->
+             (((((hs[i-3]*131 + hs[i-2]) % ${graft.functions.TextHash.Prime})
+               * 131 + hs[i-1]) % ${graft.functions.TextHash.Prime}
+               * 131 + hs[i]) % ${graft.functions.TextHash.Prime})
+               % $CdcMask = 0) AS cuts FROM h),
+         st AS (SELECT doc_id, toks,
+           list_prepend(CAST(1 AS BIGINT),
+             list_transform(cuts, x -> x + 1)) AS starts,
+           list_append(cuts, nt) AS ends FROM c),
+         g AS (SELECT doc_id, toks, starts, ends,
+           unnest(range(1, len(starts) + 1)) AS k FROM st)
+         SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+           CAST(starts[k] AS BIGINT) AS start_tok,
+           CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[starts[k]:ends[k]], ' '))
+             AS chunk_md5
          FROM g ORDER BY doc_id, chunk_idx""",
     "ta_vocab" ->
       s"""WITH t AS (SELECT unnest($Toks) AS token FROM documents),

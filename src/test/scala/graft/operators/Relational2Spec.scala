@@ -109,6 +109,19 @@ class Relational2Spec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
 
+  test("q69 SQL UNPIVOT clause: identical rows to the typed q40 melt, " +
+    "same Expand physical shape") {
+    val sqlRows = Relational2.q69UnpivotSql(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val typedRows = Relational2.q40Unpivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(sqlRows === typedRows) // one operator, two declared spellings
+    val plan = Relational2.q69UnpivotSql(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand in:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
   test("q41 profile: pruned per-column passes, no Expand, " +
       "internally consistent") {
     val df = Relational2.q41Profile(spark, sf)
