@@ -131,6 +131,35 @@ class DedupSpec extends SparkSpec {
     assert(expected.exists(_._3 > 0))
   }
 
+  test("span-within vs substring-span: the occurrence gate catches a " +
+    "within-document repeat the cross-doc gate must ignore") {
+    // The fixture has no within-doc repeated SpanK-runs (verified:
+    // both declared queries emit identical rows there), so the
+    // semantic difference is gated on a synthetic corpus where it is
+    // decidable: doc 0 repeats one 8-token run twice INSIDE itself;
+    // no run appears in two documents.
+    val k = Dedup.SpanK
+    require(k == 8, "synthetic docs below assume SpanK = 8")
+    val run = "a1 b2 c3 d4 e5 f6 g7 h8"
+    val docs = Seq(
+      (0L, s"$run x9 $run"),                       // within-doc repeat
+      (1L, "p1 q2 r3 s4 t5 u6 v7 w8 y9 z0 aa bb")) // no repeats
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_span_within").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val cross = Dedup.substringSpan(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val within = Dedup.spanWithin(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // cross-doc gate: nothing is duplicated across documents
+    assert(cross(0L) === ((0L, 0L)) && cross(1L) === ((0L, 0L)))
+    // occurrence gate: the repeated run's two spans, one distinct hash
+    assert(within(0L) === ((2L, 1L)), s"got ${within(0L)}")
+    assert(within(1L) === ((0L, 0L)))
+  }
+
   test("span scrub cuts exactly the covered positions; clean text " +
       "md5 matches a pure-Scala replay incl. fully-cut docs") {
     val k = Dedup.SpanK
