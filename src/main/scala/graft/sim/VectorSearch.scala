@@ -167,7 +167,20 @@ object VectorSearch {
     math.max(NumCentroids.toLong,
       math.floor(math.sqrt(n.toDouble)).toLong)
 
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnEdges(s, dir).orderBy("vec_id", "rank")
+
+  /** The unordered kNN edge frame — shared prefix of ss_knn_graph and
+    * dd_semantic, so it is materialized once per (session, dir)
+    * (VERDICT r5 item 2; same [[graft.operators.Lineage]] pattern as
+    * the graph/basket tier and the CC label frame).
+    */
+  private[graft] def knnEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lineage.materialized(s, dir, "knn_edges") {
+      knnGraphBuild(s, dir)
+    }
+
+  private def knnGraphBuild(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     // One exact count up front (a metadata-only parquet aggregate) —
     // the price of the √N law; everything downstream is unchanged.
@@ -211,7 +224,6 @@ object VectorSearch {
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= KnnK)
       .select("vec_id", "neighbor_id", "rank", "cos")
-      .orderBy("vec_id", "rank")
   }
 
   // -----------------------------------------------------------------
