@@ -41,6 +41,8 @@ object SparkEntry {
     (EventOps.queries, EventOps.oracles),
     (Stateful.queries, Stateful.oracles),
     (graft.streaming.Resume.queries, graft.streaming.Resume.oracles),
+    (graft.streaming.RateIngest.queries, graft.streaming.RateIngest.oracles),
+    (graft.core.ShardedSinkGate.queries, graft.core.ShardedSinkGate.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

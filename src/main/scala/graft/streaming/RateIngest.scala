@@ -1,0 +1,186 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** RATE-SOURCE streaming ingest, oracle-gated (VERDICT r5 item 7 —
+  * the one Structured Streaming source kind the surface had not yet
+  * exercised; the file source backs every other streaming gate).
+  *
+  * `st_rate_windows` drives Spark's `rate-micro-batch` source — the
+  * deterministic generator variant: batch `b` contains exactly the
+  * values `[b·R, (b+1)·R)` and every row in it carries the timestamp
+  * `startTimestamp + b·advanceMillisPerBatch`, independent of wall
+  * clock (unlike plain `rate`, whose row count depends on elapsed
+  * real time and can never hash-match an oracle). The query windows
+  * that synthetic stream through the standard watermark → tumbling
+  * aggregate → Append pipeline and lands sealed windows in a memory
+  * sink.
+  *
+  * Boundedness: a rate source is UNBOUNDED — `Trigger.AvailableNow`
+  * has no "end of available data" to find — so the run loop is the
+  * production smoke-test shape: let the stream aggregate EVERY batch,
+  * poll the sink until the first [[ExpectWindows]] sealed windows
+  * land, stop the query, and return only those windows (the sink
+  * filter `window_start < NB·advance`). The returned set is
+  * stop-timing independent: each kept window's content is a pure
+  * function of the batch indices it covers, extra windows sealed
+  * before the stop are filtered out of the result, and a sealed
+  * window can never be re-emitted in Append mode — only a genuine
+  * emission bug can change the frame. (A first cut capped the DATA
+  * with a pre-aggregate `value < R·NB` filter instead; Catalyst
+  * correctly pushes that filter below the `EventTimeWatermark` node
+  * toward the source, so the capped batches carried no rows into the
+  * watermark collector and the final window never sealed — the
+  * watermark froze at batch NB-1 over 500+ batches. Bounding by
+  * window selection AFTER the sink has no such interaction.)
+  *
+  * Determinism: values and timestamps are functions of the batch
+  * index only; counts/sums are integer; the watermark clock is the
+  * synthetic timestamp column. The DuckDB oracle regenerates the same
+  * stream from `range(0, R·NB)` — no fixture table involved — and
+  * applies the identical window arithmetic.
+  *
+  * Scale shape: the rate source is the load-generator harness for
+  * sizing a deployment (state fan-out, sink throughput) before
+  * pointing the same plan at Kafka/files; the plan itself is the
+  * standard watermarked tumbling aggregate whose state is one row per
+  * open window. Shuffle partitions are scoped down for the run (same
+  * rationale as [[Resume]]: at 32 partitions the per-batch state
+  * checkpoint fan-out dwarfs a few-group aggregate).
+  */
+object RateIngest {
+
+  /** Rows per micro-batch. */
+  val RowsPerBatch = 1000L
+
+  /** Batches the returned windows cover: values
+    * `[0, RowsPerBatch·DataBatches)`.
+    */
+  val DataBatches = 10L
+
+  /** Event-time advance per batch (one minute). */
+  val AdvanceMs = 60000L
+
+  /** Tumbling window width (two minutes = two batches). */
+  val WindowMs = 120000L
+
+  /** Sealed windows the sink must reach: NB batches at one minute per
+    * batch spread over two-minute windows.
+    */
+  val ExpectWindows: Long = DataBatches * AdvanceMs / WindowMs
+
+  def rateWindows(s: SparkSession, dir: String): DataFrame = {
+    // First window_start past the kept range, in the sink's string
+    // encoding (UTC session; start epoch 0): lexicographic compare on
+    // the formatted strings is chronological compare.
+    val cutoff = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(DataBatches * AdvanceMs))
+    val src = s.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", RowsPerBatch)
+      .option("numPartitions", 4)
+      .option("startTimestamp", 0L)
+      .option("advanceMillisPerBatch", AdvanceMs)
+      .load() // (timestamp TIMESTAMP, value LONG)
+    // No pre-aggregate data filter — see the scaladoc: any value cap
+    // here is pushed below the EventTimeWatermark node and starves
+    // the watermark; the result is bounded by window selection on the
+    // sink instead.
+    val agg = src.withWatermark("timestamp", "0 seconds")
+      .groupBy(window(col("timestamp"), s"$WindowMs milliseconds").as("w"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("sum_v"))
+
+    val qn = "st_rate_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Paths.get(s"/tmp/graft_ckpt_$qn")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(qn)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        // The last kept window seals once a batch's timestamp reaches
+        // its end (NB·advance), i.e. batch NB — poll for the full
+        // kept set with a hard deadline so a genuine emission bug
+        // fails loudly instead of hanging the gate.
+        def sealedCount(): Long = s.table(qn)
+          .filter(col("window_start") < lit(cutoff)).count()
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (sealedCount() < ExpectWindows && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        if (sealedCount() < ExpectWindows)
+          throw new IllegalStateException(
+            s"rate stream sealed ${sealedCount()} windows " +
+              s"of $ExpectWindows within the deadline")
+      } finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // The state-store maintenance thread can still be writing
+      // snapshot files for a few hundred ms after stop() returns —
+      // a single walk-delete races it (measured:
+      // DirectoryNotEmptyException on state/0/0). Retry the sweep;
+      // a residue after the last attempt is a stale /tmp dir, not a
+      // query failure.
+      var attempt = 0
+      var deleted = false
+      while (!deleted && attempt < 5) {
+        attempt += 1
+        try {
+          if (java.nio.file.Files.exists(ckpt)) {
+            val walk = java.nio.file.Files.walk(ckpt)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala.toSeq.reverse
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            } finally walk.close()
+          }
+          deleted = true
+        } catch {
+          case _: java.io.IOException => Thread.sleep(200)
+        }
+      }
+      if (!deleted) System.err.println(
+        s"st_rate_windows: checkpoint $ckpt left behind after $attempt sweeps")
+    }
+    // s.table resolves the view eagerly (same convention as
+    // [[Stateful]]'s memory-sink runs), so the view can be dropped
+    // before returning without invalidating the frame. Windows past
+    // the cutoff that happened to seal before the stop are excluded —
+    // the returned frame covers exactly batches [0, NB).
+    val result = s.table(qn)
+    s.catalog.dropTempView(qn)
+    result.filter(col("window_start") < lit(cutoff))
+      .orderBy("window_start")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_rate_windows" -> ((s, dir) => rateWindows(s, dir)),
+  )
+
+  // The oracle regenerates the deterministic stream: value v belongs
+  // to batch v DIV R, whose timestamp is (v DIV R)·advance ms.
+  val oracles: Map[String, String] = Map(
+    "st_rate_windows" ->
+      s"""WITH v AS (SELECT range AS v FROM range(0, ${RowsPerBatch * DataBatches})),
+         e AS (SELECT v, (v // $RowsPerBatch) * $AdvanceMs AS ts_ms FROM v),
+         a AS (SELECT (ts_ms // $WindowMs) * $WindowMs AS ws,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sum_v
+           FROM e GROUP BY 1)
+         SELECT strftime(make_timestamp(ws * 1000), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           n, sum_v
+         FROM a ORDER BY window_start""",
+  )
+}

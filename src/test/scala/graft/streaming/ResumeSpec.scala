@@ -20,10 +20,13 @@ class ResumeSpec extends SparkSpec {
 
     // Re-open the sink WITH its batch_id partition column: batch ids
     // 0/1 belong to run 1 (data batch + no-data flush), >= 2 to the
-    // resumed run — both sides must have emitted rows.
+    // resumed run — both sides must have emitted rows. The workspace
+    // is keyed by fixture-md5 AND application id (ADVICE r5), with
+    // the per-run subtree under run/.
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(sf.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val out = spark.read.parquet(s"/tmp/graft_resume_$md/out")
+    val out = spark.read.parquet(
+      s"/tmp/graft_resume_${md}_${spark.sparkContext.applicationId}/run/out")
     assert(out.count() === resCount)
 
     val dup = out.groupBy("window_start", "event_type")
