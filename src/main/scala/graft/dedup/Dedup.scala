@@ -660,9 +660,10 @@ object Dedup {
   // at cos ≥ 0.85, not at the fixture's 0.45 noise floor — and at
   // that threshold sign-LSH is asymptotically sub-quadratic (the
   // whole point of the operator). This query runs the same
-  // [[lshCandidates]] core at r = 8 bits × b = 16 bands (128 planes)
-  // over a corpus with PLANTED near-duplicates, so the regime that
-  // makes LSH the 100 TB path is hash-gated, not spec-only.
+  // [[lshCandidates]] core at CORPUS-DERIVED r × b (see the scaling
+  // law at [[hiBitsFor]]/[[hiBandsFor]]; r=8 × b=16 at the oracle
+  // SFs) over a corpus with PLANTED near-duplicates, so the regime
+  // that makes LSH the 100 TB path is hash-gated, not spec-only.
   //
   // The planted fixture is derived IN-ENGINE from the embeddings
   // table with seeded md5 arithmetic, so DuckDB reproduces it
@@ -687,6 +688,50 @@ object Dedup {
   val PlantOffset = 100000000L // clears any vec_id at any tested SF
   val PlantAlpha = 0.484 // 1/sqrt(1+α²) ≈ 0.90 expected twin cosine
 
+  // SCALING LAW (round 6 — the 32× sweep exposed the fixed
+  // parametrization): sign-LSH band keys live in a 2^r space, and
+  // RANDOM pairs agree per plane with probability 1/2, so noise
+  // candidates are b·N²/2^(r+1) — with r FIXED that is quadratic in N
+  // no matter how the s-curve is tuned (measured: 4.8 s at sf1 →
+  // 1139 s at 3.2× the data; the 256-value key space saturates and
+  // every bucket goes to N/256 rows). [MinHash banding does NOT have
+  // this failure mode: its keys are r-tuples of hashes in a huge
+  // space, and random-pair collisions follow the corpus' Jaccard
+  // distribution, not key-space saturation — which is why
+  // [[minhashLsh]] keeps fixed (r, b).]
+  //
+  // The production rule, same shape as ss_knn_graph's C = ⌊√N⌋:
+  //  - r(N) = max(8, ⌈log2 N⌉ − 2) pins expected bucket occupancy at
+  //    N/2^r ∈ [4, 8) — noise candidates become ≈ b·2N, linear in N;
+  //  - b(r) = max(16, ⌈3 / m^r⌉) with m = 1 − acos(0.90)/π (per-plane
+  //    agreement at the planted-twin design point) holds recall at
+  //    1 − e^-3 ≈ 0.95 as r grows.
+  // Total work: sketch r·b·N·d + candidates ≈ 2bN, with
+  // b ∝ (1/m)^r = N^(log2(1/m)) ≈ N^0.22 — the whole operator is
+  // O(N^1.22), the sign-LSH analogue of the kNN graph's N^1.5 law.
+  // Both derivations are integer-exact cross-engine: r via the bit
+  // length of N−1 (printf('%b', …) in DuckDB, numberOfLeadingZeros
+  // here), b via a Scala-emitted integer CASE ladder over r — no
+  // float boundary can disagree. At the oracle SFs (N = 500) this
+  // derives r=8, b=16 — exactly the regime rounds 3–5 declared.
+  private val TwinAgree = 1.0 - math.acos(0.90) / math.Pi
+  val HiMaxBits = 48 // N ≤ 2^50 vectors; fail loudly past the ladder
+
+  /** ⌈log2 n⌉ via bit length — exact, no floating-point boundary. */
+  private[dedup] def ceilLog2(n: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1)
+
+  /** Band width in bits for a base corpus of n vectors. */
+  def hiBitsFor(n: Long): Int = math.max(HiBandBits, ceilLog2(n) - 2)
+
+  /** Band count holding twin-point recall ≈ 0.95 at width r. */
+  def hiBandsFor(r: Int): Int = {
+    require(r <= HiMaxBits,
+      s"dd_embed_lsh: r=$r exceeds the $HiMaxBits-bit ladder; extend " +
+        "HiMaxBits (corpus past 2^50 vectors)")
+    math.max(HiBands, math.ceil(3.0 / math.pow(TwinAgree, r)).toInt)
+  }
+
   /** embeddings ∪ planted twins, as `(vec_id, v, nrm)`. */
   private[dedup] def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.l2norm
@@ -709,9 +754,16 @@ object Dedup {
 
   def embedLshHi(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.ddot
+    // One exact count seeds the (r, b) derivation — the same
+    // count-then-plan shape as ss_knn_graph's √N centroid law. The
+    // base table count (not the planted count) keeps the scalar
+    // subquery trivial in both engines; the planted +1/8 fraction is
+    // irrelevant at log2 granularity.
+    val n0 = graft.Tables(s, dir, "embeddings").count()
+    val r = hiBitsFor(n0)
+    val b = hiBandsFor(r)
     val e = plantedEmbeddings(s, dir).repartition(col("vec_id"))
-    val cand = lshCandidates(e, planeMatrixFor(HiBands * HiBandBits,
-      EmbedDim), HiBandBits)
+    val cand = lshCandidates(e, planeMatrixFor(b * r, EmbedDim), r)
     val x = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"))
     val y = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -784,16 +836,31 @@ object Dedup {
       .union(p2.select(col("v"), col("u")))
       .toDF("u", "v")
       .localCheckpoint()
-    var labels = edges.groupBy(col("u").as("node"))
+    // statsBarrier on every per-round frame: localCheckpoint carries
+    // origin statistics forward, and a self-joining fixpoint SQUARES
+    // sizeInBytes each round — by round ~26 the optimizer stalls for
+    // minutes multiplying 2^26-bit BigIntegers (measured at the 32×
+    // fixture; see ColumnBridge.statsBarrier + StatsBarrierSpec).
+    import org.apache.spark.sql.graft.ColumnBridge.statsBarrier
+    var labels = statsBarrier(edges.groupBy(col("u").as("node"))
       .agg(min(col("v")).as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("c"))
-      .localCheckpoint()
+      .localCheckpoint())
+    // One COUNT + SUM pass seeds both the convergence probe and the
+    // round bound: min-label + one pointer jump per round converges in
+    // ≈ 2·log2(n) rounds on adversarial chain graphs (measured — the
+    // r5 constant cap of 25 was exceeded by a 72k-node kNN graph at
+    // the 32× fixture), so the bound must scale with the node count,
+    // not sit at a constant that a bigger corpus walks past.
+    val seed = labels.agg(count(lit(1)), sum(col("c"))).first()
+    val nNodes = seed.getLong(0)
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("c"))).first().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
+    var prevSum = if (seed.isNullAt(1)) 0L else seed.getLong(1)
+    var converged = nNodes == 0
     var rounds = 0
-    val MaxRounds = 25
+    val MaxRounds =
+      2 * (64 - java.lang.Long.numberOfLeadingZeros(nNodes + 1)) + 10
     while (!converged && rounds < MaxRounds) {
       val prop = edges
         .join(labels.withColumnRenamed("node", "u").withColumnRenamed("c", "cu"), "u")
@@ -801,14 +868,16 @@ object Dedup {
       val jump = labels.as("a")
         .join(labels.select(col("node").as("c"), col("c").as("cc")), "c")
         .select(col("a.node").as("node"), col("cc").as("c"))
-      val next = labels.union(prop).union(jump)
+      val next = statsBarrier(labels.union(prop).union(jump)
         .groupBy("node").agg(min(col("c")).as("c"))
-        .localCheckpoint()
+        .localCheckpoint())
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
       rounds += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_TRACE")) System.err.println(
+        s"[cc] round $rounds/$MaxRounds sum=$nextSum converged=$converged")
     }
     // Pointer jumping makes the cap unreachable below diameter ~2^25;
     // if it IS hit, the labels are not a fixpoint and silently
@@ -1321,19 +1390,17 @@ object Dedup {
              x -> x IS NOT NULL), ' '), '')) AS clean_md5
          FROM j ORDER BY doc_id""",
     "dd_embed_lsh" -> {
-      def planeSql(p: Int): String =
-        planeSigns(p).map(d => if (d > 0) "1.0" else "-1.0")
-          .mkString("[", ",", "]")
-      def dProj(p: Int): String =
-        s"""list_sum(list_prepend(CAST(0 AS DOUBLE),
-           list_transform(range(1, ${EmbedDim + 1}),
-             i -> v[i] * (${planeSql(p)})[i])))"""
-      def dBandKey(b: Int): String =
-        (0 until HiBandBits).map { j =>
-          s"""(CASE WHEN ${dProj(b * HiBandBits + j)} >= 0
-             THEN ${1L << (HiBandBits - 1 - j)} ELSE 0 END)"""
-        }.mkString("(", " + ", ")")
-      val keys = (0 until HiBands).map(dBandKey).mkString(",\n")
+      // Corpus-derived (r, b) — the integer-exact twins of
+      // [[hiBitsFor]]/[[hiBandsFor]]: r from the bit length of N−1
+      // (DuckDB bin(); numberOfLeadingZeros in Scala), b from this
+      // Scala-emitted integer ladder, so no float boundary can
+      // disagree. Planes are then GENERATED in SQL from the same
+      // md5("p:i") parity as [[planeSigns]] (i 0-based), instead of
+      // being unrolled as literals — the plane count is data-dependent
+      // now, and the projection keeps the exact list_sum fold the
+      // unrolled version used, so band keys still match bitwise.
+      val ladder = (HiBandBits to HiMaxBits)
+        .map(r => s"WHEN $r THEN ${hiBandsFor(r)}").mkString(" ")
       s"""WITH e0 AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -1354,9 +1421,21 @@ object Dedup {
          n AS (SELECT vec_id, v,
            sqrt(list_sum(list_prepend(CAST(0 AS DOUBLE),
              list_transform(v, x -> x*x)))) AS nrm FROM e),
-         bnd AS (SELECT vec_id,
-           unnest(range(0, $HiBands)) AS band,
-           unnest([$keys]) AS bk FROM e),
+         par AS (SELECT r, CASE r $ladder END AS b FROM
+           (SELECT GREATEST($HiBandBits, length(bin(
+             (SELECT count(*) FROM embeddings) - 1)) - 2) AS r)),
+         pls AS (SELECT p, r,
+             list_transform(range(0, $EmbedDim), i ->
+               CASE WHEN CAST(('0x' || substr(md5(p || ':' || i), 1, 15))
+                 AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS ps
+           FROM (SELECT unnest(range(0, r * b)) AS p, r FROM par)),
+         bnd AS (SELECT vec_id, p // r AS band,
+             CAST(SUM(CASE WHEN list_sum(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, ${EmbedDim + 1}),
+                   i -> v[i] * ps[i]))) >= 0
+               THEN (CAST(1 AS BIGINT) << (r - 1 - (p % r)))
+               ELSE 0 END) AS BIGINT) AS bk
+           FROM e, pls GROUP BY vec_id, band),
          cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
            FROM bnd a JOIN bnd b
            ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),

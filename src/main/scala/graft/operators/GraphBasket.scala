@@ -179,14 +179,18 @@ object GraphBasket {
       .select(col("u").as("v"), expr(s"${PrScale}L div nv").as("r"))
       .localCheckpoint()
     for (_ <- 1 to PrIters) {
-      r = edges.join(r, edges("u") === r("v"))
-        .select(col("w"), expr("r div d").as("c"))
-        .groupBy("w").agg(sum("c").as("m"))
-        .crossJoin(n)
-        .select(col("w").as("v"),
-          expr(s"((15 * ${PrScale}L) div (100 * nv)) + ((85 * m) div 100)")
-            .as("r"))
-        .localCheckpoint()
+      // statsBarrier: each round joins the checkpoint of the previous
+      // round, so preserved stats compound exponentially with the
+      // iteration count (see ColumnBridge.statsBarrier).
+      r = org.apache.spark.sql.graft.ColumnBridge.statsBarrier(
+        edges.join(r, edges("u") === r("v"))
+          .select(col("w"), expr("r div d").as("c"))
+          .groupBy("w").agg(sum("c").as("m"))
+          .crossJoin(n)
+          .select(col("w").as("v"),
+            expr(s"((15 * ${PrScale}L) div (100 * nv)) + ((85 * m) div 100)")
+              .as("r"))
+          .localCheckpoint())
     }
     r.select(col("v").as("part"), col("r").as("rank_scaled"),
         (col("r").cast("double") / lit(PrScale).cast("double")).as("pr"))
@@ -230,11 +234,12 @@ object GraphBasket {
       .distinct()
       .localCheckpoint()
     for (_ <- 1 to BfsRounds) {
-      dist = dist
+      // statsBarrier: same compounding guard as q52PageRank's loop.
+      dist = org.apache.spark.sql.graft.ColumnBridge.statsBarrier(dist
         .unionByName(edges.join(dist, edges("u") === dist("v"))
           .select(col("w").as("v"), (col("d") + 1L).as("d")))
         .groupBy("v").agg(min("d").as("d"))
-        .localCheckpoint()
+        .localCheckpoint())
     }
     dist.select(col("v").as("part"), col("d").as("dist"))
       .orderBy("dist", "part")

@@ -75,12 +75,16 @@ object Hierarchy {
     var rounds = 0
     val MaxRounds = 40
     while (!converged && rounds < MaxRounds) {
-      val next = anc.as("a")
-        .join(anc.select(col("node").as("anc"), col("anc").as("anc2"),
-          col("d").as("d2")).as("b"), "anc")
-        .select(col("a.node").as("node"), col("anc2").as("anc"),
-          (col("a.d") + col("d2")).as("d"))
-        .localCheckpoint()
+      // statsBarrier: ancestor doubling self-joins anc with itself, so
+      // checkpoint-preserved stats square per round (see
+      // ColumnBridge.statsBarrier for the failure mode this prevents).
+      val next = org.apache.spark.sql.graft.ColumnBridge.statsBarrier(
+        anc.as("a")
+          .join(anc.select(col("node").as("anc"), col("anc").as("anc2"),
+            col("d").as("d2")).as("b"), "anc")
+          .select(col("a.node").as("node"), col("anc2").as("anc"),
+            (col("a.d") + col("d2")).as("d"))
+          .localCheckpoint())
       val nextSum = distSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum

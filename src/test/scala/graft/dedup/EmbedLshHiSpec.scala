@@ -74,9 +74,15 @@ class EmbedLshHiSpec extends SparkSpec {
     val dir = sys.env.getOrElse("SPARK_GRAFT_HI_SF", sf)
     val e = Dedup.plantedEmbeddings(spark, dir)
     val n = e.count()
+    // The round-6 corpus-derived parametrization (r from ⌈log2 N⌉,
+    // b from the recall ladder) — same derivation the declared query
+    // runs, so this measures the shipped regime at any fixture size.
+    val n0 = graft.Tables(spark, dir, "embeddings").count()
+    val r = Dedup.hiBitsFor(n0)
+    val b = Dedup.hiBandsFor(r)
+    info(s"derived r=$r b=$b (N0=$n0)")
     val cand = Dedup.lshCandidates(e,
-      Dedup.planeMatrixFor(Dedup.HiBands * Dedup.HiBandBits, Dedup.EmbedDim),
-      Dedup.HiBandBits)
+      Dedup.planeMatrixFor(b * r, Dedup.EmbedDim), r)
     val nCand = cand.count()
     val brute = n * (n - 1) / 2
     info(s"N=$n candidates=$nCand brute=$brute ratio=${brute / nCand.max(1)}x")
