@@ -32,8 +32,8 @@ object ColumnBridge {
     * The barrier re-wraps the materialized rows in a fresh
     * `LogicalRDD` with NO origin stats, so each round's estimates
     * start from the session default instead of compounding.
-    * `internalCreateDataFrame` (the pre-34338 body of
-    * `Dataset.checkpoint`) reuses the checkpointed `InternalRow`s
+    * `internalCreateDataFrame` (what `Dataset.checkpoint` itself used
+    * before stats forwarding) reuses the checkpointed `InternalRow`s
     * directly — no Row re-encoding. Cost: the barrier also drops the
     * checkpoint's preserved output partitioning, so a downstream join
     * re-exchanges the frame — for the vertex-sized label/rank frames
