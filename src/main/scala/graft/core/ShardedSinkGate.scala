@@ -50,10 +50,23 @@ import graft.Tables
   */
 object ShardedSinkGate {
 
-  /** Shard count for the gate (a real deployment derives it from
-    * bytes / target shard size).
+  /** Shard-count floor (gate-sized fixtures still exercise a
+    * multi-shard write).
     */
   val Shards = 8
+
+  /** Target lines per shard. The shard count is DERIVED from the
+    * table size (round-6 64×-octave finding: a fixed count broke both
+    * the "shards are a few MB" contract the wholeTextFiles read-back
+    * relies on — a 38M-row fixture put ~100 MB in ONE in-memory
+    * string per file — and the writer's parallelism, 8 sort tasks on
+    * 32 cores; measured 5.1× wall per 2× data. One metadata-only
+    * parquet count pins rows/shard instead, the same derived-
+    * parameter discipline as the √N kNN centroid law). Shard
+    * boundaries provably cancel out of the gate's line_no
+    * reconstruction, so the derivation cannot move the oracle hash.
+    */
+  val ShardRows = 1L << 20
 
   def shardedSink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -61,6 +74,9 @@ object ShardedSinkGate {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val out =
       s"/tmp/graft_sharded_${md}_${s.sparkContext.applicationId}/out"
+    val shards = math.max(Shards.toLong,
+      (Tables(s, dir, "lineitem").count() + ShardRows - 1) / ShardRows)
+      .toInt
 
     // The sharded writer PICKS its shard count (at 100 TB: total
     // bytes / target shard size) and sorts within explicit range
@@ -74,7 +90,7 @@ object ShardedSinkGate {
         col("l_linenumber").cast("long"),
         col("l_suppkey").cast("long"))
       .as[(Long, Long, Long)]
-      .repartitionByRange(Shards, col("l_orderkey"), col("l_linenumber"))
+      .repartitionByRange(shards, col("l_orderkey"), col("l_linenumber"))
       .sortWithinPartitions("l_orderkey", "l_linenumber")
     TextSink.write[(Long, Long, Long)](sorted,
       t => s"${t._1} ${t._2} ${t._3}", out, single = false)
