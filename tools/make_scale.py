@@ -96,7 +96,15 @@ def main() -> None:
         base = pq.read_table(f"{src}/{name}.parquet")
         shards = [shard(base, name, k) for k in range(k_shards)]
         merged = pa.concat_tables(shards)
-        pq.write_table(merged, f"{out}/{name}.parquet")
+        # Row-group layout: pyarrow's default (1Mi-row groups) wrote
+        # the 64x documents table as ONE 141 MB row group, and a
+        # parquet scan cannot split inside a row group — every
+        # narrow documents pass ran its scan+compute in a single
+        # Spark task (found round 6: ta_cdc_chunk's 91 s "bytes-bound"
+        # row was one core doing all the work). Cap groups so wide
+        # tables split ~64 ways; data content is unchanged.
+        pq.write_table(merged, f"{out}/{name}.parquet",
+                       row_group_size=max(10_000, merged.num_rows // 64))
         print(f"{name}: {base.num_rows} -> {merged.num_rows}")
 
 
