@@ -343,6 +343,21 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("connectedComponents restores the session shuffle partitioning " +
+    "it scopes for the fixpoint") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // A 6-node chain forces several propagation rounds (worst case
+    // for min-label), all inside the scoped-conf region.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("u", "v")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (1L to 6L).map(_ -> 1L).toMap)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "fixpoint left its scoped shuffle partitioning behind")
+  }
+
   test("keeplist: full corpus covered, one keeper per cluster, keepers " +
     "are cluster minima") {
     val rows = Dedup.keeplist(spark, sf).collect()
