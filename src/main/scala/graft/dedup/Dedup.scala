@@ -871,20 +871,12 @@ object Dedup {
       2 * (64 - java.lang.Long.numberOfLeadingZeros(nNodes + 1)) + 10
     // Fixpoint parallelism scoped to the node count (round 6): each
     // round is ~3 shuffles over frames of nNodes rows, so with the
-    // session's full partition count the rounds are pure scheduler/
-    // exchange LATENCY on near-empty partitions (traced at the 64×
-    // fixture: 22 rounds × ~0.8 s over a 128k-row label frame on 32
-    // partitions). Target ~250k rows/partition, floored at 8, capped
-    // at the session setting — the big-corpus regime keeps every
-    // partition, fixture-scale fixpoints stop paying 32-way exchange
-    // latency per round. Same conf-scope/restore discipline as
-    // streaming.RateIngest/Resume; label values are unaffected.
-    val sess = pairs.sparkSession
-    val prevShuffle = sess.conf.get("spark.sql.shuffle.partitions")
-    val fixpointParts = math.max(8L,
-      math.min(prevShuffle.toLong, nNodes / 250000L)).toString
-    sess.conf.set("spark.sql.shuffle.partitions", fixpointParts)
-    try {
+    // session's full partition count the rounds are pure exchange
+    // latency on near-empty partitions (traced at the 64× fixture:
+    // 22 rounds × ~0.8 s over a 128k-row label frame on 32
+    // partitions). See [[graft.operators.Fixpoint]]; label values
+    // are unaffected.
+    graft.operators.Fixpoint.withScopedShuffle(pairs.sparkSession, nNodes) {
     while (!converged && rounds < MaxRounds) {
       val prop = edges
         .join(labels.withColumnRenamed("node", "u").withColumnRenamed("c", "cu"), "u")
@@ -903,7 +895,7 @@ object Dedup {
       if (sys.env.contains("SPARK_GRAFT_CC_TRACE")) System.err.println(
         s"[cc] round $rounds/$MaxRounds sum=$nextSum converged=$converged")
     }
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     // Pointer jumping makes the cap unreachable below diameter ~2^25;
     // if it IS hit, the labels are not a fixpoint and silently
     // returning them would hand out wrong cluster ids — fail loudly.

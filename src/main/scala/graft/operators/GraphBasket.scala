@@ -166,6 +166,10 @@ object GraphBasket {
     val e0 = pairs(s, dir, MinEdgeSupport).select("pa", "pb")
     val ed = e0.select(col("pa").as("u"), col("pb").as("w"))
       .unionByName(e0.select(col("pb").as("u"), col("pa").as("w")))
+    // Whole build scoped to the edge count (see operators.Fixpoint):
+    // the pre-loop repartition(u) then pins the SAME partition count
+    // the per-round joins require, so the edge exchange stays reused.
+    Fixpoint.withScopedShuffle(s, ed.count()) {
     // deg and edges are checkpointed so the per-round eager actions
     // below never re-derive the co-purchase graph from raw data
     val deg = ed.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
@@ -195,6 +199,7 @@ object GraphBasket {
     r.select(col("v").as("part"), col("r").as("rank_scaled"),
         (col("r").cast("double") / lit(PrScale).cast("double")).as("pr"))
       .orderBy(desc("rank_scaled"), asc("part"))
+    }
   }
 
   /** Rank quantum: 1e-12 of total mass. */
@@ -224,8 +229,11 @@ object GraphBasket {
   // is an optimization that does not change the fixed-round result.)
   def q60Bfs(s: SparkSession, dir: String): DataFrame = {
     val e0 = pairs(s, dir, MinEdgeSupport).select("pa", "pb")
-    val edges = e0.select(col("pa").as("u"), col("pb").as("w"))
+    val ed = e0.select(col("pa").as("u"), col("pb").as("w"))
       .unionByName(e0.select(col("pb").as("u"), col("pa").as("w")))
+    // Scoped like q52PageRank — see operators.Fixpoint.
+    Fixpoint.withScopedShuffle(s, ed.count()) {
+    val edges = ed
       .repartition(col("u")).localCheckpoint() // see q52PageRank
     val src = broadcast(edges.agg(min("u").as("sv")))
     var dist = edges.crossJoin(src)
@@ -243,6 +251,7 @@ object GraphBasket {
     }
     dist.select(col("v").as("part"), col("d").as("dist"))
       .orderBy("dist", "part")
+    }
   }
 
   /** Hop bound for the BFS — mirrored by the unrolled oracle. */

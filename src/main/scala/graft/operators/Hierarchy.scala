@@ -70,10 +70,14 @@ object Hierarchy {
       val v = df.agg(sum(col("d"))).first()
       if (v.isNullAt(0)) 0L else v.getLong(0)
     }
-    var prevSum = distSum(anc)
+    val seed = anc.agg(count(lit(1)), sum(col("d"))).first()
+    val nNodes = seed.getLong(0)
+    var prevSum = if (seed.isNullAt(1)) 0L else seed.getLong(1)
     var converged = false
     var rounds = 0
     val MaxRounds = 40
+    // Doubling rounds scoped to the node count — see operators.Fixpoint.
+    Fixpoint.withScopedShuffle(nodes.sparkSession, nNodes) {
     while (!converged && rounds < MaxRounds) {
       // statsBarrier: ancestor doubling self-joins anc with itself, so
       // checkpoint-preserved stats square per round (see
@@ -90,6 +94,7 @@ object Hierarchy {
       prevSum = nextSum
       anc = next
       rounds += 1
+    }
     }
     if (!converged) throw new IllegalStateException(
       s"hierarchy: ancestor doubling did not converge in $MaxRounds " +
