@@ -69,13 +69,22 @@ object Dedup {
     *     whole lineage per branch (4× the cost otherwise). At 100 TB
     *     this is exactly "write the signature table once, read it
     *     four times".
+    *  4b. (round 6) The frame is additionally Lineage-materialized:
+    *     ReusedExchange shares the build WITHIN one query, but ~10
+    *     dd_ queries each re-derived it from raw text — the same
+    *     cross-query duplication the CC-label/kNN-edge/span tiers
+    *     already shed. One persist, every shingle consumer reads it;
+    *     a multi-job deployment writes it as the signature table.
     */
   private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
-      .select(col("doc_id"), shingles3(col("hs")).as("shingles"))
-      .repartition(col("doc_id"))
+    graft.operators.Lineage.materialized(s, dir, "dd_shingled",
+      org.apache.spark.storage.StorageLevel.DISK_ONLY) {
+      docs(s, dir)
+        .filter(size(tokens(col("text"))) >= 3)
+        .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+        .select(col("doc_id"), shingles3(col("hs")).as("shingles"))
+        .repartition(col("doc_id"))
+    }
 
   /** 4th structural rule: NEVER `explode(shingles)` directly — the
     * Generate triggers InferFiltersFromGenerate, whose inferred

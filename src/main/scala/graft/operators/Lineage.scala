@@ -29,15 +29,31 @@ object Lineage {
   private val cache = scala.collection.mutable.Map
     .empty[(SparkSession, String, String), DataFrame]
 
-  /** The frame built by `build`, persisted MEMORY_AND_DISK on first
-    * use and shared by every later caller with the same
-    * (session, dir, key).
+  /** The frame built by `build`, persisted on first use and shared by
+    * every later caller with the same (session, dir, key).
+    *
+    * `level` defaults to MEMORY_AND_DISK (small derived frames: CC
+    * labels, kNN edges, graph baskets). Pass DISK_ONLY for wide
+    * corpus-derived tables (the shingle signature table): production
+    * materializes those as on-disk tables anyway, and a memory-
+    * resident copy would pin the unified pool against the very
+    * operators (spill-proven joins) that read it under pressure.
     */
-  def materialized(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = cache.synchronized {
-    cache.getOrElseUpdate((s, dir, key),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
-  }
+  def materialized(s: SparkSession, dir: String, key: String,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK)(
+      build: => DataFrame): DataFrame =
+    // SPARK_GRAFT_LINEAGE=off: run every query on its raw lineage,
+    // no block-manager caching. For harnesses that deliberately
+    // starve the unified pool (SpillProofSpec's 11 MB JVM): cache
+    // write/read buffers there compete with the very operators under
+    // test, while production pre-materializes these frames as real
+    // tables in separate jobs with their own memory. The off switch
+    // reproduces the pre-cache plan shape those gates were written
+    // against.
+    if (sys.env.get("SPARK_GRAFT_LINEAGE").contains("off")) build
+    else cache.synchronized {
+      cache.getOrElseUpdate((s, dir, key), build.persist(level))
+    }
 
   /** Run `once` the first time this (session, dir, key) is seen — the
     * side-effect twin of [[materialized]] for non-frame shared work

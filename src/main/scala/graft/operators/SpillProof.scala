@@ -46,6 +46,12 @@ object SpillProof {
         }
       }
     })
+    // This JVM runs with SPARK_GRAFT_LINEAGE=off (set by the spec's
+    // fork): the gate's subject is the SHUFFLES of the join plans,
+    // and block-manager cache traffic inside the ~11 MB pool competes
+    // with the operators under test — production pre-materializes the
+    // shared frames as real tables in separate jobs, so the uncached
+    // plan is the right starved-regime shape (see Lineage).
     Seq("dd_jaccard_prefix", "ta_tfidf_sim").foreach { name =>
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -24,7 +24,10 @@ class SpillProofSpec extends AnyFunSuite {
       "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"),
       "graft.operators.SpillProof", "/root/testdata/sf0.1")
-    val out = scala.sys.process.Process(cmd).!! // throws on nonzero exit
+    // Lineage caching off in the starved JVM — the gate tests the
+    // join shuffles, not block-manager cache traffic (see SpillProof).
+    val out = scala.sys.process.Process(cmd, None,
+      "SPARK_GRAFT_LINEAGE" -> "off").!! // throws on nonzero exit
     val line = out.linesIterator
       .find(_.startsWith("""{"ok":true"""))
       .getOrElse(fail(s"no result line in:\n$out"))
