@@ -13,10 +13,10 @@ import graft.functions.TextHash
   * per-document passes a 100 TB training-data pipeline runs before
   * dedup/filtering).
   *
-  * Every query is a single narrow scan-side pass (higher-order array
-  * functions, no UDFs, no joins except TF-IDF's broadcast-sized term
-  * table), so at scale each is one pipeline over the corpus with
-  * column pruning to `doc_id, text`. All arithmetic follows the
+  * Every query is a single narrow pass (higher-order array functions,
+  * no UDFs, no joins except TF-IDF's broadcast-sized term table) over
+  * either the raw `doc_id, text` scan or the shared [[tokenized]]
+  * table — tokenize once, analyze many. All arithmetic follows the
   * cross-engine determinism rules of [[TextHash]] so each query has a
   * full DuckDB oracle.
   */
@@ -29,6 +29,21 @@ object TextAnalysis {
     */
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").repartition(col("doc_id"))
+
+  /** Shared (doc_id, toks) tokenization — the common prefix of the
+    * twelve token-level ta_ queries, each of which used to re-scan and
+    * re-tokenize the corpus. Lineage-materialized DISK_ONLY (round 6):
+    * at 100 TB this is "run the tokenizer once, write the tokenized
+    * table, every downstream analysis pass reads it" — the same
+    * write-once/read-many promotion the dd_ shingle signature table
+    * got. Queries that need the raw `text` column (quality, scrub,
+    * token_count, lang_ngram) keep their own narrow scans.
+    */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lineage.materialized(s, dir, "ta_tokenized",
+      org.apache.spark.storage.StorageLevel.DISK_ONLY) {
+      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    }
 
   /** Tiny per-language marker-word lists drawn from the fixture
     * vocabulary. The corpus text is synthetic word-salad, so this is
@@ -61,10 +76,9 @@ object TextAnalysis {
   // -----------------------------------------------------------------
   // ta_lang_id: marker-word occurrence scoring + fixed-priority argmax.
   def langId(s: SparkSession, dir: String): DataFrame = {
-    // toks materialized once; the 5 per-language filters then read an
-    // attribute instead of re-running the tokenizer regexp 5×/row.
-    val scored = docs(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // toks read from the shared tokenized frame; the 5 per-language
+    // filters read an attribute instead of re-running the tokenizer.
+    val scored = tokenized(s, dir)
       .select(
         col("doc_id") +: MarkerWords.map { case (l, ws) =>
           hits(col("toks"), ws).as(s"s_$l")
@@ -154,9 +168,8 @@ object TextAnalysis {
   // ta_fingerprint: order-sensitive rolling hash of the token-hash
   // stream + content-sampled min-shingle (both per [[TextHash]]).
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val hs = tokenHashes(tokens(col("text")))
-    docs(s, dir)
-      .select(col("doc_id"), hs.as("hs"))
+    tokenized(s, dir)
+      .select(col("doc_id"), tokenHashes(col("toks")).as("hs"))
       .select(
         col("doc_id"),
         rollingFingerprint(col("hs")).as("fp"),
@@ -171,7 +184,7 @@ object TextAnalysis {
   // the doc-count scalar rides a broadcast cross join — the corpus
   // itself is touched in one exploded pass with partial aggregation.
   def tfidf(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val d = tokenized(s, dir)
     val n = d.agg(count(lit(1)).as("nd"))
     val tf = d
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
@@ -197,8 +210,7 @@ object TextAnalysis {
   // a total order, so the LIMIT frontier is deterministic).
   def bigrams(s: SparkSession, dir: String): DataFrame = {
     val toks = col("toks") // attribute: 2 element_at reads per index
-    docs(s, dir)
-      .select(tokens(col("text")).as("toks"))
+    tokenized(s, dir)
       .select(explode(when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2), i =>
           concat(element_at(toks, i + 1), lit(" "),
@@ -214,8 +226,7 @@ object TextAnalysis {
   // ta_array_funcs: the array scalar-function family (sort, index
   // from both ends, membership, slice+join) over the token arrays.
   def arrayFuncs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    tokenized(s, dir)
       .select(col("doc_id"), col("toks"),
         sort_array(col("toks")).as("sorted"))
       .select(
@@ -236,9 +247,9 @@ object TextAnalysis {
   // the positional fingerprint sequence (deterministic order in both
   // engines); n_fps counts the distinct set.
   def winnow(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+    tokenized(s, dir)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), tokenHashes(col("toks")).as("hs"))
       .select(col("doc_id"), shingles3Seq(col("hs")).as("sh"))
       .select(col("doc_id"),
         winnowFingerprints(col("sh"), WinnowW).as("fps"))
@@ -276,7 +287,7 @@ object TextAnalysis {
   val MaxDfDivisor = 5 // keep terms with df ≤ N/5 (20% of docs)
 
   def tfidfSim(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val d = tokenized(s, dir)
     val n = d.agg(count(lit(1)).as("nd"))
     val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -308,9 +319,8 @@ object TextAnalysis {
   // boilerplate/spam for pre-training filtering. Single narrow pass;
   // ratios are single double divisions (deterministic both engines).
   def repetition(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    tokenized(s, dir)
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("toks"),
         tokenHashes(col("toks")).as("hs"))
       .select(col("doc_id"), col("toks"), shingles3Seq(col("hs")).as("sh"))
@@ -394,9 +404,9 @@ object TextAnalysis {
   // position order in BOTH engines (collect_list alone is
   // order-nondeterministic — the sort is what makes the gate exact).
   def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .filter(size(tokens(col("text"))) >= 2)
-      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+    val base = tokenized(s, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), tokenHashes(col("toks")).as("hs"))
       .repartition(col("doc_id"))
     val withBg = base
       .select(col("doc_id"), posexplode(expr(
@@ -448,8 +458,7 @@ object TextAnalysis {
   // the max-multiplicity reuses [[repetition]]'s O(n log n)
   // sort+longest-run fold rather than a per-token count scan.
   def filterPipeline(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val base = tokenized(s, dir)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
@@ -527,7 +536,7 @@ object TextAnalysis {
   // are broadcast 1-row/vocabulary-sized frames; the top-20 frontier
   // is TakeOrdered, not a global sort.
   def bm25(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val d = tokenized(s, dir)
     val st = broadcast(d.agg(count(lit(1)).as("nd"),
       sum(size(col("toks")).cast("long")).as("sl")))
     val tf = d
@@ -588,7 +597,7 @@ object TextAnalysis {
   // corpus totals ride broadcast 1-row frames; the final frontier is
   // TakeOrdered(PmiTopK), never a global sort.
   def pmi(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(tokens(col("text")).as("toks"))
+    val d = tokenized(s, dir).select(col("toks"))
     val toks = col("toks")
     val uni = d.select(explode(toks).as("tkn"))
       .groupBy("tkn").agg(count(lit(1)).as("c"))
