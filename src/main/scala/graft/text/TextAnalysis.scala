@@ -31,13 +31,23 @@ object TextAnalysis {
     Tables(s, dir, "documents").repartition(col("doc_id"))
 
   /** Shared (doc_id, toks) tokenization — the common prefix of the
-    * twelve token-level ta_ queries, each of which used to re-scan and
-    * re-tokenize the corpus. Lineage-materialized DISK_ONLY (round 6):
-    * at 100 TB this is "run the tokenizer once, write the tokenized
-    * table, every downstream analysis pass reads it" — the same
-    * write-once/read-many promotion the dd_ shingle signature table
-    * got. Queries that need the raw `text` column (quality, scrub,
-    * token_count, lang_ngram) keep their own narrow scans.
+    * per-document token-level ta_ queries, each of which used to
+    * re-scan and re-tokenize the corpus. Lineage-materialized
+    * DISK_ONLY (round 6): at 100 TB this is "run the tokenizer once,
+    * write the tokenized table, every downstream analysis pass reads
+    * it" — the same write-once/read-many promotion the dd_ shingle
+    * signature table got.
+    *
+    * Deliberately NOT used by three query families:
+    *  - raw-text consumers (quality, scrub, token_count, lang_ngram)
+    *    keep their own narrow `doc_id, text` scans;
+    *  - the multi-branch inverted-index builders (tfidf, tfidfSim,
+    *    pmi) read their token frame 2× per query, and the block-
+    *    manager cache stores `array<string>` as serialized rows whose
+    *    per-read decode measures SLOWER than the codegen'd scan-side
+    *    re-tokenize it would replace (sf0.1: pmi 0.7 → 1.8 s shared);
+    *    they keep direct scans — the single-shot exploding pass is
+    *    already the right 100 TB shape for them.
     */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     graft.operators.Lineage.materialized(s, dir, "ta_tokenized",
@@ -184,7 +194,8 @@ object TextAnalysis {
   // the doc-count scalar rides a broadcast cross join — the corpus
   // itself is touched in one exploded pass with partial aggregation.
   def tfidf(s: SparkSession, dir: String): DataFrame = {
-    val d = tokenized(s, dir)
+    // Direct scan, not [[tokenized]] — see the tokenized Scaladoc.
+    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
     val n = d.agg(count(lit(1)).as("nd"))
     val tf = d
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
@@ -287,7 +298,8 @@ object TextAnalysis {
   val MaxDfDivisor = 5 // keep terms with df ≤ N/5 (20% of docs)
 
   def tfidfSim(s: SparkSession, dir: String): DataFrame = {
-    val d = tokenized(s, dir)
+    // Direct scan, not [[tokenized]] — see the tokenized Scaladoc.
+    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
     val n = d.agg(count(lit(1)).as("nd"))
     val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -597,7 +609,8 @@ object TextAnalysis {
   // corpus totals ride broadcast 1-row frames; the final frontier is
   // TakeOrdered(PmiTopK), never a global sort.
   def pmi(s: SparkSession, dir: String): DataFrame = {
-    val d = tokenized(s, dir).select(col("toks"))
+    // Direct scan, not [[tokenized]] — see the tokenized Scaladoc.
+    val d = docs(s, dir).select(tokens(col("text")).as("toks"))
     val toks = col("toks")
     val uni = d.select(explode(toks).as("tkn"))
       .groupBy("tkn").agg(count(lit(1)).as("c"))
