@@ -1100,8 +1100,16 @@ object Dedup {
     import org.apache.spark.sql.types.BinaryType
 
     val sh = shingled(s, dir)
-    val ev = sh.filter(col("doc_id") % 10 === BloomEvalMod)
-      .select(explode(col("shingles")).as("sg")).distinct()
+    // The eval-distinct shingle set is the CONTAMINATION SET — the
+    // artifact a production pipeline materializes once (alongside the
+    // persisted stats the sizing Scaladoc cites) and reads from every
+    // decontamination pass. Unmaterialized it is derived three times
+    // per invocation: the sizing count, the Bloom build, and the
+    // exact-verify broadcast.
+    val ev = graft.operators.Lineage.materialized(s, dir, "dd_bloom_ev") {
+      sh.filter(col("doc_id") % 10 === BloomEvalMod)
+        .select(explode(col("shingles")).as("sg")).distinct()
+    }
     val tr = sh.filter(col("doc_id") % 10 =!= BloomEvalMod)
 
     val bloom = ev.stat.bloomFilter("sg",
