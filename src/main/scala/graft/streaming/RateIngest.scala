@@ -123,7 +123,24 @@ object RateIngest {
           throw new IllegalStateException(
             s"rate stream sealed ${sealedCount()} windows " +
               s"of $ExpectWindows within the deadline")
-      } finally q.stop()
+      } finally {
+        // stop() races the in-flight epoch PAST the kept range: its
+        // state-store commit aborts under the stopping checkpoint
+        // (CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT) and is sometimes
+        // recorded as a query failure before stop() returns, which
+        // stop() then rethrows. Every kept window is already sealed
+        // in the sink — the poll above gated on the full set and the
+        // frame below reads only below the cutoff — so that rethrow
+        // is noise from data the query was told to abandon; swallow
+        // it loudly. A genuine emission failure still fails the gate
+        // via the deadline throw above, and row content is
+        // oracle-hashed either way.
+        try q.stop()
+        catch {
+          case e: Exception => System.err.println(
+            s"st_rate_windows: benign stop-race swallowed: ${e.getMessage}")
+        }
+      }
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // The state-store maintenance thread can still be writing

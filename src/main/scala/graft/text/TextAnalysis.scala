@@ -52,7 +52,15 @@ object TextAnalysis {
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     graft.operators.Lineage.materialized(s, dir, "ta_tokenized",
       org.apache.spark.storage.StorageLevel.DISK_ONLY) {
-      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      // Column order (toks, doc_id) is LOAD-BEARING: CacheManager
+      // substitutes the persisted plan into ANY query containing a
+      // sameResult subtree, so a cached (doc_id, toks) projection
+      // silently rewired the three direct-scan consumers below back
+      // into the cache they opted out of (measured: tfidf pinned at
+      // ~1.7 s either way until the order flip made their plans
+      // genuinely distinct). Consumers of THIS frame select by name
+      // and still hit the cache.
+      docs(s, dir).select(tokens(col("text")).as("toks"), col("doc_id"))
     }
 
   /** Tiny per-language marker-word lists drawn from the fixture
