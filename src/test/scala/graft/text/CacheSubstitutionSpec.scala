@@ -36,7 +36,11 @@ class CacheSubstitutionSpec extends SparkSpec {
     assert(readsCache(TextAnalysis.queries("ta_repetition")(spark, sf)),
       "ta_repetition should read the shared tokenized cache")
 
-    for (q <- Seq("ta_tfidf", "ta_tfidf_sim", "ta_pmi"))
+    // tfidf/tfidf_sim/pmi: multi-branch decode ×2 loses to re-tokenize;
+    // bigrams/array_funcs: cheap consumers whose decode costs more than
+    // their whole downstream.
+    for (q <- Seq("ta_tfidf", "ta_tfidf_sim", "ta_pmi",
+        "ta_bigrams", "ta_array_funcs"))
       assert(!readsCache(TextAnalysis.queries(q)(spark, sf)),
         s"$q opted out of the tokenized cache but its plan was " +
           "substituted — the cached projection's column order no " +
