@@ -330,13 +330,12 @@ object VectorSearch {
         transform(sort_array(col("mc")), x => x.getField("code"))
           .as("codes"))
 
-  def pqTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    // Per-query flat distance table: index m·PqCodes + code.
-    val dts = q.join(broadcast(pqCodebook(e)))
+  /** Per-query flat ADC distance table (index m·PqCodes + code) —
+    * what FAISS precomputes per query; KB-sized, broadcast to the
+    * codes scan. Shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def pqDistTables(e: DataFrame, q: DataFrame): DataFrame =
+    q.join(broadcast(pqCodebook(e)))
       .select(col("query_id"), col("code"),
         transform(sequence(lit(0), lit(PqM - 1)),
           m => subDist(col("qv"), col("cbv"), m)).as("ds"))
@@ -349,20 +348,91 @@ object VectorSearch {
       .agg(sort_array(collect_list(col("kd"))).as("kds"))
       .select(col("query_id"),
         transform(col("kds"), x => x.getField("d")).as("dt"))
-    // ADC estimate: PqM table lookups, folded left-to-right.
+
+  /** ADC estimated distance: PqM table lookups, folded left-to-right
+    * (same op sequence as the oracle's list_reduce).
+    */
+  private def adcEst: Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (acc, m) => acc + element_at(col("dt"),
+        m * PqCodes + element_at(col("codes"), m + 1) + 1))
+
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val dts = pqDistTables(e, q)
     val wc = Window.partitionBy("query_id")
       .orderBy(asc("est"), asc("neighbor_id"))
     val cand = pqEncoded(e)
       .join(broadcast(dts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-          (acc, m) => acc + element_at(col("dt"),
-            m * PqCodes + element_at(col("codes"), m + 1) + 1))
-          .as("est"))
+        adcEst.as("est"))
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") <= PqRerank)
       .select("query_id", "neighbor_id")
     // Exact re-rank of the candidate lists only.
+    val wr = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cand.join(broadcast(q), "query_id")
+      .join(e, col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  // -----------------------------------------------------------------
+  // ss_ivfpq_topk: IVFADC — the two scale paths COMPOSED (Jégou et
+  // al. 2011, §IV; the FAISS IVFPQ index): IVF prunes WHICH vectors a
+  // query scores (NProbe/C of the corpus via cid partition pruning),
+  // PQ shrinks WHAT the scan reads per vector (PqM code bytes instead
+  // of the raw float vector), and the exact rerank touches raw
+  // vectors only for the PqRerank survivors. This is the shape a
+  // 100 TB deployment actually runs: per query the ADC pass streams
+  // NProbe·N/C code rows against a broadcast KB distance table, so
+  // both the compute AND memory dimensions scale sub-linearly at
+  // once — neither parent query does both. Approximate on two axes by
+  // construction (unprobed list + codebook error); [[cosineTopK]] is
+  // the recall-1.0 tier and the gate compares the two engines running
+  // the identical algorithm.
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = centroids(e)
+    // The list index: vec_id → cid only — the ADC pass must never
+    // carry raw vectors, that is the point of the composition.
+    val lists = ivfAssign(s, dir).select(col("vec_id"), col("cid"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+
+    // Probes: the NProbe nearest centroids per query (as [[ivfTopK]]).
+    val wp = Window.partitionBy("query_id").orderBy(desc("pcos"), asc("cid"))
+    val probes = q.join(broadcast(cent))
+      .select(col("query_id"), col("cid"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("pcos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("cid"))
+
+    // ADC over the probed lists only: probes ⋈ lists (partition
+    // pruning at scale) ⋈ codes, scored by table lookup.
+    val wc = Window.partitionBy("query_id")
+      .orderBy(asc("est"), asc("neighbor_id"))
+    val cand = probes.join(lists, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(pqEncoded(e), "vec_id")
+      .join(broadcast(pqDistTables(e, q)), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcEst.as("est"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= PqRerank)
+      .select("query_id", "neighbor_id")
+
+    // Exact re-rank of the candidate lists only (as [[pqTopK]]).
     val wr = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     cand.join(broadcast(q), "query_id")
@@ -381,6 +451,7 @@ object VectorSearch {
     "ss_knn_graph" -> knnGraph,
     "ss_centroid" -> centroid,
     "ss_pq_topk" -> pqTopK,
+    "ss_ivfpq_topk" -> ivfPqTopK,
   )
 
   // ---------------------------------------------------------------
@@ -396,6 +467,49 @@ object VectorSearch {
   private def dCos(av: String, bv: String, an: String, bn: String) =
     s"""list_sum(list_prepend(CAST(0 AS DOUBLE),
        list_transform(range(1, 65), i -> $av[i] * $bv[i]))) / ($an * $bn)"""
+
+  /** ||a_m − b_m||² with the same left-to-right fold as subDist
+    * (`mm.m` is the subspace index from the `mm` CTE).
+    */
+  private def dSub(av: String, bv: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(range(1, ${PqDs + 1}),
+         i -> ($av[mm.m*$PqDs+i] - $bv[mm.m*$PqDs+i])
+            * ($av[mm.m*$PqDs+i] - $bv[mm.m*$PqDs+i]))),
+       (acc, x) -> acc + x)"""
+
+  /** The PQ encode + per-query distance-table CTE block (consumers:
+    * `codes` and `dt`), shared by the ss_pq_topk and ss_ivfpq_topk
+    * oracles. Expects CTEs `e` and `q` to be in scope.
+    */
+  private lazy val PqCtes: String =
+    s"""cb AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cbv
+         FROM e WHERE vec_id < $PqCodes),
+       mm AS (SELECT unnest(range(0, $PqM)) AS m),
+       sd AS (SELECT e.vec_id, cb.code, mm.m,
+           ${dSub("e.v", "cb.cbv")} AS d
+         FROM e CROSS JOIN cb CROSS JOIN mm),
+       bst AS (SELECT vec_id, m, code FROM (
+           SELECT vec_id, m, code, row_number() OVER (
+             PARTITION BY vec_id, m ORDER BY d, code) AS rn
+           FROM sd) WHERE rn = 1),
+       codes AS (SELECT vec_id, list(code ORDER BY m) AS codes
+         FROM bst GROUP BY vec_id),
+       qd AS (SELECT query_id, cb.code, mm.m,
+           ${dSub("q.qv", "cb.cbv")} AS d
+         FROM q CROSS JOIN cb CROSS JOIN mm),
+       dt AS (SELECT query_id,
+           list(d ORDER BY m * $PqCodes + code) AS dt
+         FROM qd GROUP BY query_id)"""
+
+  /** ADC estimate in DuckDB: PqM lookups of `dt.dt` by `codes.codes`,
+    * left-to-right fold — mirror of [[adcEst]].
+    */
+  private lazy val DAdcEst: String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(range(0, $PqM),
+         m -> dt.dt[m * $PqCodes + codes.codes[m + 1] + 1])),
+       (acc, x) -> acc + x)"""
 
   /** The IVF-bounded kNN-graph pipeline as a reusable CTE block
     * (`rk` = ranked candidate edges; consumers gate on `rank`).
@@ -471,40 +585,13 @@ object VectorSearch {
       s"""WITH $KnnGraphCtes
          SELECT vec_id, neighbor_id, rank, cos FROM rk
          WHERE rank <= $KnnK ORDER BY vec_id, rank""",
-    "ss_pq_topk" -> {
-      // ||a_m − b_m||² with the same left-to-right fold as subDist.
-      def dSub(av: String, bv: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           list_transform(range(1, ${PqDs + 1}),
-             i -> ($av[mm.m*$PqDs+i] - $bv[mm.m*$PqDs+i])
-                * ($av[mm.m*$PqDs+i] - $bv[mm.m*$PqDs+i]))),
-           (acc, x) -> acc + x)"""
+    "ss_pq_topk" ->
       s"""WITH e AS ($DVecs),
-         cb AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cbv
-           FROM e WHERE vec_id < $PqCodes),
-         mm AS (SELECT unnest(range(0, $PqM)) AS m),
-         sd AS (SELECT e.vec_id, cb.code, mm.m,
-             ${dSub("e.v", "cb.cbv")} AS d
-           FROM e CROSS JOIN cb CROSS JOIN mm),
-         bst AS (SELECT vec_id, m, code FROM (
-             SELECT vec_id, m, code, row_number() OVER (
-               PARTITION BY vec_id, m ORDER BY d, code) AS rn
-             FROM sd) WHERE rn = 1),
-         codes AS (SELECT vec_id, list(code ORDER BY m) AS codes
-           FROM bst GROUP BY vec_id),
          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
            WHERE vec_id < $NumQueries),
-         qd AS (SELECT query_id, cb.code, mm.m,
-             ${dSub("q.qv", "cb.cbv")} AS d
-           FROM q CROSS JOIN cb CROSS JOIN mm),
-         dt AS (SELECT query_id,
-             list(d ORDER BY m * $PqCodes + code) AS dt
-           FROM qd GROUP BY query_id),
+         $PqCtes,
          est AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(range(0, $PqM),
-                 m -> dt.dt[m * $PqCodes + codes.codes[m + 1] + 1])),
-               (acc, x) -> acc + x) AS est
+             $DAdcEst AS est
            FROM dt CROSS JOIN codes
            WHERE codes.vec_id <> dt.query_id),
          cand AS (SELECT query_id, neighbor_id FROM (
@@ -520,8 +607,44 @@ object VectorSearch {
                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
            FROM sc)
          SELECT query_id, neighbor_id, rank, cos FROM rk
-         WHERE rank <= $TopK ORDER BY query_id, rank"""
-    },
+         WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "ss_ivfpq_topk" ->
+      s"""WITH e AS ($DVecs),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+           WHERE vec_id < $NumQueries),
+         cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+           WHERE vec_id < $NumCentroids),
+         asg AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${dCos("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         pr AS (SELECT query_id, cid FROM (
+             SELECT q.query_id, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 ${dCos("qv", "cv", "qn", "cn")} DESC, cid) AS rn
+             FROM q CROSS JOIN cent) WHERE rn <= $NProbe),
+         $PqCtes,
+         est AS (SELECT pr.query_id, asg.vec_id AS neighbor_id,
+             $DAdcEst AS est
+           FROM pr JOIN asg USING (cid)
+             JOIN codes ON codes.vec_id = asg.vec_id
+             JOIN dt ON dt.query_id = pr.query_id
+           WHERE asg.vec_id <> pr.query_id),
+         cand AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY est, neighbor_id) AS rn
+             FROM est) WHERE rn <= $PqRerank),
+         sc AS (SELECT cand.query_id, cand.neighbor_id,
+             ${dCos("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+           FROM cand JOIN q USING (query_id)
+             JOIN e ON e.vec_id = cand.neighbor_id),
+         rk AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM sc)
+         SELECT query_id, neighbor_id, rank, cos FROM rk
+         WHERE rank <= $TopK ORDER BY query_id, rank""",
     "ss_centroid" ->
       """WITH x AS (SELECT CAST(label AS BIGINT) AS label,
            unnest(range(0, len(embedding))) AS idx,

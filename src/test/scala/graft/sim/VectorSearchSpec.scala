@@ -95,6 +95,52 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall > 0.5)
   }
 
+  test("ivfpq top-k: neighbors come from probed lists only, exact " +
+      "rerank cosines, measured recall") {
+    // Driver-side recompute of the IVF geometry: assignment = nearest
+    // centroid (tie → smallest cid), probes = top-NProbe centroids.
+    val centIds = (0L until VectorSearch.NumCentroids).toSeq
+    def nearestCid(v: Long): Long =
+      centIds.map(c => (c, cos(vecs(v), vecs(c))))
+        .minBy { case (c, s) => (-s, c) }._1
+    def probed(q: Long): Set[Long] =
+      centIds.map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(VectorSearch.NProbe).map(_._1).toSet
+
+    val rows = VectorSearch.ivfPqTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === VectorSearch.NumQueries)
+    var hit = 0; var total = 0
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length <= VectorSearch.TopK)
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to rs.length).toSeq)
+      val lists = probed(q)
+      rs.foreach { r =>
+        val n = r.getAs[Long]("neighbor_id")
+        assert(n !== q)
+        // The pruning contract: every survivor was ASSIGNED to a
+        // probed list — nothing outside the NProbe lists is scored.
+        assert(lists.contains(nearestCid(n)),
+          s"query $q neighbor $n from unprobed list ${nearestCid(n)}")
+        assert(r.getAs[Double]("cos") === cos(vecs(q), vecs(n)))
+      }
+      val brute = bruteTopK(q, VectorSearch.TopK).toSet
+      hit += rs.count(r => brute(r.getAs[Long]("neighbor_id")))
+      total += VectorSearch.TopK
+    }
+    val recall = hit.toDouble / total
+    info(f"IVFPQ recall@${VectorSearch.TopK} " +
+      f"(nprobe=${VectorSearch.NProbe}/${VectorSearch.NumCentroids}, " +
+      f"M=${VectorSearch.PqM}, rerank=${VectorSearch.PqRerank}): " +
+      f"$recall%.2f")
+    // Two approximation axes stack (unprobed lists + codebook error):
+    // bounded above by the IVF tier, so the IVF floor applies.
+    assert(recall > 0.2)
+  }
+
   test("knn graph: every vector covered, exact cosines, measured recall") {
     val rows = VectorSearch.knnGraph(spark, sf).collect()
     val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
