@@ -89,17 +89,25 @@ object Bench {
       targets.map { case (n, _) =>
         n -> scala.collection.mutable.ArrayBuffer[Double]()
       }: _*)
-    val failedQ = scala.collection.mutable.Set[String]()
     for (r <- 0 until reps) {
       targets.zipWithIndex.foreach { case ((name, fn), i) =>
         if (r == 0 && i > 0 && i == targets.size / 2) canary()
         val ts = times(name)
-        if (!failedQ.contains(name) &&
-            (ts.isEmpty || ts.sum < PerQueryBudgetSec)) {
+        if (ts.isEmpty || ts.sum < PerQueryBudgetSec) {
           val t0 = System.nanoTime()
           try { run(fn(spark, sfDir))
             ts += (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => failedQ += name }
+          } catch { case t: Throwable =>
+            // A failed rep does NOT blacklist the query: transient
+            // races (streaming stop/maintenance-thread timing) should
+            // be retried by the later interleaved reps — one green rep
+            // is a real timing; -1 only if every rep threw. Name the
+            // failure so a -1 row is diagnosable from the run log.
+            System.err.println(s"bench: $name rep $r failed: " +
+              s"${t.getClass.getSimpleName}: " +
+              String.valueOf(t.getMessage).linesIterator.take(1)
+                .mkString.take(300))
+          }
         }
       }
       canary()
