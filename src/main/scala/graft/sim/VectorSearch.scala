@@ -85,9 +85,17 @@ object VectorSearch {
     * the centroid table is broadcast). Public because this IS the
     * index-build step: at 100 TB the output is written
     * `partitionBy("cid")` so a probe becomes partition pruning —
-    * proven in PlanAuditSpec's ivf partitioned-write audit.
+    * proven in PlanAuditSpec's ivf partitioned-write audit. Lineage-
+    * materialized per (session, dir): the index is BUILT once and
+    * read by every query against it ([[ivfTopK]], [[ivfPqTopK]]) —
+    * re-deriving it per query measured the build, not the search.
     */
-  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+  def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lineage.materialized(s, dir, "ss_ivf_assign") {
+      ivfAssignBuild(s, dir)
+    }
+
+  private def ivfAssignBuild(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val cent = centroids(e)
     val wa = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
@@ -313,8 +321,17 @@ object VectorSearch {
     e.filter(col("vec_id") < PqCodes)
       .select(col("vec_id").cast("int").as("code"), col("v").as("cbv"))
 
-  /** vec_id → codes (array of PqM ints): the PQ-encoded corpus. */
-  private def pqEncoded(e: DataFrame): DataFrame =
+  /** vec_id → codes (array of PqM ints): the PQ-encoded corpus.
+    * Lineage-materialized per (session, dir) — the codes table IS the
+    * PQ index (PqM bytes/vector; what FAISS persists), built once and
+    * scanned by every ADC query ([[pqTopK]], [[ivfPqTopK]]).
+    */
+  private def pqEncoded(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lineage.materialized(s, dir, "ss_pq_codes") {
+      pqEncodedBuild(vecs(s, dir))
+    }
+
+  private def pqEncodedBuild(e: DataFrame): DataFrame =
     e.join(broadcast(pqCodebook(e)))
       .select(col("vec_id"), col("code"),
         transform(sequence(lit(0), lit(PqM - 1)),
@@ -365,7 +382,7 @@ object VectorSearch {
     val dts = pqDistTables(e, q)
     val wc = Window.partitionBy("query_id")
       .orderBy(asc("est"), asc("neighbor_id"))
-    val cand = pqEncoded(e)
+    val cand = pqEncoded(s, dir)
       .join(broadcast(dts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         adcEst.as("est"))
@@ -399,12 +416,25 @@ object VectorSearch {
   // construction (unprobed list + codebook error); [[cosineTopK]] is
   // the recall-1.0 tier and the gate compares the two engines running
   // the identical algorithm.
+  /** The composed IVFPQ index: (cid, vec_id, codes) — PQ codes stored
+    * INSIDE the inverted lists, which is literally what a FAISS IVFPQ
+    * index file is. Built once per (session, dir) by joining the two
+    * parent indexes; at 100 TB this table is written
+    * `partitionBy("cid")` and a probe is partition pruning over rows
+    * of PqM code bytes. Keeping the join in the BUILD means the query
+    * path never shuffles the corpus — the pre-index query plan
+    * measured 1.9 s vs pq's 1.5 s at the 64× fixture because the
+    * assignment⋈codes join by vec_id ran per query.
+    */
+  private def ivfPqIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lineage.materialized(s, dir, "ss_ivfpq_index") {
+      ivfAssign(s, dir).select(col("vec_id"), col("cid"))
+        .join(pqEncoded(s, dir), "vec_id")
+    }
+
   def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val cent = centroids(e)
-    // The list index: vec_id → cid only — the ADC pass must never
-    // carry raw vectors, that is the point of the composition.
-    val lists = ivfAssign(s, dir).select(col("vec_id"), col("cid"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -418,13 +448,14 @@ object VectorSearch {
       .filter(col("rn") <= NProbe)
       .select(col("query_id"), col("cid"))
 
-    // ADC over the probed lists only: probes ⋈ lists (partition
-    // pruning at scale) ⋈ codes, scored by table lookup.
+    // ADC over the probed lists only: the tiny probe set broadcasts
+    // into one pruned scan of the composed index (partition pruning
+    // on cid at scale), scored by distance-table lookup.
     val wc = Window.partitionBy("query_id")
       .orderBy(asc("est"), asc("neighbor_id"))
-    val cand = probes.join(lists, "cid")
+    val cand = ivfPqIndex(s, dir)
+      .join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("query_id"))
-      .join(pqEncoded(e), "vec_id")
       .join(broadcast(pqDistTables(e, q)), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         adcEst.as("est"))
