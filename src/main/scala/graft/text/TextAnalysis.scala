@@ -431,10 +431,19 @@ object TextAnalysis {
   // position order in BOTH engines (collect_list alone is
   // order-nondeterministic — the sort is what makes the gate exact).
   def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val base = tokenized(s, dir)
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), tokenHashes(col("toks")).as("hs"))
-      .repartition(col("doc_id"))
+    // The scoreable (doc_id, hs) frame feeds FOUR branches (bigram
+    // rows ×2, unigram counts, vocab size) and Spark's ReuseExchange
+    // never fires on it — the higher-order tokenHashes lambda defeats
+    // canonical plan equality (probed: 8 scans / 16 exchanges / 0
+    // reused in the final adaptive plan). Materialize it once per
+    // (session, dir): this is the corpus-statistics base table a
+    // production LM-scoring pipeline persists before counting.
+    val base = graft.operators.Lineage.materialized(s, dir, "ta_lm_base") {
+      tokenized(s, dir)
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), tokenHashes(col("toks")).as("hs"))
+        .repartition(col("doc_id"))
+    }
     val withBg = base
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(hs) - 2), i ->
