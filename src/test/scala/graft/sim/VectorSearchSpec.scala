@@ -141,6 +141,23 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall > 0.2)
   }
 
+  test("ivfpq plan: ADC reads the materialized index, probes broadcast") {
+    assume(!sys.env.get("SPARK_GRAFT_LINEAGE").contains("off"))
+    val df = VectorSearch.ivfPqTopK(spark, sf)
+    // The composed (cid, vec_id, codes) index is a cache read, not a
+    // per-query assignment⋈codes rebuild...
+    val cached = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.nonEmpty, "ivfpq should read the materialized index")
+    // ...and the tiny probe set broadcasts into the pruned scan — the
+    // query path must never shuffle the corpus (the pre-index plan
+    // did, and measured slower than pq's full scan at 64×).
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"probe join should broadcast:\n$p")
+  }
+
   test("knn graph: every vector covered, exact cosines, measured recall") {
     val rows = VectorSearch.knnGraph(spark, sf).collect()
     val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
