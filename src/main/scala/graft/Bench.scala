@@ -89,11 +89,19 @@ object Bench {
       targets.map { case (n, _) =>
         n -> scala.collection.mutable.ArrayBuffer[Double]()
       }: _*)
+    // Failed attempts spend the per-query budget too (ADVICE r6): a
+    // query that runs long and THEN throws must not be retried on
+    // every rep with no containment — without this a slow hard
+    // failure extends the run by reps × failure-time. Transient fast
+    // failures (streaming stop races) still leave budget for the
+    // later interleaved retries.
+    val failedSpent = scala.collection.mutable.Map
+      .empty[String, Double].withDefaultValue(0.0)
     for (r <- 0 until reps) {
       targets.zipWithIndex.foreach { case ((name, fn), i) =>
         if (r == 0 && i > 0 && i == targets.size / 2) canary()
         val ts = times(name)
-        if (ts.isEmpty || ts.sum < PerQueryBudgetSec) {
+        if (ts.sum + failedSpent(name) < PerQueryBudgetSec) {
           val t0 = System.nanoTime()
           try { run(fn(spark, sfDir))
             ts += (System.nanoTime() - t0) / 1e9
@@ -103,6 +111,7 @@ object Bench {
             // be retried by the later interleaved reps — one green rep
             // is a real timing; -1 only if every rep threw. Name the
             // failure so a -1 row is diagnosable from the run log.
+            failedSpent(name) += (System.nanoTime() - t0) / 1e9
             System.err.println(s"bench: $name rep $r failed: " +
               s"${t.getClass.getSimpleName}: " +
               String.valueOf(t.getMessage).linesIterator.take(1)

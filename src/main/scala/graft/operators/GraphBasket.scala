@@ -164,8 +164,13 @@ object GraphBasket {
   // round would reuse that exchange.
   def q52PageRank(s: SparkSession, dir: String): DataFrame = {
     val e0 = pairs(s, dir, MinEdgeSupport).select("pa", "pb")
+    // Checkpoint BEFORE sizing the shuffle scope (ADVICE r6): counting
+    // the raw frame added one extra full derivation of the
+    // co-purchase pair graph purely to size the scope; counting the
+    // checkpointed rows is a metadata pass over materialized data.
     val ed = e0.select(col("pa").as("u"), col("pb").as("w"))
       .unionByName(e0.select(col("pb").as("u"), col("pa").as("w")))
+      .localCheckpoint()
     // Whole build scoped to the edge count (see operators.Fixpoint):
     // the pre-loop repartition(u) then pins the SAME partition count
     // the per-round joins require, so the edge exchange stays reused.
@@ -229,8 +234,11 @@ object GraphBasket {
   // is an optimization that does not change the fixed-round result.)
   def q60Bfs(s: SparkSession, dir: String): DataFrame = {
     val e0 = pairs(s, dir, MinEdgeSupport).select("pa", "pb")
+    // Checkpoint before counting — same scope-sizing rule as
+    // q52PageRank (ADVICE r6).
     val ed = e0.select(col("pa").as("u"), col("pb").as("w"))
       .unionByName(e0.select(col("pb").as("u"), col("pa").as("w")))
+      .localCheckpoint()
     // Scoped like q52PageRank — see operators.Fixpoint.
     Fixpoint.withScopedShuffle(s, ed.count()) {
     val edges = ed

@@ -73,7 +73,16 @@ object RateIngest {
     */
   val ExpectWindows: Long = DataBatches * AdvanceMs / WindowMs
 
-  def rateWindows(s: SparkSession, dir: String): DataFrame = {
+  def rateWindows(s0: SparkSession, dir: String): DataFrame = {
+    // The whole lifecycle runs on a CHILD session with its own conf
+    // (VERDICT r6 item 6): the state-partition count is pinned to 4
+    // for the run without mutating the caller's session — a
+    // concurrent query on s0 never sees the scoped value and there is
+    // no restore to race. Temp view + frames live on the child, which
+    // shares the context/block manager, so the returned frame is
+    // usable anywhere.
+    val s = graft.GraftSession.child(s0,
+      Map("spark.sql.shuffle.partitions" -> "4"))
     // First window_start past the kept range, in the sink's string
     // encoding (UTC session; start epoch 0): lexicographic compare on
     // the formatted strings is chronological compare.
@@ -99,8 +108,6 @@ object RateIngest {
 
     val qn = "st_rate_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Paths.get(s"/tmp/graft_ckpt_$qn")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = agg.writeStream
         .format("memory")
@@ -132,17 +139,25 @@ object RateIngest {
         // in the sink — the poll above gated on the full set and the
         // frame below reads only below the cutoff — so that rethrow
         // is noise from data the query was told to abandon; swallow
-        // it loudly. A genuine emission failure still fails the gate
+        // it loudly — but ONLY that race (ADVICE r6): any other
+        // failure rethrown by stop() is a real async error and must
+        // surface. A genuine emission failure still fails the gate
         // via the deadline throw above, and row content is
         // oracle-hashed either way.
         try q.stop()
         catch {
-          case e: Exception => System.err.println(
-            s"st_rate_windows: benign stop-race swallowed: ${e.getMessage}")
+          case e: Exception =>
+            val chain = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(10)
+              .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+            if (chain.contains("CANNOT_WRITE_STATE_STORE") ||
+                chain.contains("CANNOT_COMMIT"))
+              System.err.println(
+                s"st_rate_windows: benign stop-race swallowed: ${e.getMessage}")
+            else throw e
         }
       }
     } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // The state-store maintenance thread can still be writing
       // snapshot files for a few hundred ms after stop() returns —
       // a single walk-delete races it (measured:

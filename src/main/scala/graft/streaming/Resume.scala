@@ -157,8 +157,10 @@ object Resume {
 
     val waveSchema = s.read.parquet(src.toString).schema
 
+    val sc = graft.GraftSession.child(s,
+      Map("spark.sql.shuffle.partitions" -> "4"))
     def runOnce(): Unit = {
-      val agg = s.readStream.schema(waveSchema).parquet(src.toString)
+      val agg = sc.readStream.schema(waveSchema).parquet(src.toString)
         .withColumn("ts_wm", timestamp_micros(expr("ts_ns DIV 1000")))
         .withWatermark("ts_wm", "0 seconds")
         .groupBy(window(col("ts_wm"), "1 hour").as("w"), col("event_type"))
@@ -180,17 +182,15 @@ object Resume {
     // start from spark.sql.shuffle.partitions, and each micro-batch
     // commit writes one delta + snapshot per partition — at 32
     // partitions that checkpoint fan-out IS most of this query's
-    // fixed cost (the aggregate has a few thousand groups). Scope the
-    // partition count down for the lifecycle runs and restore after.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      runOnce() // wave 1: early windows sealed + emitted, boundary
-                // window and source offsets checkpointed
-      copyWave(fixtures, src, "wave2")
-      runOnce() // RESUME: new query, same checkpoint — offsets + state
-                // restored, wave 2 priced, remaining windows emitted
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // fixed cost (the aggregate has a few thousand groups). The
+    // lifecycle runs on a CHILD session pinned to 4 partitions
+    // (VERDICT r6 item 6 — isolated conf, nothing to restore, no
+    // race with concurrent queries on the caller's session).
+    runOnce() // wave 1: early windows sealed + emitted, boundary
+              // window and source offsets checkpointed
+    copyWave(fixtures, src, "wave2")
+    runOnce() // RESUME: new query, same checkpoint — offsets + state
+              // restored, wave 2 priced, remaining windows emitted
 
     s.read.parquet(out.toString)
       .select("window_start", "event_type", "n", "sum_cents")

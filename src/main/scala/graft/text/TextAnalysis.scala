@@ -59,8 +59,18 @@ object TextAnalysis {
       // into the cache they opted out of (measured: tfidf pinned at
       // ~1.7 s either way until the order flip made their plans
       // genuinely distinct). Consumers of THIS frame select by name
-      // and still hit the cache.
+      // and still hit the cache. The always-true size() filter is a
+      // SECOND structural distinction (ADVICE r6): the order flip
+      // alone is load-bearing on sameResult not normalizing
+      // projection column order — an upstream canonicalization change
+      // would silently rewire the opt-outs with only the
+      // CacheSubstitutionSpec tripwire to notice. No consumer's
+      // direct-scan plan contains this filter, and the optimizer has
+      // no fold rule for a size() comparison, so the cached plan stays
+      // distinct under any projection normalization. Semantically a
+      // no-op: split() never returns null arrays, so size ≥ 0 always.
       docs(s, dir).select(tokens(col("text")).as("toks"), col("doc_id"))
+        .filter(size(col("toks")) >= -1)
     }
 
   /** Tiny per-language marker-word lists drawn from the fixture
