@@ -35,6 +35,7 @@ object SparkEntry {
     (graft.pipeline.CorpusOps.queries, graft.pipeline.CorpusOps.oracles),
     (graft.operators.Sketches.queries, graft.operators.Sketches.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
+    (graft.text.BpeTrainer.queries, graft.text.BpeTrainer.oracles),
     (Dedup.queries, Dedup.oracles),
     (VectorSearch.queries, VectorSearch.oracles),
     (Multimodal.queries, Multimodal.oracles),

@@ -1,0 +1,314 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** BPE TOKENIZER TRAINING (VERDICT r6 item 1 — the most-used
+  * LLM-pipeline operator the engine lacked; Sennrich, Haddow & Birch,
+  * "Neural Machine Translation of Rare Words with Subword Units",
+  * ACL 2016). The engine previously only COUNTED byte-pair-ish pieces
+  * with a fixed regex ([[TextAnalysis]]); this module LEARNS the merge
+  * table from the corpus — the iterative highest-pair-frequency merge
+  * loop every real pretraining pipeline runs before anything else.
+  *
+  * Word-level BPE, the original formulation:
+  *
+  *  1. Tokenize the corpus with the reference tokenizer (the
+  *     wc_wordcount convention: `[A-Za-z][A-Za-z']*`, uppercased) and
+  *     collapse to the word-frequency table. Everything after this
+  *     step is VOCABULARY-bounded, not corpus-bounded — Heaps' law is
+  *     what makes BPE training tractable at 100 TB: the pieces table
+  *     is (distinct words × avg word length) rows regardless of how
+  *     many times each word occurs.
+  *  2. Split every distinct word into single-character symbols
+  *     weighted by word frequency.
+  *  3. For [[Merges]] rounds: count adjacent symbol pairs (freq-
+  *     weighted, overlapping occurrences counted — exactly
+  *     `get_stats` in the reference implementation), pick the most
+  *     frequent pair with the deterministic tie-break
+  *     (count DESC, left ASC, right ASC — the reference leaves ties
+  *     to dict order, which no two engines would agree on), and merge
+  *     every non-overlapping occurrence greedy-left-to-right.
+  *
+  * GREEDY MERGE WITHOUT SEQUENTIAL SCAN: left-to-right non-
+  * overlapping replacement looks inherently sequential, but candidate
+  * positions (sym=a ∧ next=b) can only CONFLICT when they are
+  * adjacent, and adjacent candidates only arise for a=b runs
+  * ("AAAA"). Within a maximal run of consecutive candidate positions
+  * (an "island"), greedy keeps the 1st, 3rd, 5th… — so the merge is
+  * two window functions: a running candidate count identifies the
+  * island (`grp = pos − cum`, the gaps-and-islands trick), and the
+  * candidate's rank inside its island decides keep (odd) vs skip
+  * (even). The absorbed right-neighbor is `lag(keep)` — no join, no
+  * per-word loop, every step whole-stage-codegen relational.
+  *
+  * FIXPOINT DISCIPLINE: each round's pieces frame is
+  * localCheckpoint'ed behind a statsBarrier (the CC-loop lesson —
+  * checkpoint-forwarded stats compound per round) and the whole loop
+  * runs under [[graft.operators.Fixpoint.withScopedShuffle]] sized to
+  * the pieces row count. The per-round best pair is a 1-row GLOBAL
+  * aggregate frame (min of a (−count, a, b) struct — always exactly
+  * one row, NULL-fielded when no pair remains) cross-joined broadcast
+  * into the rewrite: no driver-side collect of data, and merge
+  * exhaustion degrades each later round to a provable no-op in both
+  * engines. The only driver value read per round is the 1-row
+  * exhaustion probe (the sanctioned convergence-probe shape), used
+  * solely to break out of dead rounds early.
+  *
+  * Determinism: counts are exact BIGINTs, the tie-break is total, and
+  * the DuckDB oracle replays the identical [[Merges]] unrolled rounds
+  * (generated CTE chain — same windows, same islands arithmetic), so
+  * both the merge table and the final piece inventory hash-match.
+  *
+  * `ta_bpe_train` returns the learned merge table;
+  * `ta_bpe_encode` applies it: because step 2 operates on DISTINCT
+  * words, the final pieces table IS the trained tokenizer's encoding
+  * of every vocabulary word, and encoding the corpus is one hash join
+  * token→word — the same "train once on the vocabulary, apply by
+  * dictionary lookup" shape production BPE tokenizers use.
+  */
+object BpeTrainer {
+
+  /** Fixed merge-round count — mirrored exactly by the unrolled
+    * oracle. The fixture vocabulary admits ~107 merges; 20 exercises
+    * multi-character pairs (learned symbols merging with learned
+    * symbols) without ballooning the unrolled oracle.
+    */
+  val Merges = 20
+
+  import WordCount.WordRegex
+
+  /** (doc_id, word): the corpus token stream under the reference
+    * tokenizer (extract on raw text, THEN uppercase — the
+    * [[RefTokenizer]] order).
+    */
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(WordRegex), lit(0)))
+          .as("t"))
+      .select(col("doc_id"), upper(col("t")).as("word"))
+
+  /** One build produces TWO shared frames (merge table + final
+    * pieces), so the [[graft.operators.Lineage]] one-key-one-frame
+    * contract does not fit; this is its two-frame twin with the same
+    * once-per-(session, dir) + off-switch semantics. Both frames are
+    * localCheckpoint'ed by the build (small: ≤ Merges rows /
+    * vocabulary-bounded rows), so later queries replay nothing.
+    */
+  private val memo = scala.collection.mutable.Map
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[graft] def artifacts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    if (sys.env.get("SPARK_GRAFT_LINEAGE").contains("off")) train(s, dir)
+    else memo.synchronized {
+      memo.getOrElseUpdate((s, dir), train(s, dir))
+    }
+
+  /** The training loop. Returns (merges, finalPieces):
+    * merges = (rank, left_sym, right_sym, merged, pair_count);
+    * finalPieces = (word, freq, pos, sym) after [[Merges]] rounds.
+    */
+  private def train(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graft.ColumnBridge.statsBarrier
+
+    val words = tokens(s, dir)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var pieces = words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1L), length(col("word")).cast("long")))
+          .as("pos"))
+      .select(col("word"), col("freq"), col("pos"),
+        expr("substring(word, pos, 1)").as("sym"))
+      .localCheckpoint()
+
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    graft.operators.Fixpoint.withScopedShuffle(s, pieces.count()) {
+      var exhausted = false
+      var k = 0
+      while (k < Merges && !exhausted) {
+        k += 1
+        val ld = pieces
+          .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        // The round's winning pair as a 1-row frame: min over the
+        // (−count, left, right) struct = count DESC, left ASC,
+        // right ASC. A global aggregate always yields exactly one
+        // row — NULL fields once no pair remains.
+        val best = ld.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("a"), col("nxt").as("b"))
+          .agg(sum("freq").as("c"))
+          .select(struct((-col("c")).as("nc"), col("a"), col("b")).as("s"))
+          .agg(min(col("s")).as("m"))
+          .select(col("m.a").as("a"), col("m.b").as("b"),
+            (-col("m.nc")).as("c"))
+          .localCheckpoint()
+        bests += best
+        // Islands-parity greedy rewrite (see scaladoc). cum counts
+        // candidates up to AND including the row; rk ranks a
+        // candidate inside its island (non-candidate rows sharing a
+        // grp value contribute 0 and cannot disturb the rank).
+        val cd = ld.crossJoin(broadcast(best))
+          .withColumn("cand", col("sym") === col("a") &&
+            col("nxt") === col("b"))
+          .withColumn("cum",
+            sum(when(col("cand"), 1).otherwise(0)).over(wOrd))
+          .withColumn("grp", col("pos") - col("cum"))
+          .withColumn("rk", sum(when(col("cand"), 1).otherwise(0))
+            .over(Window.partitionBy("word", "grp").orderBy("pos")))
+          .withColumn("keep_m", col("cand") && col("rk") % 2 === 1)
+          .withColumn("absorbed",
+            coalesce(lag(col("keep_m"), 1).over(wOrd), lit(false)))
+        pieces = statsBarrier(cd
+          .filter(!col("absorbed"))
+          .select(col("word"), col("freq"),
+            row_number().over(wOrd).cast("long").as("pos"),
+            when(col("keep_m"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .localCheckpoint())
+        // 1-row exhaustion probe (convergence-probe shape): skip the
+        // remaining provable-no-op rounds once no pair is left.
+        exhausted = best.first().isNullAt(0)
+      }
+    }
+
+    val merges = bests.zipWithIndex.map { case (b, i) =>
+      b.select(lit(i + 1L).as("rank"), col("a").as("left_sym"),
+        col("b").as("right_sym"),
+        concat(col("a"), col("b")).as("merged"),
+        col("c").as("pair_count"))
+    }.reduce(_ unionByName _)
+      .filter(col("left_sym").isNotNull)
+      .localCheckpoint()
+    (merges, pieces)
+  }
+
+  // -----------------------------------------------------------------
+  // ta_bpe_train: the learned merge table.
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    artifacts(s, dir)._1.orderBy("rank")
+
+  // -----------------------------------------------------------------
+  // ta_bpe_encode: encode the corpus with the trained tokenizer. The
+  // final pieces table is the per-vocabulary-word encoding, so this
+  // is one (token → word) hash join + a per-document aggregate —
+  // dictionary-lookup application, never re-running the merge loop.
+  // Documents with no tokens keep a row (zero counts, NULL ratio).
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val perWord = artifacts(s, dir)._2
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_p"))
+    val perDoc = tokens(s, dir)
+      .join(perWord, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_p")).as("n_pieces"))
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+      .withColumn("pieces_per_token",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("n_pieces").cast("double") /
+            col("n_tokens").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bpe_train" -> bpeTrain,
+    "ta_bpe_encode" -> bpeEncode,
+  )
+
+  // ---------------------------------------------------------------
+  // Oracles: the identical algorithm, unrolled — one generated CTE
+  // block per merge round, same windows, same islands arithmetic,
+  // same tie-break, scalar-subquery best pair (NULL when exhausted →
+  // the round provably rewrites nothing and contributes no merge
+  // row, matching the Spark loop's early break).
+  private val TokCte =
+    s"""tok AS MATERIALIZED (SELECT doc_id, upper(w) AS word FROM (
+         SELECT doc_id,
+           unnest(regexp_extract_all(text, '[A-Za-z][A-Za-z'']*')) AS w
+         FROM documents))"""
+
+  private def roundCtes(k: Int): String = {
+    val p = s"pc${k - 1}"
+    s"""ld$k AS MATERIALIZED (SELECT word, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       FROM $p),
+       bs$k AS MATERIALIZED (SELECT sym AS a, nxt AS b,
+           CAST(SUM(freq) AS BIGINT) AS c
+         FROM ld$k WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         ORDER BY c DESC, a, b LIMIT 1),
+       cd$k AS MATERIALIZED (SELECT word, freq, pos, sym, nxt, cand,
+           SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+             OVER (PARTITION BY word, grp ORDER BY pos) AS rk
+         FROM (SELECT word, freq, pos, sym, nxt, cand,
+             pos - SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+               OVER (PARTITION BY word ORDER BY pos) AS grp
+           FROM (SELECT word, freq, pos, sym, nxt,
+               (sym = (SELECT a FROM bs$k)
+                 AND nxt = (SELECT b FROM bs$k)) AS cand
+             FROM ld$k))),
+       pc$k AS MATERIALIZED (SELECT word, freq,
+           CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+             AS BIGINT) AS pos,
+           CASE WHEN keep_m THEN sym || nxt ELSE sym END AS sym
+         FROM (SELECT word, freq, pos, sym, nxt, keep_m,
+             coalesce(lag(keep_m)
+               OVER (PARTITION BY word ORDER BY pos), false) AS absorbed
+           FROM (SELECT word, freq, pos, sym, nxt,
+               (cand AND rk % 2 = 1) AS keep_m FROM cd$k))
+         WHERE NOT absorbed)"""
+  }
+
+  /** The full unrolled training chain: tok → word freqs → char
+    * pieces → [[Merges]] rounds. Shared by both oracles.
+    */
+  private lazy val TrainCtes: String =
+    s"""$TokCte,
+       wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         FROM tok GROUP BY word),
+       pc0 AS MATERIALIZED (SELECT word, freq, i AS pos,
+           substr(word, CAST(i AS INTEGER), 1) AS sym
+         FROM (SELECT word, freq,
+             unnest(range(1, len(word) + 1)) AS i
+           FROM wf)),
+       ${(1 to Merges).map(roundCtes).mkString(",\n")}"""
+
+  val oracles: Map[String, String] = Map(
+    "ta_bpe_train" ->
+      s"""WITH $TrainCtes,
+         mg AS (${(1 to Merges).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS rank, a, b, c FROM bs$k")
+          .mkString("\nUNION ALL\n")})
+         SELECT rank, a AS left_sym, b AS right_sym,
+           a || b AS merged, c AS pair_count
+         FROM mg ORDER BY rank""",
+    "ta_bpe_encode" ->
+      s"""WITH $TrainCtes,
+         pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_p
+           FROM pc$Merges GROUP BY word),
+         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+             CAST(SUM(n_p) AS BIGINT) AS n_pieces
+           FROM tok JOIN pw USING (word) GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(pd.n_tokens, 0) AS n_tokens,
+           coalesce(pd.n_chars, 0) AS n_chars,
+           coalesce(pd.n_pieces, 0) AS n_pieces,
+           CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN NULL
+             ELSE CAST(pd.n_pieces AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE)
+           END AS pieces_per_token
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id""",
+  )
+}

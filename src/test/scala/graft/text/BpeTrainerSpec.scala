@@ -1,0 +1,112 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** BPE training gated against an INDEPENDENT sequential
+  * implementation (VERDICT r6 item 1's "Done" condition): classic
+  * in-memory Sennrich-style BPE — mutable word→symbols maps, a pair
+  * count dictionary, an explicit left-to-right merge scan — run on
+  * the same fixture corpus and compared merge-for-merge against the
+  * distributed window/island formulation. Any divergence in pair
+  * counting (overlap handling), greedy merge order (the "AAAA" case)
+  * or tie-breaking shows up as a different merge table.
+  */
+class BpeTrainerSpec extends SparkSpec {
+
+  /** Sequential reference: the textbook algorithm, no Spark. */
+  private def sequentialBpe(wordFreq: Map[String, Long],
+      rounds: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      wordFreq.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < rounds && !done) {
+      k += 1
+      // get_stats: overlapping adjacent pairs, frequency-weighted.
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) done = true
+      else {
+        // count DESC, left ASC, right ASC.
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((a, b, c))
+        // Greedy left-to-right non-overlapping merge in every word.
+        words = words.map { case (syms, f) =>
+          val nw = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              nw += (a + b); i += 2
+            } else { nw += syms(i); i += 1 }
+          }
+          (nw.result(), f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed merge table == sequential Sennrich BPE") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables(spark, sf, "documents")
+      .select(explode(regexp_extract_all(col("text"),
+        lit(WordCount.WordRegex), lit(0))).as("t"))
+      .select(upper(col("t")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = sequentialBpe(toks, BpeTrainer.Merges)
+
+    val got = BpeTrainer.bpeTrain(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count")))
+    assert(got.length == expect.length,
+      s"merge count: got ${got.length}, sequential ${expect.length}")
+    got.zip(expect).zipWithIndex.foreach {
+      case (((rk, a, b, m, c), (ea, eb, ec)), i) =>
+        assert(rk == i + 1)
+        assert((a, b, c) == ((ea, eb, ec)),
+          s"merge ${i + 1}: got ($a,$b,$c), sequential ($ea,$eb,$ec)")
+        assert(m == a + b)
+    }
+    // The fixture vocabulary admits more merges than Merges rounds, so
+    // the table must be full-length (the loop must not exhaust early
+    // on real data).
+    assert(got.length == BpeTrainer.Merges)
+  }
+
+  test("encode: pieces-per-token ratios are consistent and > 0") {
+    val rows = BpeTrainer.bpeEncode(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nt, nc, np) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_pieces"))
+      if (nt > 0) {
+        // each token contributes >= 1 piece and <= its char count
+        assert(np >= nt && np <= nc)
+        assert(math.abs(r.getAs[Double]("pieces_per_token") -
+          np.toDouble / nt.toDouble) == 0.0)
+      } else assert(r.isNullAt(r.fieldIndex("pieces_per_token")))
+    }
+  }
+
+  test("merge exhaustion: single-char vocabulary stops early, " +
+    "no null merge rows") {
+    // A corpus where every word is one character admits ZERO merges:
+    // the loop must emit an empty merge table, not null rows.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tiny = Seq("A B C", "B C A").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    // exercised through the private loop via a scratch dir round-trip
+    val dir = java.nio.file.Files.createTempDirectory("bpe_tiny").toString
+    tiny.select("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val m = BpeTrainer.bpeTrain(spark, dir)
+    assert(m.count() == 0)
+  }
+}
