@@ -24,6 +24,46 @@ class VectorSearchSpec extends SparkSpec {
       .sortBy { case (id, c) => (-c, id) }
       .take(k).map(_._1)
 
+  /** INDEPENDENT sequential Lloyd's (plain loops, no Spark): cosine
+    * assignment with (score DESC, cid ASC) tie-break, quantized-int
+    * means — the reference the distributed k-means must equal
+    * bit-for-bit (same IEEE op sequences).
+    */
+  private lazy val seqCentroids: Map[Long, Array[Double]] = {
+    val qv: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * VectorSearch.QScale).toLong)
+    }
+    var cent: Map[Long, Array[Double]] =
+      (0L until VectorSearch.NumCentroids).map(c => c -> vecs(c)).toMap
+    for (_ <- 1 to VectorSearch.KmIters) {
+      val asg: Map[Long, Long] = vecs.keys.map { id =>
+        id -> cent.toSeq.map { case (c, cv) => (c, cos(vecs(id), cv)) }
+          .minBy { case (c, s) => (-s, c) }._1
+      }.toMap
+      cent = asg.groupBy(_._2).map { case (c, members) =>
+        val ids = members.keys.toSeq
+        val dims = vecs(ids.head).length
+        val sums = Array.fill(dims)(0L)
+        ids.foreach { id =>
+          val q = qv(id); var i = 0
+          while (i < dims) { sums(i) += q(i); i += 1 }
+        }
+        c -> sums.map(s =>
+          (s.toDouble / VectorSearch.QScale) / ids.size.toDouble)
+      }
+    }
+    cent
+  }
+
+  test("trained IVF centroids == sequential Lloyd's, bit-for-bit") {
+    val got = VectorSearch.trainedCentroids(spark, sf).collect()
+      .map(r => r.getAs[Long]("cid") ->
+        r.getSeq[Double](r.fieldIndex("cv")).toArray).toMap
+    assert(got.keySet === seqCentroids.keySet)
+    got.foreach { case (c, cv) =>
+      assert(cv.toSeq === seqCentroids(c).toSeq, s"centroid $c") }
+  }
+
   test("brute-force top-k matches a driver-side recompute exactly") {
     val rows = VectorSearch.cosineTopK(spark, sf).collect()
     assert(rows.length === VectorSearch.NumQueries * VectorSearch.TopK)
@@ -89,22 +129,25 @@ class VectorSearchSpec extends SparkSpec {
       f"Ks=${VectorSearch.PqCodes}, rerank=${VectorSearch.PqRerank}): " +
       f"$recall%.2f")
     // Untrained (seeded) codebook + rerank of PqRerank/N of the
-    // corpus: below the exact tier by design, but measured 0.65 — a
-    // floor of 0.5 (ADVICE r4) catches a silently broken distance
-    // table that a barely-above-chance floor would let through.
-    assert(recall > 0.5)
+    // Below the exact tier by design. Seeded codebooks measured 0.65
+    // here; the trained (KmIters-round Lloyd's) codebooks measure
+    // 0.78 — the floor pins the TRAINED level, so a regression to
+    // seeded-quality codebooks (or a silently broken distance table,
+    // ADVICE r4) fails this test.
+    assert(recall > 0.7)
   }
 
   test("ivfpq top-k: neighbors come from probed lists only, exact " +
       "rerank cosines, measured recall") {
-    // Driver-side recompute of the IVF geometry: assignment = nearest
-    // centroid (tie → smallest cid), probes = top-NProbe centroids.
-    val centIds = (0L until VectorSearch.NumCentroids).toSeq
+    // Driver-side recompute of the IVF geometry over the TRAINED
+    // centroids (the sequential Lloyd's reference): assignment =
+    // nearest centroid (tie → smallest cid), probes = top-NProbe.
+    val cents = seqCentroids.toSeq.sortBy(_._1)
     def nearestCid(v: Long): Long =
-      centIds.map(c => (c, cos(vecs(v), vecs(c))))
+      cents.map { case (c, cv) => (c, cos(vecs(v), cv)) }
         .minBy { case (c, s) => (-s, c) }._1
     def probed(q: Long): Set[Long] =
-      centIds.map(c => (c, cos(vecs(q), vecs(c))))
+      cents.map { case (c, cv) => (c, cos(vecs(q), cv)) }
         .sortBy { case (c, s) => (-s, c) }
         .take(VectorSearch.NProbe).map(_._1).toSet
 
