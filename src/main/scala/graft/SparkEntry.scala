@@ -38,6 +38,7 @@ object SparkEntry {
     (graft.text.BpeTrainer.queries, graft.text.BpeTrainer.oracles),
     (Dedup.queries, Dedup.oracles),
     (VectorSearch.queries, VectorSearch.oracles),
+    (graft.sim.VectorIndex.queries, graft.sim.VectorIndex.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (EventOps.queries, EventOps.oracles),
     (Stateful.queries, Stateful.oracles),

@@ -43,7 +43,7 @@ object VectorSearch {
   import graft.functions.VectorFunctions.{ddot, l2norm}
 
   /** vec_id, v (double array), nrm (L2 norm). */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -52,7 +52,7 @@ object VectorSearch {
   /** Native codegen'd dot product (graft.functions.DoubleDot) — same
     * strict fold as the interpreted form and the DuckDB oracle.
     */
-  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+  private[graft] def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     ddot(va, vb) / (na * nb)
 
   // -----------------------------------------------------------------
@@ -138,20 +138,29 @@ object VectorSearch {
       .withColumn("cn", l2norm(col("cv")))
   }
 
+  /** [[KmIters]] Lloyd's rounds over an arbitrary training slice
+    * (first-K seed) — shared by the per-(session, dir) trained
+    * centroids and the base-trained persisted index
+    * ([[VectorIndex]]).
+    */
+  private[graft] def lloydCentroids(train: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.statsBarrier
+    val e = train.localCheckpoint()
+    val eq = e.select(col("vec_id"), quantize(col("v")).as("qv"))
+      .localCheckpoint()
+    var cent = centroids(e)
+    for (_ <- 1 to KmIters)
+      cent = statsBarrier(kmeansRound(e, eq, cent).localCheckpoint())
+    cent
+  }
+
   /** The trained IVF centroid table (cid, cv, cn) — [[KmIters]]
     * Lloyd's rounds from the first-K seed. Lineage-materialized: this
     * IS `index.train()`, paid once per (session, dir).
     */
   def trainedCentroids(s: SparkSession, dir: String): DataFrame =
     graft.operators.Lineage.materialized(s, dir, "ss_km_cent") {
-      import org.apache.spark.sql.graft.ColumnBridge.statsBarrier
-      val e = vecs(s, dir).localCheckpoint()
-      val eq = e.select(col("vec_id"), quantize(col("v")).as("qv"))
-        .localCheckpoint()
-      var cent = centroids(e)
-      for (_ <- 1 to KmIters)
-        cent = statsBarrier(kmeansRound(e, eq, cent).localCheckpoint())
-      cent
+      lloydCentroids(vecs(s, dir))
     }
 
   /** One Lloyd's round for the PQ codebooks, all [[PqM]] subspaces
@@ -183,28 +192,35 @@ object VectorSearch {
   }
 
   /** (vec_id, m, sv): every vector split into its PqM subvectors. */
-  private def subvecs(e: DataFrame): DataFrame =
+  private[graft] def subvecs(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"))
       .select(col("vec_id"), col("m"),
         slice(col("v"), col("m") * PqDs + 1, lit(PqDs)).as("sv"))
+
+  /** [[KmIters]] per-subspace Lloyd's rounds over an arbitrary
+    * training slice (first-PqCodes seed) — shared like
+    * [[lloydCentroids]].
+    */
+  private[graft] def lloydCodebooks(train: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.statsBarrier
+    val sub = subvecs(train).localCheckpoint()
+    val subq = sub.select(col("vec_id"), col("m"),
+      quantize(col("sv")).as("sq")).localCheckpoint()
+    var cb = sub.filter(col("vec_id") < PqCodes)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cbv"))
+    for (_ <- 1 to KmIters)
+      cb = statsBarrier(pqRound(sub, subq, cb).localCheckpoint())
+    cb
+  }
 
   /** The trained PQ codebook table (m, code, cbv) — [[KmIters]]
     * Lloyd's rounds per subspace from the first-PqCodes seed.
     */
   def trainedCodebooks(s: SparkSession, dir: String): DataFrame =
     graft.operators.Lineage.materialized(s, dir, "ss_pq_cb") {
-      import org.apache.spark.sql.graft.ColumnBridge.statsBarrier
-      val e = vecs(s, dir)
-      val sub = subvecs(e).localCheckpoint()
-      val subq = sub.select(col("vec_id"), col("m"),
-        quantize(col("sv")).as("sq")).localCheckpoint()
-      var cb = sub.filter(col("vec_id") < PqCodes)
-        .select(col("m"), col("vec_id").cast("int").as("code"),
-          col("sv").as("cbv"))
-      for (_ <- 1 to KmIters)
-        cb = statsBarrier(pqRound(sub, subq, cb).localCheckpoint())
-      cb
+      lloydCodebooks(vecs(s, dir))
     }
 
   // ss_kmeans_train: the trained IVF centroids surfaced relationally
@@ -441,7 +457,7 @@ object VectorSearch {
     * left-to-right fold, same op sequence as the oracle's
     * list_reduce.
     */
-  private def subDist(a: Column, b: Column): Column =
+  private[graft] def subDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, d) => acc + d)
 
@@ -492,7 +508,7 @@ object VectorSearch {
   /** ADC estimated distance: PqM table lookups, folded left-to-right
     * (same op sequence as the oracle's list_reduce).
     */
-  private def adcEst: Column =
+  private[graft] def adcEst: Column =
     aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
       (acc, m) => acc + element_at(col("dt"),
         m * PqCodes + element_at(col("codes"), m + 1) + 1))
@@ -611,7 +627,7 @@ object VectorSearch {
 
   // ---------------------------------------------------------------
   // DuckDB oracles — same arithmetic, same tie-breaks.
-  private val DVecs =
+  private[graft] val DVecs =
     """SELECT vec_id,
        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
        sqrt(list_sum(list_prepend(CAST(0 AS DOUBLE),
@@ -619,7 +635,7 @@ object VectorSearch {
            x -> CAST(x AS DOUBLE)), x -> x*x)))) AS nrm
        FROM embeddings"""
 
-  private def dCos(av: String, bv: String, an: String, bn: String) =
+  private[graft] def dCos(av: String, bv: String, an: String, bn: String) =
     s"""list_sum(list_prepend(CAST(0 AS DOUBLE),
        list_transform(range(1, 65), i -> $av[i] * $bv[i]))) / ($an * $bn)"""
 
@@ -645,18 +661,20 @@ object VectorSearch {
        list_transform($v, x -> x*x))))"""
 
   /** The unrolled [[KmIters]]-round Lloyd's training of the IVF
-    * centroids (mirror of [[trainedCentroids]]); consumer CTE:
-    * `cent (cid, cv, cn)`. Expects `e` in scope. MATERIALIZED per
-    * round — inlined CTEs re-expand the whole prior chain per
-    * reference.
+    * centroids (mirror of [[trainedCentroids]]) over the `src`
+    * relation (the full corpus `e`, or the base slice `eb` for the
+    * incremental-index gate); consumer CTE: `cent (cid, cv, cn)`.
+    * MATERIALIZED per round — inlined CTEs re-expand the whole prior
+    * chain per reference.
     */
-  private lazy val KmCtes: String = {
+  private[graft] def kmCtes(src: String): String = {
     val rounds = (1 to KmIters).map { r =>
       s"""kas$r AS MATERIALIZED (SELECT vec_id, cid FROM (
-           SELECT e.vec_id, c.cid,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               ${dCos("e.v", "c.cv", "e.nrm", "c.cn")} DESC, c.cid) AS rn
-           FROM e CROSS JOIN kct${r - 1} c) WHERE rn = 1),
+           SELECT $src.vec_id, c.cid,
+             row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+               ${dCos(s"$src.v", "c.cv", s"$src.nrm", "c.cn")} DESC,
+               c.cid) AS rn
+           FROM $src CROSS JOIN kct${r - 1} c) WHERE rn = 1),
          kct$r AS MATERIALIZED (SELECT cid, cv, ${dNorm("cv")} AS cn
            FROM (SELECT cid, list(cd ORDER BY idx) AS cv FROM (
                SELECT cid, idx,
@@ -670,25 +688,29 @@ object VectorSearch {
                  GROUP BY cid, idx))
              GROUP BY cid))"""
     }.mkString(",\n")
-    s"""eq AS MATERIALIZED (SELECT vec_id, ${dQuant("v")} AS qv FROM e),
+    s"""eq AS MATERIALIZED (SELECT vec_id, ${dQuant("v")} AS qv
+         FROM $src),
        kct0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv, nrm AS cn
-         FROM e WHERE vec_id < $NumCentroids),
+         FROM $src WHERE vec_id < $NumCentroids),
        $rounds,
        cent AS (SELECT cid, cv, cn FROM kct$KmIters)"""
   }
 
+  private lazy val KmCtes: String = kmCtes("e")
+
   /** The unrolled [[KmIters]]-round per-subspace Lloyd's training of
-    * the PQ codebooks (mirror of [[trainedCodebooks]]) PLUS the
-    * encode + per-query distance-table block on top of them;
-    * consumers: `codes` and `dt`. Expects `e` and `q` in scope.
+    * the PQ codebooks (mirror of [[trainedCodebooks]]) over the `src`
+    * relation, PLUS the encode (over the FULL corpus `e`) +
+    * per-query distance-table block on top of them; consumers:
+    * `codes` and `dt`. Expects `e` and `q` in scope.
     */
-  private lazy val PqCtes: String = {
+  private[graft] def pqCtes(src: String): String = {
     val rounds = (1 to KmIters).map { r =>
       s"""pas$r AS MATERIALIZED (SELECT vec_id, m, code FROM (
            SELECT s.vec_id, s.m, c.code,
              row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
                ${dSubPre("s.sv", "c.cbv")}, c.code) AS rn
-           FROM sub s JOIN pcb${r - 1} c ON c.m = s.m) WHERE rn = 1),
+           FROM subt s JOIN pcb${r - 1} c ON c.m = s.m) WHERE rn = 1),
          pcb$r AS MATERIALIZED (SELECT m, code,
              list(cd ORDER BY idx) AS cbv
            FROM (SELECT m, code, idx,
@@ -707,11 +729,14 @@ object VectorSearch {
        sub AS MATERIALIZED (SELECT vec_id, m,
            list_slice(v, m * $PqDs + 1, (m + 1) * $PqDs) AS sv
          FROM e CROSS JOIN mm),
+       subt AS MATERIALIZED (SELECT vec_id, m,
+           list_slice(v, m * $PqDs + 1, (m + 1) * $PqDs) AS sv
+         FROM $src CROSS JOIN mm),
        subq AS MATERIALIZED (SELECT vec_id, m, ${dQuant("sv")} AS sq
-         FROM sub),
+         FROM subt),
        pcb0 AS MATERIALIZED (SELECT m, CAST(vec_id AS INTEGER) AS code,
            sv AS cbv
-         FROM sub WHERE vec_id < $PqCodes),
+         FROM subt WHERE vec_id < $PqCodes),
        $rounds,
        sd AS MATERIALIZED (SELECT s.vec_id, c.code, s.m,
            ${dSubPre("s.sv", "c.cbv")} AS d
@@ -733,10 +758,12 @@ object VectorSearch {
          FROM qd GROUP BY query_id)"""
   }
 
+  private lazy val PqCtes: String = pqCtes("e")
+
   /** ADC estimate in DuckDB: PqM lookups of `dt.dt` by `codes.codes`,
     * left-to-right fold — mirror of [[adcEst]].
     */
-  private lazy val DAdcEst: String =
+  private[graft] lazy val DAdcEst: String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        list_transform(range(0, $PqM),
          m -> dt.dt[m * $PqCodes + codes.codes[m + 1] + 1])),
