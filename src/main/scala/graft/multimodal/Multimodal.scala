@@ -175,10 +175,109 @@ object Multimodal {
         max(col("frame_byte")).as("max_byte"))
       .orderBy("doc_id")
 
+  // -----------------------------------------------------------------
+  // AUDIO/VIDEO columns (VERDICT r6 item 4): the same synthesize →
+  // wire-format-parse discipline for the two most common non-image
+  // media containers. Even doc_ids become PCM WAV (RIFF chunk
+  // framing, little-endian length/format fields), odd become minimal
+  // ISO BMFF MP4 (ftyp + moov>mvhd + mdat, big-endian box sizes) —
+  // the payload is the document's UTF-8 bytes riding as PCM/mdat
+  // data. Planted parameters are doc_id-derived so the oracle
+  // recomputes them; the digest column proves the byte streams match
+  // before [[AvCodec]]'s chunk/box walk is even consulted.
+
+  /** Planted WAV audio params (even doc_ids). */
+  private val Ch = lit(1L) + shiftright(col("doc_id"), 1) % 2
+  private val Rate = lit(8000L) + (col("doc_id") % 8) * 1000L
+  private val Bits = (lit(1L) + shiftright(col("doc_id"), 2) % 2) * 8L
+  /** Planted MP4 timescale (odd doc_ids). */
+  private val Ts = lit(600L) + (col("doc_id") % 10) * 60L
+
+  /** Little-endian hex of the low `n` bytes of a long column. */
+  private def leN(c: Column, n: Int): Column =
+    concat((0 until n).map(i => hexN(shiftright(c, 8 * i) % 256, 2)): _*)
+
+  /** documents → mixed WAV/MP4 media records. */
+  def avRecords(s: SparkSession, dir: String): Dataset[MediaRecord] =
+    toAvMedia(Tables(s, dir, "documents"))
+
+  def toAvMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bodyHex = hex(encode(col("text"), "UTF-8"))
+    val nb = (length(bodyHex) / 2).cast("long")
+    val byteRate = shiftright(Rate * Ch * Bits, 3)
+    val blockAlign = shiftright(Ch * Bits, 3)
+    val wavHex = concat(
+      lit("52494646"), leN(nb + 36L, 4), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), lit("10000000"), lit("0100"), // "fmt " 16 PCM
+      leN(Ch, 2), leN(Rate, 4), leN(byteRate, 4),
+      leN(blockAlign, 2), leN(Bits, 2),
+      lit("64617461"), leN(nb, 4), bodyHex) // "data" chunk
+    val mvhd = concat(
+      lit("0000006C"), lit("6D766864"), // size 108, "mvhd"
+      lit("00000000"), lit("00000000"), lit("00000000"), // v/flags, times
+      hexN(Ts, 8), hexN(nb, 8), // timescale, duration
+      lit("00010000"), lit("0100"), // rate 1.0, volume 1.0
+      lit("0000"), lit("0000000000000000"), // reserved
+      lit("000100000000000000000000000000000001000000000000" +
+        "000000000000000040000000"), // unity matrix
+      lit("000000000000000000000000000000000000000000000000"), // predef
+      lit("00000002")) // next_track_ID
+    val mp4Hex = concat(
+      lit("00000014"), lit("66747970"), lit("69736F6D"),
+      lit("00000200"), lit("69736F6D"), // ftyp isom
+      lit("00000074"), lit("6D6F6F76"), mvhd, // moov
+      hexN(nb + 8L, 8), lit("6D646174"), bodyHex) // mdat
+    docs
+      .select(col("doc_id"),
+        unhex(when(col("doc_id") % 2 === 0, wavHex).otherwise(mp4Hex))
+          .as("payload"),
+        when(col("doc_id") % 2 === 0, "audio/wav").otherwise("video/mp4")
+          .as("mime_hint"))
+      .as[MediaRecord]
+  }
+
+  // mm_av_meta: one batched typed pass — the REAL chunk/box walk
+  // ([[AvCodec.parse]]) recovers the planted parameters out of the
+  // wire format, and the digest (sha-256 of the uppercase hex
+  // encoding, the mm_binary_meta convention) proves both engines
+  // built the identical byte stream. Per-format fields surface as
+  // NULLs on the other format — the mixed-column reality.
+  def avMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = avRecords(s, dir).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        val m = AvCodec.parse(r.payload)
+        val sb = new StringBuilder(r.payload.length * 2)
+        r.payload.foreach(b => sb.append("%02X".format(b & 0xff)))
+        md.reset()
+        val sha = md.digest(sb.toString.getBytes("US-ASCII"))
+          .map("%02x".format(_)).mkString
+        (r.doc_id, m.format, m.channels, m.sampleRate, m.bits,
+          m.dataBytes, m.timescale, m.duration,
+          r.payload.length.toLong, sha)
+      }
+    }.toDF("doc_id", "format", "channels", "sample_rate", "bits",
+      "data_bytes", "timescale", "duration", "n_bytes", "sha256_hex")
+    def posOrNull(c: Column): Column = when(c >= 0, c)
+    parsed.select(col("doc_id"), col("format"),
+        posOrNull(col("channels")).as("channels"),
+        posOrNull(col("sample_rate")).as("sample_rate"),
+        posOrNull(col("bits")).as("bits"),
+        col("data_bytes"),
+        posOrNull(col("timescale")).as("timescale"),
+        posOrNull(col("duration")).as("duration"),
+        col("n_bytes"), col("sha256_hex"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_stats" -> decodeStats,
     "mm_frame_sample" -> frameChecksum,
+    "mm_av_meta" -> avMeta,
   )
 
   // ---------------------------------------------------------------
@@ -212,7 +311,70 @@ object Multimodal {
        END AS ph
        FROM documents"""
 
+  /** LE hex of the low n bytes — SQL twin of [[leN]]. */
+  private def dLe(x: String, n: Int): String =
+    (0 until n).map(i =>
+      s"lpad(hex((($x) // ${1L << (8 * i)}) % 256), 2, '0')")
+      .mkString(" || ")
+
+  private val DCh = "1 + (doc_id // 2) % 2"
+  private val DRate = "8000 + (doc_id % 8) * 1000"
+  private val DBits = "(1 + (doc_id // 4) % 2) * 8"
+  private val DTs = "600 + (doc_id % 10) * 60"
+
+  /** The A/V payload hex — byte-identical to [[toAvMedia]]. */
+  private val avPayloadCte: String = {
+    val nb = "octet_length(encode(text))"
+    s"""SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN
+         '52494646' || ${dLe(s"$nb + 36", 4)} || '57415645' ||
+         '666D7420' || '10000000' || '0100' ||
+         ${dLe(DCh, 2)} || ${dLe(DRate, 4)} ||
+         ${dLe(s"(($DRate) * ($DCh) * ($DBits)) // 8", 4)} ||
+         ${dLe(s"(($DCh) * ($DBits)) // 8", 2)} ||
+         ${dLe(DBits, 2)} ||
+         '64617461' || ${dLe(nb, 4)} || hex(encode(text))
+       ELSE
+         '00000014' || '66747970' || '69736F6D' ||
+         '00000200' || '69736F6D' ||
+         '00000074' || '6D6F6F76' ||
+         '0000006C' || '6D766864' ||
+         '00000000' || '00000000' || '00000000' ||
+         lpad(hex($DTs), 8, '0') || lpad(hex($nb), 8, '0') ||
+         '00010000' || '0100' || '0000' || '0000000000000000' ||
+         '00010000000000000000000000000000' ||
+         '00010000000000000000000000000000' ||
+         '40000000' ||
+         '000000000000000000000000000000000000000000000000' ||
+         '00000002' ||
+         lpad(hex($nb + 8), 8, '0') || '6D646174' || hex(encode(text))
+       END AS ph
+       FROM documents"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_av_meta" -> {
+      def q(e: String) = e.replace("doc_id", "d.doc_id")
+      s"""WITH p AS ($avPayloadCte)
+         SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END
+             AS format,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN ${q(DCh)} END AS BIGINT)
+             AS channels,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN ${q(DRate)} END
+             AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN d.doc_id % 2 = 0 THEN ${q(DBits)} END
+             AS BIGINT) AS bits,
+           CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+           CAST(CASE WHEN d.doc_id % 2 = 1 THEN ${q(DTs)} END AS BIGINT)
+             AS timescale,
+           CAST(CASE WHEN d.doc_id % 2 = 1
+             THEN octet_length(encode(text)) END AS BIGINT) AS duration,
+           CAST(len(ph) // 2 AS BIGINT) AS n_bytes,
+           sha256(ph) AS sha256_hex
+         FROM documents d JOIN p ON p.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
+    },
     "mm_binary_meta" ->
       s"""WITH p AS ($payloadCte)
          SELECT doc_id, CAST(len(ph) // 2 AS BIGINT) AS n_bytes,
