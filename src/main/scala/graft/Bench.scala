@@ -97,11 +97,21 @@ object Bench {
     // later interleaved retries.
     val failedSpent = scala.collection.mutable.Map
       .empty[String, Double].withDefaultValue(0.0)
+    // Lineage-build honesty (VERDICT r6 item 5): a shared-lineage key
+    // APPEARING during a run means this row's wall time includes the
+    // shared build every later family member reads for free — the
+    // per-query numbers are order-dependent exactly there. The detail
+    // artifact names the paying rows (query → keys, with the rep that
+    // paid) so readers separate build from steady-state without the
+    // manual solo-rerun protocol.
+    val lineagePaid = scala.collection.mutable.LinkedHashMap
+      .empty[String, Set[String]]
     for (r <- 0 until reps) {
       targets.zipWithIndex.foreach { case ((name, fn), i) =>
         if (r == 0 && i > 0 && i == targets.size / 2) canary()
         val ts = times(name)
         if (ts.sum + failedSpent(name) < PerQueryBudgetSec) {
+          val pre = graft.operators.Lineage.keys(spark)
           val t0 = System.nanoTime()
           try { run(fn(spark, sfDir))
             ts += (System.nanoTime() - t0) / 1e9
@@ -117,6 +127,10 @@ object Bench {
               String.valueOf(t.getMessage).linesIterator.take(1)
                 .mkString.take(300))
           }
+          val built = graft.operators.Lineage.keys(spark) -- pre
+          if (built.nonEmpty)
+            lineagePaid(name) = lineagePaid.getOrElse(name, Set.empty) ++
+              built.map(k => s"${k.stripPrefix(s"$sfDir#")}@rep$r")
         }
       }
       canary()
@@ -149,10 +163,15 @@ object Bench {
         s"""{"sec":${canaryTimes.mkString("[", ",", "]")},"ratio":$ratio}"""
       }
     val total = results.map(_._2).filter(_ >= 0).sum
+    val lineageJson = lineagePaid.map { case (q, ks) =>
+      "\"" + q + "\":" + ks.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$med,"reps":$reps,"noisy":$noisy,""" +
-        s""""canary":$canaryJson,"sf":"$sfDir"}"""
+        s""""canary":$canaryJson,"lineage_builds":$lineageJson,""" +
+        s""""sf":"$sfDir"}"""
 
     // ARTIFACT CONTRACT (VERDICT r4 item 4): the driver archives only
     // the LAST 2000 chars of stdout and parses the final JSON line —

@@ -71,4 +71,25 @@ object Lineage {
     cache.values.foreach(df => if (df != null) df.unpersist())
     cache.clear()
   }
+
+  /** The keys currently registered for `s` (as `dir#key`). Bench
+    * snapshots this around every query run: a key that APPEARS during
+    * a run means that run derived — and, as the frame's first
+    * consumer, paid for — the shared build (VERDICT r6 item 5: per-
+    * query bench rows are order-dependent under shared lineage; the
+    * artifact now self-identifies the build-paying rows instead of
+    * leaving the solo-rerun protocol manual).
+    */
+  def keys(s: SparkSession): Set[String] = cache.synchronized {
+    cache.keysIterator.collect {
+      case (ss, d, k) if ss eq s => s"$d#$k"
+    }.toSet
+  }
+
+  /** Register a marker key without a frame — for shared builds that
+    * live outside this cache (e.g. the two-frame BPE memo), so Bench's
+    * snapshot diff sees them too.
+    */
+  def note(s: SparkSession, dir: String, key: String): Unit =
+    ensure(s, dir, key)(())
 }

@@ -106,7 +106,12 @@ object BpeTrainer {
       dir: String): (DataFrame, DataFrame) =
     if (sys.env.get("SPARK_GRAFT_LINEAGE").contains("off")) train(s, dir)
     else memo.synchronized {
-      memo.getOrElseUpdate((s, dir), train(s, dir))
+      memo.getOrElseUpdate((s, dir), {
+        // Marker so Bench's lineage-build snapshot sees this shared
+        // build too (graft.operators.Lineage.note).
+        graft.operators.Lineage.note(s, dir, "ta_bpe_artifacts")
+        train(s, dir)
+      })
     }
 
   /** The training loop. Returns (merges, finalPieces):
