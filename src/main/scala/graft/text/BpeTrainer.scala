@@ -227,9 +227,59 @@ object BpeTrainer {
       .orderBy("doc_id")
   }
 
+  // -----------------------------------------------------------------
+  // ta_bpe_score: VOCABULARY-CONSTRAINED quality scoring (VERDICT r6
+  // item 8) — the ta_lm_score bigram model re-based on the TRAINED
+  // BPE piece stream, i.e. the engine's own tokenizer feeding its own
+  // perplexity-style filter, which is how production pipelines
+  // actually threshold quality (score under the model vocabulary you
+  // will train with, not under raw words). Each document's token
+  // stream expands to its piece sequence via the shared final-pieces
+  // table (dictionary lookup, piece order = (token idx, piece pos));
+  // bigram probabilities get add-one smoothing
+  // p = (c(s1,s2)+1)/(c(s1)+V) over corpus piece statistics, and the
+  // score is the document's mean bigram probability, folded in piece
+  // order so both engines sum identically.
+  def bpeScore(s: SparkSession, dir: String): DataFrame = {
+    val pieces = artifacts(s, dir)._2
+    val tokp = Tables(s, dir, "documents").repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("text"), lit(WordRegex), lit(0)))
+          .as(Seq("ti0", "t")))
+      .select(col("doc_id"), (col("ti0") + 1).cast("long").as("ti"),
+        upper(col("t")).as("word"))
+    val stream = tokp.join(pieces.select("word", "pos", "sym"), "word")
+      .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
+    val wSeq = Window.partitionBy("doc_id").orderBy("ti", "pos")
+    val seq = stream
+      .withColumn("pi", row_number().over(wSeq).cast("long"))
+      .withColumn("nxt", lead(col("sym"), 1).over(wSeq))
+    val uni = stream.groupBy(col("sym").as("s1")).agg(count(lit(1)).as("c1"))
+    val vDf = stream.agg(countDistinct(col("sym")).as("v"))
+    val bg = seq.filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("pi"), col("sym").as("s1"),
+        col("nxt").as("s2"))
+    val bgc = bg.groupBy("s1", "s2").agg(count(lit(1)).as("c2"))
+    bg.join(bgc, Seq("s1", "s2"))
+      .join(uni, "s1")
+      .crossJoin(broadcast(vDf))
+      .select(col("doc_id"), col("pi"),
+        ((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pi"), col("p")))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_bigrams"),
+        (aggregate(transform(col("ps"), x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x) /
+          size(col("ps")).cast("double")).as("bpe_score"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_train" -> bpeTrain,
     "ta_bpe_encode" -> bpeEncode,
+    "ta_bpe_score" -> bpeScore,
   )
 
   // ---------------------------------------------------------------
@@ -315,5 +365,39 @@ object BpeTrainer {
            END AS pieces_per_token
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY doc_id""",
+    "ta_bpe_score" ->
+      s"""WITH $TrainCtes,
+         tokp AS MATERIALIZED (SELECT doc_id, ti, upper(w) AS word FROM (
+             SELECT doc_id, unnest(range(1, len(ws) + 1)) AS ti,
+               unnest(ws) AS w
+             FROM (SELECT doc_id,
+                 regexp_extract_all(text, '[A-Za-z][A-Za-z'']*') AS ws
+               FROM documents))),
+         pstream AS MATERIALIZED (SELECT t.doc_id, t.ti, p.pos, p.sym
+           FROM tokp t JOIN pc$Merges p ON p.word = t.word),
+         pseq AS MATERIALIZED (SELECT doc_id, sym,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY ti, pos) AS BIGINT) AS pi,
+             lead(sym) OVER (PARTITION BY doc_id ORDER BY ti, pos)
+               AS nxt
+           FROM pstream),
+         uni AS (SELECT sym AS s1, CAST(COUNT(*) AS BIGINT) AS c1
+           FROM pstream GROUP BY sym),
+         vv AS (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS v
+           FROM pstream),
+         bg AS (SELECT doc_id, pi, sym AS s1, nxt AS s2 FROM pseq
+           WHERE nxt IS NOT NULL),
+         bgc AS (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM bg GROUP BY s1, s2),
+         pp AS (SELECT bg.doc_id, bg.pi,
+             CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS p
+           FROM bg JOIN bgc USING (s1, s2) JOIN uni USING (s1)
+             CROSS JOIN vv),
+         ag AS (SELECT doc_id, list(p ORDER BY pi) AS ps
+           FROM pp GROUP BY doc_id)
+         SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), ps),
+             (acc, x) -> acc + x) / CAST(len(ps) AS DOUBLE) AS bpe_score
+         FROM ag ORDER BY doc_id""",
   )
 }
