@@ -33,7 +33,12 @@ import org.apache.spark.sql.DataFrame
   *    box contention DURING this bench (≈1 on a quiet box).
   */
 object Bench {
-  val PerQueryBudgetSec = 45.0
+  /** Per-query rep budget; SPARK_GRAFT_BUDGET_SEC overrides for the
+    * octave-sweep protocol, where a heavy row's warm (2nd-rep) number
+    * is the law being measured and the default budget would skip it.
+    */
+  val PerQueryBudgetSec: Double = sys.env.get("SPARK_GRAFT_BUDGET_SEC")
+    .flatMap(_.toDoubleOption).getOrElse(45.0)
   val NoiseRatio = 1.5
   val NoiseAbsSec = 1.0
 

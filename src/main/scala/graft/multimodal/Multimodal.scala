@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** A media payload: opaque bytes + typed metadata. The fixture corpus
-  * has no real image column, so [[Multimodal.mediaRecords]] SYNTHESIZES
+  * has no real media column, so [[Multimodal.mediaRecords]] SYNTHESIZES
   * one: each document becomes a structurally valid PNG or JPEG byte
   * stream (real signatures, real chunk / marker-segment framing, the
   * document's UTF-8 bytes riding along as IDAT / COM payload) with
-  * planted dimensions derived from `doc_id`. Everything downstream —
-  * the [[ImageCodec]] header parsers, frame sampling, digests — is
-  * real byte-level work over those streams.
+  * planted dimensions derived from `doc_id` — and, since round 7,
+  * [[Multimodal.avRecords]] does the same for WAV and MP4 containers
+  * ([[AvCodec]]). Everything downstream — the [[ImageCodec]] /
+  * [[AvCodec]] header parsers, frame sampling, digests — is real
+  * byte-level work over those streams.
   */
 case class MediaRecord(doc_id: Long, payload: Array[Byte], mime_hint: String)
 
