@@ -170,18 +170,23 @@ object VectorIndex {
     e.crossJoin(broadcast(
       e.agg(floor(count(lit(1)) * lit(BaseFrac)).cast("long").as("thr"))))
 
-  /** Deterministic scratch location for the declared gate's artifact
-    * (per dataset; rebuilt once per JVM via Lineage.ensure).
+  /** Scratch location for the declared gate's artifact — per dataset
+    * AND per (process, session): Lineage.ensure rebuilds once per
+    * session, so a shared path would let two concurrent harness JVMs
+    * (or two sessions in one JVM) clobber each other's store mid-
+    * read. The production artifact API above takes a caller-chosen
+    * path; this scoping is purely gate-harness hygiene.
     */
-  private def gatePath(dir: String): String =
+  private def gatePath(s: SparkSession, dir: String): String =
     "/tmp/graft_ivfpq_index_" +
       java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+      s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
 
   // -----------------------------------------------------------------
   // ss_ivfpq_incr: the full persisted-index lifecycle, oracle-gated.
   def ivfPqIncremental(s: SparkSession, dir: String): DataFrame = {
-    val path = gatePath(dir)
+    val path = gatePath(s, dir)
     graft.operators.Lineage.ensure(s, dir, "ss_ivfpq_incr_store") {
       val et = withThreshold(vecs(s, dir)).localCheckpoint()
       build(et.filter(col("vec_id") < col("thr")).drop("thr"), path)
