@@ -36,6 +36,7 @@ object SparkEntry {
     (graft.operators.Sketches.queries, graft.operators.Sketches.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (graft.text.BpeTrainer.queries, graft.text.BpeTrainer.oracles),
+    (graft.text.UnigramTrainer.queries, graft.text.UnigramTrainer.oracles),
     (Dedup.queries, Dedup.oracles),
     (VectorSearch.queries, VectorSearch.oracles),
     (graft.sim.VectorIndex.queries, graft.sim.VectorIndex.oracles),
