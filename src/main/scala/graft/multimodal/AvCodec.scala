@@ -80,6 +80,57 @@ object AvCodec {
     Meta("wav", ch, rate, bits, data, -1L, -1L)
   }
 
+  /** Decoded PCM stream: format params + the actual samples. */
+  case class Pcm(channels: Long, sampleRate: Long, bits: Long,
+      samples: Array[Int])
+
+  /** Decode the PCM payload of a WAV stream — the step past header
+    * parsing: the same RIFF walk as [[parseWav]] but carrying the
+    * `data` chunk OFFSET, then per-sample interpretation per the PCM
+    * spec — 8-bit samples are UNSIGNED bytes centered at 128, 16-bit
+    * are SIGNED little-endian; a trailing odd byte under 16-bit is
+    * not a sample. Other bit depths and a `data` size overrunning the
+    * stream are rejected loudly (AvCodecSpec pins both).
+    */
+  def decodePcm(b: Array[Byte]): Pcm = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+      fail("decodePcm: not a RIFF/WAVE stream")
+    val riffEnd = math.min(8L + le(b, 4, 4), b.length.toLong)
+    var off = 12L
+    var ch = -1L; var rate = -1L; var bits = -1L
+    var dataOff = -1L; var dataLen = -1L
+    while (off + 8 <= riffEnd) {
+      val id = fourcc(b, off.toInt)
+      val sz = le(b, off.toInt + 4, 4)
+      if (id == "fmt ") {
+        if (sz < 16) fail(s"fmt chunk too short: $sz")
+        ch = le(b, off.toInt + 10, 2)
+        rate = le(b, off.toInt + 12, 4)
+        bits = le(b, off.toInt + 22, 2)
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      val advance = 8L + sz + (sz & 1L)
+      if (advance <= 0) fail(s"non-advancing chunk at $off")
+      off += advance
+    }
+    if (ch < 0 || dataOff < 0) fail("missing fmt/data chunk")
+    if (dataOff + dataLen > b.length)
+      fail(s"data chunk overruns stream ($dataLen bytes at $dataOff)")
+    val base = dataOff.toInt
+    val samples = bits match {
+      case 8 =>
+        Array.tabulate(dataLen.toInt)(i => (b(base + i) & 0xff) - 128)
+      case 16 =>
+        Array.tabulate(dataLen.toInt / 2) { i =>
+          val lo = b(base + 2 * i) & 0xff
+          val hi = b(base + 2 * i + 1) & 0xff
+          val v = (hi << 8) | lo
+          if (v >= 32768) v - 65536 else v
+        }
+      case x => fail(s"unsupported PCM bit depth: $x")
+    }
+    Pcm(ch, rate, bits, samples)
+  }
+
   private def parseMp4(b: Array[Byte]): Meta = {
     var ts = -1L; var dur = -1L; var media = -1L
 

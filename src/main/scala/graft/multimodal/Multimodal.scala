@@ -275,11 +275,54 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // mm_audio_features: feature extraction PAST the header — the real
+  // PCM decode ([[AvCodec.decodePcm]]: data-chunk offset out of the
+  // RIFF walk, 8-bit-unsigned / 16-bit-signed-LE sample
+  // interpretation) feeding signal statistics a modality filter
+  // would threshold on. The accumulators are EXACT integers (samples
+  // are ints; Σs and Σs² fit BIGINT at any fixture size), so the
+  // only doubles are two final correctly-rounded divisions and one
+  // sqrt — cross-engine bit-identical. Zero crossings are counted
+  // over the interleaved stream (sign = s ≥ 0), peak is max |s|.
+  // Only the WAV half of the corpus is audio; the filter is pushed
+  // into the documents scan before any payload is synthesized.
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wav = toAvMedia(
+      Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0))
+    val parsed = wav.mapPartitions { it =>
+      it.map { r =>
+        val p = AvCodec.decodePcm(r.payload)
+        val n = p.samples.length
+        var sum = 0L; var sq = 0L; var peak = 0L; var zc = 0L
+        var i = 0
+        while (i < n) {
+          val v = p.samples(i).toLong
+          sum += v; sq += v * v
+          val a = math.abs(v); if (a > peak) peak = a
+          if (i > 0 && ((p.samples(i - 1) >= 0) != (p.samples(i) >= 0)))
+            zc += 1
+          i += 1
+        }
+        val frames = if (p.channels > 0) n.toLong / p.channels else 0L
+        (r.doc_id, p.channels, p.sampleRate, p.bits, n.toLong, frames,
+          (frames * 1000.0) / p.sampleRate.toDouble,
+          sum, sq, if (n > 0) Some(peak) else None, zc,
+          if (n > 0) Some(sum.toDouble / n.toDouble) else None,
+          if (n > 0) Some(math.sqrt(sq.toDouble / n.toDouble)) else None)
+      }
+    }.toDF("doc_id", "channels", "sample_rate", "bits", "n_samples",
+      "n_frames", "duration_ms", "sum_amp", "sum_sq", "peak",
+      "zero_cross", "mean_amp", "rms")
+    parsed.orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_stats" -> decodeStats,
     "mm_frame_sample" -> frameChecksum,
     "mm_av_meta" -> avMeta,
+    "mm_audio_features" -> audioFeatures,
   )
 
   // ---------------------------------------------------------------
@@ -398,6 +441,54 @@ object Multimodal {
                - $MaxComBytes, 0)
            END AS BIGINT) AS n_bytes
          FROM documents ORDER BY doc_id""",
+    "mm_audio_features" ->
+      s"""WITH w AS (SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+           CAST($DCh AS BIGINT) AS channels,
+           CAST($DRate AS BIGINT) AS rate,
+           CAST($DBits AS BIGINT) AS bits
+         FROM documents WHERE doc_id % 2 = 0),
+         smp AS (SELECT doc_id, i,
+           CASE WHEN bits = 8 THEN b0 - 128
+                WHEN b1 >= 128 THEN b1 * 256 + b0 - 65536
+                ELSE b1 * 256 + b0 END AS sv
+           FROM (SELECT doc_id, bits, i,
+               CAST(('0x' || substr(hx, CAST(CASE WHEN bits = 8
+                 THEN 2 * i + 1 ELSE 4 * i + 1 END AS INTEGER), 2))
+                 AS BIGINT) AS b0,
+               CASE WHEN bits = 16 THEN CAST(('0x' || substr(hx,
+                 CAST(4 * i + 3 AS INTEGER), 2)) AS BIGINT) END AS b1
+             FROM (SELECT *, unnest(range(CASE WHEN bits = 8 THEN nb
+                 ELSE nb // 2 END)) AS i
+               FROM w))),
+         zc AS (SELECT doc_id, CAST(SUM(CASE WHEN pv IS NOT NULL
+               AND (sv >= 0) != (pv >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_cross
+           FROM (SELECT doc_id, i, sv,
+               lag(sv) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+             FROM smp)
+           GROUP BY doc_id),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(sv) AS BIGINT) AS sum_amp,
+             CAST(SUM(sv * sv) AS BIGINT) AS sum_sq,
+             CAST(MAX(abs(sv)) AS BIGINT) AS peak
+           FROM smp GROUP BY doc_id)
+         SELECT w.doc_id, w.channels, w.rate AS sample_rate, w.bits,
+           coalesce(agg.n_samples, 0) AS n_samples,
+           coalesce(agg.n_samples, 0) // w.channels AS n_frames,
+           CAST(coalesce(agg.n_samples, 0) // w.channels * 1000
+             AS DOUBLE) / CAST(w.rate AS DOUBLE) AS duration_ms,
+           coalesce(agg.sum_amp, 0) AS sum_amp,
+           coalesce(agg.sum_sq, 0) AS sum_sq,
+           agg.peak AS peak,
+           coalesce(zc.zero_cross, 0) AS zero_cross,
+           CAST(agg.sum_amp AS DOUBLE) / CAST(agg.n_samples AS DOUBLE)
+             AS mean_amp,
+           sqrt(CAST(agg.sum_sq AS DOUBLE)
+             / CAST(agg.n_samples AS DOUBLE)) AS rms
+         FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
+           LEFT JOIN zc ON zc.doc_id = w.doc_id
+         ORDER BY w.doc_id""",
     "mm_frame_sample" ->
       s"""WITH p AS ($payloadCte),
          f AS (SELECT doc_id,

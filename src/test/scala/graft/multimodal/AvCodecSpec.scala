@@ -90,6 +90,52 @@ class AvCodecSpec extends AnyFunSuite {
     bad(mp4(0, largesizeMdat = false).dropRight(12 + 4))
   }
 
+  /** 8-bit mono WAV for the unsigned-sample interpretation case. */
+  private def wav8(dataHex: String): Array[Byte] = {
+    val fmt = "666D7420" + le(16, 4) + le(1, 2) + le(1, 2) +
+      le(8000, 4) + le(8000, 4) + le(1, 2) + le(8, 2)
+    val data = "64617461" + le(dataHex.length / 2, 4) + dataHex +
+      (if (dataHex.length / 2 % 2 == 1) "00" else "")
+    val body = "57415645" + fmt + data
+    hex("52494646" + le(body.length / 2, 4) + body)
+  }
+
+  test("decodePcm: 16-bit samples are signed LE; trailing odd byte " +
+      "is not a sample") {
+    // bytes 01 02 | 03 04 | 05 → samples 0x0201, 0x0403; 05 dropped.
+    val p = AvCodec.decodePcm(wav("0102030405"))
+    assert(p.channels == 2 && p.sampleRate == 44100 && p.bits == 16)
+    assert(p.samples.toSeq == Seq(0x0201, 0x0403))
+    // FF FF → −1; 00 80 → −32768 (sign bit in the high byte).
+    assert(AvCodec.decodePcm(wav("FFFF0080")).samples.toSeq ==
+      Seq(-1, -32768))
+  }
+
+  test("decodePcm: 8-bit samples are unsigned, centered at 128") {
+    val p = AvCodec.decodePcm(wav8("0080FF"))
+    assert(p.channels == 1 && p.bits == 8)
+    assert(p.samples.toSeq == Seq(-128, 0, 127))
+  }
+
+  test("decodePcm: unsupported depth and overrunning data fail loudly") {
+    // 24-bit fmt: rewrite the bits field of a 16-bit wav.
+    val fmt24 = "666D7420" + le(16, 4) + le(1, 2) + le(2, 2) +
+      le(44100, 4) + le(44100 * 2 * 3, 4) + le(6, 2) + le(24, 2)
+    val body24 = "57415645" + fmt24 + "64617461" + le(2, 4) + "0102"
+    val w24 = hex("52494646" + le(body24.length / 2, 4) + body24)
+    assert(AvCodec.parse(w24).bits == 24) // header walk is fine with it
+    intercept[IllegalArgumentException](AvCodec.decodePcm(w24))
+    // data size field claims more bytes than the stream carries: the
+    // header walk reports the size as-is, the decode refuses.
+    val bodyTr = "57415645" + fmt24.replace(le(24, 2), le(16, 2)) +
+      "64617461" + le(100, 4) + "0102"
+    val wTr = hex("52494646" + le(200, 4) + bodyTr)
+    assert(AvCodec.parse(wTr).dataBytes == 100)
+    intercept[IllegalArgumentException](AvCodec.decodePcm(wTr))
+    intercept[IllegalArgumentException](
+      AvCodec.decodePcm(mp4(0, largesizeMdat = false))) // not RIFF
+  }
+
   test("synthesized corpus payloads parse to the planted parameters") {
     val s = graft.GraftSession.local("2", "2")
     import org.apache.spark.sql.functions._
