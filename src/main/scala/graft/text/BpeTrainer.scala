@@ -276,10 +276,82 @@ object BpeTrainer {
       .orderBy("doc_id")
   }
 
+  // -----------------------------------------------------------------
+  // ta_bpe_pack: PACKED PRETRAINING EXAMPLES under the trained
+  // tokenizer — the last materialization step of the pipeline this
+  // engine exists for (corpus → learned vocabulary → id-encoded
+  // piece stream → fixed-length training sequences):
+  //  1. vocabulary ids over the trained pieces, usage DESC then
+  //     piece ASC (the conventional rank-order assignment);
+  //  2. every document becomes its position-ordered piece-ID
+  //     sequence (dictionary join, order = (token idx, piece pos));
+  //  3. documents are laid out contiguously in doc_id order within
+  //     [[graft.pipeline.CorpusOps.PackBuckets]] hash buckets (the
+  //     ta_pack shard-local-layout discipline — buckets are the unit
+  //     a 1000-executor packing job parallelizes over), and each
+  //     piece lands in example gpos >> [[ExShift]] at position
+  //     gpos mod [[ExLen]] — documents CROSS example boundaries
+  //     (the "pack then chunk" convention), only each bucket's tail
+  //     example is partial.
+  // Each example row carries exact-content evidence instead of an
+  // array column: piece count, distinct contributing docs, id sum,
+  // and the md5 of the comma-joined ids in position order (the
+  // position-ordered-fold discipline, so both engines hash the
+  // identical string).
+  val ExShift = 8
+  val ExLen = 1L << ExShift
+
+  def bpePack(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.CorpusOps.PackBuckets
+    val pieces = artifacts(s, dir)._2
+    val tokp = Tables(s, dir, "documents").repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("text"), lit(WordRegex), lit(0)))
+          .as(Seq("ti0", "t")))
+      .select(col("doc_id"), (col("ti0") + 1).cast("long").as("ti"),
+        upper(col("t")).as("word"))
+    val stream = tokp.join(pieces.select("word", "pos", "sym"), "word")
+      .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
+    // 1. usage-ranked vocabulary ids (vocab-sized: broadcastable).
+    val wv = Window.orderBy(desc("cnt"), asc("sym"))
+    val vc = stream.groupBy("sym").agg(count(lit(1)).as("cnt"))
+      .withColumn("vid", row_number().over(wv).cast("long"))
+      .select("sym", "vid")
+    // 2. per-doc 0-based piece index, then the id stream.
+    val wSeq = Window.partitionBy("doc_id").orderBy("ti", "pos")
+    val pid = stream
+      .withColumn("pi", (row_number().over(wSeq) - 1).cast("long"))
+      .join(broadcast(vc), "sym")
+      .select(col("doc_id"), col("pi"), col("vid"))
+    // 3. contiguous layout: per-bucket running start offsets.
+    val wOfs = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ofs = pid.groupBy("doc_id")
+      .agg(count(lit(1)).as("np"))
+      .withColumn("bucket", col("doc_id") % PackBuckets)
+      .select(col("doc_id"), col("bucket"),
+        (sum("np").over(wOfs) - col("np")).as("st"))
+    pid.join(ofs, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        (col("st") + col("pi")).as("gpos"), col("vid"))
+      .select(col("doc_id"), col("bucket"),
+        shiftright(col("gpos"), ExShift).as("seq_id"),
+        (col("gpos") % ExLen).as("pos"), col("vid"))
+      .groupBy("bucket", "seq_id")
+      .agg(count(lit(1)).as("n_pieces"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum("vid").as("id_sum"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("vid")))),
+          x => x.getField("vid").cast("string")), ",")).as("ids_md5"))
+      .orderBy("bucket", "seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_train" -> bpeTrain,
     "ta_bpe_encode" -> bpeEncode,
     "ta_bpe_score" -> bpeScore,
+    "ta_bpe_pack" -> bpePack,
   )
 
   // ---------------------------------------------------------------
@@ -365,6 +437,46 @@ object BpeTrainer {
            END AS pieces_per_token
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY doc_id""",
+    "ta_bpe_pack" ->
+      s"""WITH $TrainCtes,
+         tokp AS MATERIALIZED (SELECT doc_id, ti, upper(w) AS word FROM (
+             SELECT doc_id, unnest(range(1, len(ws) + 1)) AS ti,
+               unnest(ws) AS w
+             FROM (SELECT doc_id,
+                 regexp_extract_all(text, '[A-Za-z][A-Za-z'']*') AS ws
+               FROM documents))),
+         pstream AS MATERIALIZED (SELECT t.doc_id, t.ti, p.pos, p.sym
+           FROM tokp t JOIN pc$Merges p ON p.word = t.word),
+         vc AS (SELECT sym, CAST(row_number() OVER (
+               ORDER BY cnt DESC, sym) AS BIGINT) AS vid
+           FROM (SELECT sym, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM pstream GROUP BY sym)),
+         pid AS MATERIALIZED (SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY ti, pos) - 1 AS BIGINT) AS pi,
+             vid
+           FROM pstream JOIN vc USING (sym)),
+         ofs AS (SELECT doc_id, bucket,
+             SUM(np) OVER (PARTITION BY bucket ORDER BY doc_id) - np
+               AS st
+           FROM (SELECT doc_id,
+               doc_id % ${graft.pipeline.CorpusOps.PackBuckets}
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS np
+             FROM pid GROUP BY doc_id)),
+         ex AS (SELECT p.doc_id, o.bucket,
+             (o.st + p.pi) // $ExLen AS seq_id,
+             (o.st + p.pi) % $ExLen AS pos, p.vid
+           FROM pid p JOIN ofs o ON o.doc_id = p.doc_id)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(vid) AS BIGINT) AS id_sum,
+           md5(string_agg(CAST(vid AS VARCHAR), ',' ORDER BY pos))
+             AS ids_md5
+         FROM ex GROUP BY bucket, seq_id
+         ORDER BY bucket, seq_id""",
     "ta_bpe_score" ->
       s"""WITH $TrainCtes,
          tokp AS MATERIALIZED (SELECT doc_id, ti, upper(w) AS word FROM (

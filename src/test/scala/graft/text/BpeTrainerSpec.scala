@@ -94,6 +94,36 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  test("pack: every example is full except each bucket's tail; " +
+    "seq_ids contiguous; totals conserve the encoded stream") {
+    val rows = BpeTrainer.bpePack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_pieces"), r.getAs[Long]("n_docs"),
+        r.getAs[String]("ids_md5")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (b, ex) =>
+      val ids = ex.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong).toSeq,
+        s"bucket $b: seq_ids not contiguous from 0: $ids")
+      val tail = ex.map(_._2).max
+      ex.foreach { case (_, sq, np, nd, md) =>
+        if (sq < tail) assert(np == BpeTrainer.ExLen,
+          s"bucket $b seq $sq: interior example has $np pieces")
+        else assert(np >= 1 && np <= BpeTrainer.ExLen)
+        assert(nd >= 1)
+        assert(md.matches("[0-9a-f]{32}"))
+      }
+    }
+    // conservation: packed pieces == the encode query's piece total
+    val totalPacked = rows.map(_._3).sum
+    val totalEncoded = BpeTrainer.bpeEncode(spark, sf).collect()
+      .map(_.getAs[Long]("n_pieces")).sum
+    assert(totalPacked == totalEncoded)
+    // documents cross example boundaries (the pack-then-chunk
+    // convention): some full example draws from more than one doc.
+    assert(rows.exists(_._4 > 1))
+  }
+
   test("merge exhaustion: single-char vocabulary stops early, " +
     "no null merge rows") {
     // A corpus where every word is one character admits ZERO merges:
