@@ -103,6 +103,51 @@ object VectorIndex {
       s.read.parquet(centPath(path)), s.read.parquet(cbPath(path)))
       .write.mode("append").partitionBy("cid").parquet(lists(path))
 
+  /** Index MAINTENANCE: compact inverted-list partitions whose
+    * parquet file count exceeds `maxFiles`. Every [[append]] adds at
+    * least one file to each touched `cid=` directory, so a
+    * long-lived index accumulates per-file open/footer overhead on
+    * exactly the partitions the probe join scans; compaction
+    * rewrites ONLY the bloated partitions (dynamic partition
+    * overwrite — the [[graft.sources.Formats.backfillPartitions]]
+    * discipline), leaving every other partition's files
+    * byte-for-byte untouched. The directory listing is driver-side
+    * METADATA (the same stat calls split planning performs), never
+    * data; the data path is one partition-pruned scan of the bloated
+    * cids, re-clustered one-task-per-cid. The read is
+    * localCheckpoint-materialized before the overwrite so the job
+    * never reads the files it is replacing. At 100 TB scale the
+    * `cids` argument bounds one run's memory: compact in cid batches
+    * rather than all-at-once.
+    *
+    * Returns the compacted cids (empty = nothing exceeded the
+    * threshold, store untouched — calling it again is a no-op).
+    */
+  def compact(s: SparkSession, path: String, maxFiles: Int = 4,
+      cids: Option[Seq[Long]] = None): Seq[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val listsDir = new HPath(lists(path))
+    val fs = listsDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bloated = fs.listStatus(listsDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix("cid=").toLong)
+      .filter(c => cids.forall(_.contains(c)))
+      .sorted
+    if (bloated.nonEmpty) {
+      val sub = s.read.parquet(lists(path))
+        .withColumn("cid", col("cid").cast("long"))
+        .filter(col("cid").isin(bloated: _*)) // partition-pruned scan
+        .repartition(col("cid"))
+        .localCheckpoint()
+      sub.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").parquet(lists(path))
+    }
+    bloated
+  }
+
   /** IVFADC over the stored artifact for a (query_id, qv, qn) set;
     * exact rerank against `corpus`. Same shape as
     * [[VectorSearch.ivfPqTopK]] with every index input read from

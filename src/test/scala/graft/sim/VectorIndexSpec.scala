@@ -108,4 +108,59 @@ class VectorIndexSpec extends SparkSpec {
       assert(ranks === (1L to rs.length).toSeq)
     }
   }
+
+  test("compact rewrites only bloated cid partitions, preserves " +
+      "content and search results, and is idempotent") {
+    val root = Files.createTempDirectory("graft_vindex_c")
+    val path = root.toString
+    val e = VectorSearch.vecs(spark, sf).localCheckpoint()
+    VectorIndex.build(e.filter(col("vec_id") < 350), path)
+    // Three small appends → up to 4 files per touched partition.
+    for (lo <- Seq(350L, 400L, 450L))
+      VectorIndex.append(spark, path,
+        e.filter(col("vec_id") >= lo && col("vec_id") < lo + 50))
+    val listsRoot = root.resolve("lists")
+    val before = files(listsRoot)
+    def dirCount(m: Map[String, Long], cid: Long): Int =
+      m.keySet.count(_.startsWith(s"cid=$cid/"))
+    val allCids = before.keySet
+      .flatMap("cid=(\\d+)/".r.findFirstMatchIn(_).map(_.group(1).toLong))
+    val maxF = 2
+    val expectBloated = allCids.filter(dirCount(before, _) > maxF)
+    assert(expectBloated.nonEmpty, "fixture produced no bloated partition")
+    assert(allCids.exists(dirCount(before, _) <= maxF),
+      "fixture has no untouched partition to pin byte-stability on")
+
+    def snapshot() = spark.read.parquet(s"$path/lists")
+      .withColumn("cid", col("cid").cast("long"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getSeq[Int](r.fieldIndex("codes")).toList)).sortBy(_._1).toSeq
+    val q = e.filter(col("vec_id") < VectorSearch.NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    def searchNow() = VectorIndex.search(spark, path, q, e)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))).toSeq
+    val contentBefore = snapshot()
+    val searchBefore = searchNow()
+
+    val got = VectorIndex.compact(spark, path, maxF)
+    assert(got.toSet === expectBloated, s"compacted $got")
+    val after = files(listsRoot)
+    // Untouched partitions byte-for-byte identical.
+    before.filter { case (f, _) =>
+      !expectBloated.exists(c => f.startsWith(s"cid=$c/")) }
+      .foreach { case (f, sz) =>
+        assert(after.get(f).contains(sz), s"untouched file changed: $f") }
+    // Bloated partitions now under the threshold.
+    expectBloated.foreach { c =>
+      assert(dirCount(after, c) <= maxF,
+        s"cid=$c still has ${dirCount(after, c)} files") }
+    // Content and search results unchanged.
+    assert(snapshot() === contentBefore)
+    assert(searchNow() === searchBefore)
+    // Second run: nothing exceeds the threshold, store untouched.
+    assert(VectorIndex.compact(spark, path, maxF).isEmpty)
+    assert(files(listsRoot) === after)
+  }
 }
