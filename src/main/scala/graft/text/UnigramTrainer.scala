@@ -210,9 +210,40 @@ object UnigramTrainer {
       .orderBy("doc_id")
   }
 
+  // ta_unigram_score: per-document log-likelihood under the FINAL
+  // trained model — the SentencePiece quality signal (mean piece
+  // score over the learned segmentation, scores from the final
+  // usage census). Because the likelihood is integer-quantized
+  // (ilog2), the per-doc sums are EXACT BIGINTs; the only double is
+  // one final correctly-rounded division — bit-identical across
+  // engines with no fold-order discipline needed at all.
+  def unigramScore(s: SparkSession, dir: String): DataFrame = {
+    val (vocab, vb2) = artifacts(s, dir)
+    val sc2 = score(vocab)
+    val perWord = vb2.select(col("word"), explode(col("path")).as("piece"))
+      .join(broadcast(sc2), "piece") // census = vb2's own pieces: inner-safe
+      .groupBy("word")
+      .agg(sum("sc").as("wsc"), count(lit(1)).as("wnp"))
+    val perDoc = tokens(s, dir)
+      .join(perWord, "word")
+      .groupBy("doc_id")
+      .agg(sum("wsc").as("ilog_sum"), sum("wnp").as("n_pieces"))
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("ilog_sum"), lit(0L)).as("ilog_sum"))
+      .withColumn("uni_score",
+        when(col("n_pieces") === 0, lit(null).cast("double"))
+          .otherwise(col("ilog_sum").cast("double") /
+            col("n_pieces").cast("double")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_unigram_train" -> unigramTrain,
     "ta_unigram_encode" -> unigramEncode,
+    "ta_unigram_score" -> unigramScore,
   )
 
   // ---------------------------------------------------------------
@@ -296,6 +327,26 @@ object UnigramTrainer {
     "ta_unigram_train" ->
       s"""WITH $TrainCtes
          SELECT piece, cnt FROM c2 ORDER BY cnt DESC, piece""",
+    "ta_unigram_score" ->
+      s"""WITH $TrainCtes,
+         ${dScore("c2", "sc2")},
+         pw AS (SELECT word, CAST(SUM(sc) AS BIGINT) AS wsc,
+             CAST(COUNT(*) AS BIGINT) AS wnp
+           FROM (SELECT word, unnest(path) AS piece FROM vbb)
+             JOIN sc2 USING (piece)
+           GROUP BY word),
+         pd AS (SELECT doc_id, CAST(SUM(wsc) AS BIGINT) AS ilog_sum,
+             CAST(SUM(wnp) AS BIGINT) AS n_pieces
+           FROM tok JOIN pw USING (word) GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(pd.n_pieces, 0) AS n_pieces,
+           coalesce(pd.ilog_sum, 0) AS ilog_sum,
+           CASE WHEN coalesce(pd.n_pieces, 0) = 0 THEN NULL
+             ELSE CAST(pd.ilog_sum AS DOUBLE)
+               / CAST(pd.n_pieces AS DOUBLE)
+           END AS uni_score
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id""",
     "ta_unigram_encode" ->
       s"""WITH $TrainCtes,
          pw AS (SELECT word, np FROM vbb),

@@ -142,6 +142,39 @@ class UnigramTrainerSpec extends SparkSpec {
     }
   }
 
+  test("unigram score == sequential per-doc likelihood under the " +
+    "final census (exact-integer sums, one final division)") {
+    import org.apache.spark.sql.functions._
+    val (vocab, vb) = seqTrain(wordFreq)
+    val sc2 = scoreOf(vocab)
+    // sequential per-doc expectation over the fixture token stream
+    val docTokens = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+        lit(WordCount.WordRegex), lit(0))).as("t"))
+      .select(col("doc_id"), upper(col("t")).as("word"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val exp = docTokens.groupBy(_._1).map { case (d, ws) =>
+      val covered = ws.map(_._2).filter(vb.contains)
+      val su = covered.map(w => vb(w).path.map(sc2).sum).sum
+      val np = covered.map(w => vb(w).np).sum
+      d -> (np, su, if (np == 0) None else Some(su.toDouble / np.toDouble))
+    }
+    val got = UnigramTrainer.unigramScore(spark, sf).collect()
+    got.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val (np, su, sc) = exp.getOrElse(d, (0L, 0L, None))
+      assert(r.getAs[Long]("n_pieces") == np, s"doc $d n_pieces")
+      assert(r.getAs[Long]("ilog_sum") == su, s"doc $d ilog_sum")
+      sc match {
+        case Some(v) => assert(r.getAs[Double]("uni_score") == v)
+        case None => assert(r.isNullAt(r.fieldIndex("uni_score")))
+      }
+    }
+    // scores are negative log-probs scaled: every covered doc < 0
+    assert(got.forall(r => r.isNullAt(r.fieldIndex("uni_score")) ||
+      r.getAs[Double]("uni_score") < 0))
+  }
+
   test("words over MaxWordLen are excluded by both train and encode") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
