@@ -48,9 +48,9 @@ object VectorIndex {
   /** Base fraction for the declared gate: vec_id < ⌊0.9·N⌋. */
   val BaseFrac = 0.9
 
-  private def lists(path: String) = s"$path/lists"
-  private def centPath(path: String) = s"$path/centroids"
-  private def cbPath(path: String) = s"$path/codebooks"
+  private[graft] def lists(path: String) = s"$path/lists"
+  private[graft] def centPath(path: String) = s"$path/centroids"
+  private[graft] def cbPath(path: String) = s"$path/codebooks"
 
   /** Train quantizers on `base` and write the full artifact (the
     * base corpus encoded). Overwrites any previous index at `path`.
@@ -154,13 +154,22 @@ object VectorIndex {
     * disk.
     */
   def search(s: SparkSession, path: String, q: DataFrame,
-      corpus: DataFrame): DataFrame = {
-    val cent = s.read.parquet(centPath(path))
-    val cb = s.read.parquet(cbPath(path))
+      corpus: DataFrame): DataFrame =
     // The Hive layout re-infers the partition column from directory
     // names (cid=NN -> INT); restore the artifact's declared LONG.
-    val stored = s.read.parquet(lists(path))
-      .withColumn("cid", col("cid").cast("long"))
+    searchLists(s, path,
+      s.read.parquet(lists(path)).withColumn("cid", col("cid").cast("long")),
+      q, corpus)
+
+  /** [[search]] with the inverted lists INJECTED — the seam that lets
+    * a caller union the on-disk sealed lists with not-yet-published
+    * rows (the [[graft.streaming.IndexIngest]] growing segment)
+    * without changing the probe/ADC/rerank pipeline.
+    */
+  private[graft] def searchLists(s: SparkSession, path: String,
+      stored: DataFrame, q: DataFrame, corpus: DataFrame): DataFrame = {
+    val cent = s.read.parquet(centPath(path))
+    val cb = s.read.parquet(cbPath(path))
 
     val wp = Window.partitionBy("query_id").orderBy(desc("pcos"), asc("cid"))
     val probes = q.join(broadcast(cent))
