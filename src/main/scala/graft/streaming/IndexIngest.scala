@@ -89,24 +89,57 @@ object IndexIngest {
     VectorIndex.searchLists(s, path, all, q, corpus)
   }
 
-  /** Seal the staging area: fold every staged row into the `cid=`
-    * inverted lists and clear staging. Returns the number of rows
-    * published. Not idempotent mid-crash (a maintenance op, like
-    * compaction — rerun [[ingest]] replay semantics do not apply);
-    * the staged read is localCheckpoint-materialized so the delete
-    * cannot race the append's lineage.
+  /** Seal the staging area: fold staged rows into the `cid=`
+    * inverted lists BATCH BY BATCH, deleting each batch's staging
+    * partition only after its append lands — so a crash anywhere
+    * leaves at most ONE batch in the appended-but-still-staged state,
+    * and the recovery for that state is built into the append itself:
+    * each batch is anti-joined against the sealed lists on `vec_id`
+    * (with the scan pruned to the batch's own cid partitions by a
+    * broadcast-join DynamicPruning, the [[VectorIndex]] probe
+    * discipline), so re-running publish after any crash appends only
+    * what is genuinely missing. Exactly-once effect end-to-end:
+    * ingest replay converges by batch_id overwrite, publish replay
+    * converges by the anti-join — no manifest or reader-side dedup
+    * needed, and the recovery cost is one batch against its own
+    * partitions, never a store scan.
+    *
+    * Returns the number of rows actually appended (a recovery rerun
+    * reports only the delta).
     */
   def publish(s: SparkSession, path: String): Long = {
-    val st = stagedRows(s, path)
-    if (st.isEmpty) 0L
-    else {
-      val rows = st.localCheckpoint()
-      val n = rows.count()
-      rows.write.mode("append").partitionBy("cid")
+    val stagedP = new org.apache.hadoop.fs.Path(staged(path))
+    val fs = stagedP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stagedP)) return 0L
+    val batchIds = fs.listStatus(stagedP).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .sorted
+    var total = 0L
+    batchIds.foreach { b =>
+      val rows = s.read.parquet(s"${staged(path)}/batch_id=$b")
+        .select("vec_id", "codes", "cid").localCheckpoint()
+      // Sealed rows in ONLY this batch's partitions (broadcast join →
+      // dynamic partition pruning on the lists scan).
+      val sealedKeys = s.read.parquet(VectorIndex.lists(path))
+        .withColumn("cid", col("cid").cast("long"))
+        .join(broadcast(rows.select("cid").distinct()), "cid")
+        .select("vec_id")
+      val missing = rows.join(sealedKeys, Seq("vec_id"), "left_anti")
+        .localCheckpoint() // pin BEFORE the append changes the lists
+      total += missing.count()
+      missing.write.mode("append").partitionBy("cid")
         .parquet(VectorIndex.lists(path))
-      val p = new org.apache.hadoop.fs.Path(staged(path))
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      n
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${staged(path)}/batch_id=$b"), true)
     }
+    // Clear the (now batch-less) staging root — but only if nothing
+    // new arrived while sealing, so a concurrent ingest's fresh batch
+    // is never swept up by the final cleanup.
+    val remaining = fs.listStatus(stagedP)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    if (!remaining) fs.delete(stagedP, true)
+    total
   }
 }

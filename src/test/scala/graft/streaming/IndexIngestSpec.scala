@@ -99,4 +99,53 @@ class IndexIngestSpec extends SparkSpec {
     assert(searchRows(IndexIngest.searchAll(spark, path, q, e)) === expect)
     assert(IndexIngest.publish(spark, path) === 0L)
   }
+
+  test("publish recovers from a crash between append and staging " +
+      "cleanup without duplicating the in-flight batch") {
+    val root = Files.createTempDirectory("graft_ingest_crash")
+    val path = root.resolve("index").toString
+    val twin = root.resolve("twin").toString
+    val e = VectorSearch.vecs(spark, sf).localCheckpoint()
+    val base = e.filter(col("vec_id") < 400)
+    VectorIndex.build(base, path)
+    VectorIndex.build(base, twin)
+    val b1 = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val b2 = e.filter(col("vec_id") >= 450)
+    VectorIndex.append(spark, twin, b1)
+    VectorIndex.append(spark, twin, b2)
+
+    val src = root.resolve("src")
+    Files.createDirectories(src)
+    Seq(b1, b2).foreach(
+      _.coalesce(1).write.mode("append").parquet(src.toString))
+    IndexIngest.ingest(spark, path,
+      spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString),
+      root.resolve("ckpt").toString)
+
+    // Simulate the crash window: batch 0's rows are ALREADY appended
+    // to the sealed lists, but its staging partition was not cleaned.
+    val staged0 = spark.read.parquet(s"$path/staged")
+      .filter(col("batch_id") === 0)
+      .select("vec_id", "codes", "cid").localCheckpoint()
+    val crashedRows = staged0.count()
+    assert(crashedRows === 50L)
+    staged0.write.mode("append").partitionBy("cid")
+      .parquet(s"$path/lists")
+
+    // Recovery publish: the anti-join appends only the OTHER batch.
+    assert(IndexIngest.publish(spark, path) === 100L - crashedRows)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path/staged")))
+    // No duplicates, store == twin, searches agree.
+    val sealedDf = spark.read.parquet(s"$path/lists")
+    assert(sealedDf.count() ===
+      sealedDf.select("vec_id").distinct().count())
+    assert(listRows(sealedDf) ===
+      listRows(spark.read.parquet(s"$twin/lists")))
+    val q = e.filter(col("vec_id") < VectorSearch.NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    assert(searchRows(VectorIndex.search(spark, path, q, e)) ===
+      searchRows(VectorIndex.search(spark, twin, q, e)))
+  }
 }
