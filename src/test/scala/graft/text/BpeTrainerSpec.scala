@@ -124,6 +124,36 @@ class BpeTrainerSpec extends SparkSpec {
     assert(rows.exists(_._4 > 1))
   }
 
+  test("random tie-heavy corpora: distributed merges == sequential " +
+    "Sennrich on every seed (alphabet {A,B} floods the count/left/" +
+    "right tie-break and the AAAA overlap rule)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(7261514L)
+    def randWord(): String =
+      (1 to (1 + rng.nextInt(6))).map(_ => if (rng.nextBoolean()) 'A' else 'B')
+        .mkString
+    val corpora: Seq[Seq[String]] =
+      Seq(Seq("AAAA", "AAA"), Seq("ABABAB")) ++ // overlap-rule edges
+        (1 to 4).map(_ => (1 to (4 + rng.nextInt(12))).map(_ => randWord()))
+    corpora.zipWithIndex.foreach { case (words, i) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"bpe_prop_$i").toString
+      words.grouped(3).zipWithIndex
+        .map { case (ws, d) => (d.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val wf = words.groupBy(identity).map { case (w, o) =>
+        w -> o.length.toLong }
+      val expect = sequentialBpe(wf, BpeTrainer.Merges)
+      val got = BpeTrainer.bpeTrain(spark, dir).collect()
+        .map(r => (r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"), r.getAs[Long]("pair_count")))
+      assert(got.toSeq == expect,
+        s"corpus $i ($words): merge tables diverged\n got=${got.toSeq}\n exp=$expect")
+    }
+  }
+
   test("merge exhaustion: single-char vocabulary stops early, " +
     "no null merge rows") {
     // A corpus where every word is one character admits ZERO merges:

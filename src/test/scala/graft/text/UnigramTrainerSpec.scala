@@ -175,6 +175,39 @@ class UnigramTrainerSpec extends SparkSpec {
       r.getAs[Double]("uni_score") < 0))
   }
 
+  test("random tie-heavy corpora: distributed == sequential on " +
+    "every seed (alphabet {A,B} forces score/path ties the fixture " +
+    "never exercises)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815L)
+    def randWord(): String =
+      (1 to (1 + rng.nextInt(6))).map(_ => if (rng.nextBoolean()) 'A' else 'B')
+        .mkString
+    val corpora: Seq[Seq[String]] =
+      Seq(Seq("A"), Seq("ABAB", "ABAB", "ABAB")) ++ // degenerate edges
+        (1 to 4).map(_ => (1 to (4 + rng.nextInt(12))).map(_ => randWord()))
+    corpora.zipWithIndex.foreach { case (words, i) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"uni_prop_$i").toString
+      words.grouped(3).zipWithIndex
+        .map { case (ws, d) => (d.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val wf = words.groupBy(identity).map { case (w, o) =>
+        w -> o.length.toLong }
+      val (expVocab, expVb) = seqTrain(wf)
+      val gotVocab = UnigramTrainer.unigramTrain(spark, dir).collect()
+        .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cnt")).toMap
+      assert(gotVocab == expVocab, s"corpus $i ($words): census diverged")
+      val gotVb = UnigramTrainer.artifacts(spark, dir)._2.collect()
+        .map(r => r.getAs[String]("word") ->
+          Best(r.getAs[Long]("sc"), r.getAs[Long]("np"),
+            r.getAs[scala.collection.Seq[String]]("path").toVector)).toMap
+      assert(gotVb == expVb, s"corpus $i ($words): segmentation diverged")
+    }
+  }
+
   test("words over MaxWordLen are excluded by both train and encode") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
