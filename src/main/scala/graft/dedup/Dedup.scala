@@ -1191,7 +1191,33 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // -----------------------------------------------------------------
+  // dd_split_leakage: near-duplicate pairs CROSSING the train/
+  // validation/test boundary — the leakage audit every pipeline runs
+  // before trusting an eval number (a validation doc near-duplicating
+  // a train doc inflates the metric exactly like decontamination
+  // misses do for external benchmarks). Pure composition: the
+  // [[minhashLsh]] verified-pair relation joined twice against the
+  // deterministic hash split ([[graft.pipeline.CorpusOps.split]] —
+  // same md5-60-bit bucket both sides), keeping pairs whose endpoints
+  // land in different splits. The split frame is doc_id-sized and
+  // broadcast; at scale the cost IS the near-dup join, which the
+  // signature-store/Lineage sharing already pays once per session.
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val sp = graft.pipeline.CorpusOps.split(s, dir)
+      .select(col("doc_id"), col("split"))
+    minhashLsh(s, dir)
+      .join(broadcast(sp.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a"))), "doc_a")
+      .join(broadcast(sp.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b"))), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b", "inter", "uni")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_split_leakage" -> splitLeakage,
     "dd_fuzzy_edit" -> fuzzyEdit,
     "dd_exact" -> exact,
     "dd_minhash_lsh" -> minhashLsh,
@@ -1229,6 +1255,28 @@ object Dedup {
        i -> ((hs[i]*131 + hs[i+1]) % $P * 131 + hs[i+2]) % $P)) AS shingles
        FROM d WHERE len(hs) >= 3"""
 
+  /** The MinHash+LSH verified-pair chain through `pr` — shared by
+    * the dd_minhash_lsh gate and the dd_split_leakage composition.
+    */
+  private lazy val DLshPairCtes =
+    s"""d AS ($DHs),
+       sh AS ($DShingles),
+       sg AS (SELECT doc_id, list_transform(range(0, $K), i ->
+           coalesce(list_min(list_transform(shingles,
+             s -> ((37 + 101*i)*s + 17 + 131*i) % $P)), $P)) AS sig
+         FROM sh),
+       bd AS (SELECT doc_id, unnest(range(0, $Bands)) AS bi,
+           unnest(list_transform(range(0, $Bands), b ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               sig[b*4+1:b*4+4]), (acc, x) -> (acc*131 + x) % $P))) AS bh
+         FROM sg),
+       cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bd a JOIN bd b
+         ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       ver AS ($DVerify),
+       pr AS (SELECT doc_a, doc_b, inter, uni FROM ver
+         WHERE inter * 10 >= uni * 7)"""
+
   private val DVerify =
     """SELECT da AS doc_a, db AS doc_b,
        CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS inter,
@@ -1264,23 +1312,25 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "dd_minhash_lsh" ->
-      s"""WITH d AS ($DHs),
-         sh AS ($DShingles),
-         sg AS (SELECT doc_id, list_transform(range(0, $K), i ->
-             coalesce(list_min(list_transform(shingles,
-               s -> ((37 + 101*i)*s + 17 + 131*i) % $P)), $P)) AS sig
-           FROM sh),
-         bd AS (SELECT doc_id, unnest(range(0, $Bands)) AS bi,
-             unnest(list_transform(range(0, $Bands), b ->
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 sig[b*4+1:b*4+4]), (acc, x) -> (acc*131 + x) % $P))) AS bh
-           FROM sg),
-         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           FROM bd a JOIN bd b
-           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         ver AS ($DVerify)
-         SELECT doc_a, doc_b, inter, uni FROM ver
-         WHERE inter * 10 >= uni * 7 ORDER BY doc_a, doc_b""",
+      s"""WITH $DLshPairCtes
+         SELECT doc_a, doc_b, inter, uni FROM pr
+         ORDER BY doc_a, doc_b""",
+    "dd_split_leakage" ->
+      s"""WITH $DLshPairCtes,
+         sp AS (SELECT doc_id,
+             CASE WHEN bkt < 80 THEN 'train'
+               WHEN bkt < 90 THEN 'validation'
+               ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 AS bkt
+             FROM documents))
+         SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b,
+           p.inter, p.uni
+         FROM pr p JOIN sp a ON a.doc_id = p.doc_a
+           JOIN sp b ON b.doc_id = p.doc_b
+         WHERE a.split != b.split
+         ORDER BY p.doc_a, p.doc_b""",
     "dd_simhash" ->
       s"""WITH d AS (SELECT doc_id, list_transform(
            regexp_extract_all(lower(text), '[a-z0-9]+'),
