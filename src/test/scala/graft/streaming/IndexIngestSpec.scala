@@ -79,7 +79,15 @@ class IndexIngestSpec extends SparkSpec {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val expect = searchRows(VectorIndex.search(spark, twin, q, e))
-    assert(searchRows(IndexIngest.searchAll(spark, path, q, e)) === expect)
+    val allDf = IndexIngest.searchAll(spark, path, q, e)
+    // The at-scale promise holds THROUGH the union: the probe join's
+    // dynamic partition pruning still lands on the sealed cid= scan
+    // (predicates push into both union children), so a growing
+    // segment never degrades the sealed side to a full-store scan.
+    assert(allDf.queryExecution.executedPlan.toString.toLowerCase
+      .contains("dynamicpruning"),
+      "no dynamic partition pruning on the sealed scan under union")
+    assert(searchRows(allDf) === expect)
 
     // Replay: a fresh run over the same source (checkpoint lost)
     // re-lands every batch into its own batch_id partition — row SET

@@ -124,6 +124,15 @@ class BpeTrainerSpec extends SparkSpec {
     assert(rows.exists(_._4 > 1))
   }
 
+  test("pack plan: the vocabulary-id join broadcasts, nothing " +
+    "degrades to a cartesian product") {
+    val plan = BpeTrainer.bpePack(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocab-id join is not a broadcast join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("random tie-heavy corpora: distributed merges == sequential " +
     "Sennrich on every seed (alphabet {A,B} floods the count/left/" +
     "right tie-break and the AAAA overlap rule)") {
