@@ -317,17 +317,28 @@ object BpeTrainer {
     val vc = stream.groupBy("sym").agg(count(lit(1)).as("cnt"))
       .withColumn("vid", row_number().over(wv).cast("long"))
       .select("sym", "vid")
-    // 2. per-doc 0-based piece index, then the id stream.
+    // 2. per-doc 0-based piece index, then the id stream — with the
+    // EOS separator (reserved id 0, below every vocabulary id) after
+    // each document's last piece: the pretraining convention that
+    // marks document boundaries inside packed sequences (a doc with
+    // no tokens has no stream presence and no EOS, identically in
+    // both engines).
     val wSeq = Window.partitionBy("doc_id").orderBy("ti", "pos")
-    val pid = stream
+    val pieceIds = stream
       .withColumn("pi", (row_number().over(wSeq) - 1).cast("long"))
       .join(broadcast(vc), "sym")
       .select(col("doc_id"), col("pi"), col("vid"))
-    // 3. contiguous layout: per-bucket running start offsets.
+    val counts = pieceIds.groupBy("doc_id")
+      .agg(count(lit(1)).as("npc"))
+      .localCheckpoint() // shared by the EOS rows and the offsets
+    val pid = pieceIds.unionByName(counts
+      .select(col("doc_id"), col("npc").as("pi"), lit(0L).as("vid")))
+    // 3. contiguous layout: per-bucket running start offsets over the
+    // EOS-inclusive document lengths.
     val wOfs = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ofs = pid.groupBy("doc_id")
-      .agg(count(lit(1)).as("np"))
+    val ofs = counts
+      .select(col("doc_id"), (col("npc") + 1L).as("np"))
       .withColumn("bucket", col("doc_id") % PackBuckets)
       .select(col("doc_id"), col("bucket"),
         (sum("np").over(wOfs) - col("np")).as("st"))
@@ -456,18 +467,23 @@ object BpeTrainer {
                ORDER BY ti, pos) - 1 AS BIGINT) AS pi,
              vid
            FROM pstream JOIN vc USING (sym)),
+         dc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS npc
+           FROM pid GROUP BY doc_id),
+         pid2 AS (SELECT doc_id, pi, vid FROM pid
+           UNION ALL
+           SELECT doc_id, npc AS pi, CAST(0 AS BIGINT) AS vid FROM dc),
          ofs AS (SELECT doc_id, bucket,
              SUM(np) OVER (PARTITION BY bucket ORDER BY doc_id) - np
                AS st
            FROM (SELECT doc_id,
                doc_id % ${graft.pipeline.CorpusOps.PackBuckets}
                  AS bucket,
-               CAST(COUNT(*) AS BIGINT) AS np
-             FROM pid GROUP BY doc_id)),
+               npc + 1 AS np
+             FROM dc)),
          ex AS (SELECT p.doc_id, o.bucket,
              (o.st + p.pi) // $ExLen AS seq_id,
              (o.st + p.pi) % $ExLen AS pos, p.vid
-           FROM pid p JOIN ofs o ON o.doc_id = p.doc_id)
+           FROM pid2 p JOIN ofs o ON o.doc_id = p.doc_id)
          SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(seq_id AS BIGINT) AS seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_pieces,

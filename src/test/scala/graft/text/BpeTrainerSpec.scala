@@ -115,10 +115,12 @@ class BpeTrainerSpec extends SparkSpec {
       }
     }
     // conservation: packed pieces == the encode query's piece total
+    // plus exactly one EOS per document that has pieces
+    val enc = BpeTrainer.bpeEncode(spark, sf).collect()
     val totalPacked = rows.map(_._3).sum
-    val totalEncoded = BpeTrainer.bpeEncode(spark, sf).collect()
-      .map(_.getAs[Long]("n_pieces")).sum
-    assert(totalPacked == totalEncoded)
+    val totalEncoded = enc.map(_.getAs[Long]("n_pieces")).sum
+    val docsWithPieces = enc.count(_.getAs[Long]("n_pieces") > 0)
+    assert(totalPacked == totalEncoded + docsWithPieces)
     // documents cross example boundaries (the pack-then-chunk
     // convention): some full example draws from more than one doc.
     assert(rows.exists(_._4 > 1))
