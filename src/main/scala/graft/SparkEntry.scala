@@ -37,6 +37,7 @@ object SparkEntry {
     (TextAnalysis.queries, TextAnalysis.oracles),
     (graft.text.BpeTrainer.queries, graft.text.BpeTrainer.oracles),
     (graft.text.UnigramTrainer.queries, graft.text.UnigramTrainer.oracles),
+    (graft.text.TokCompare.queries, graft.text.TokCompare.oracles),
     (Dedup.queries, Dedup.oracles),
     (VectorSearch.queries, VectorSearch.oracles),
     (graft.sim.VectorIndex.queries, graft.sim.VectorIndex.oracles),

@@ -411,7 +411,7 @@ object BpeTrainer {
   /** The full unrolled training chain: tok → word freqs → char
     * pieces → [[Merges]] rounds. Shared by both oracles.
     */
-  private lazy val TrainCtes: String =
+  private[text] lazy val TrainCtes: String =
     s"""$TokCte,
        wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
          FROM tok GROUP BY word),

@@ -257,40 +257,47 @@ object UnigramTrainer {
 
   private def dIlog2(c: String) = s"(CAST(length(bin($c)) AS BIGINT) - 1)"
 
-  /** One unrolled Viterbi phase over scored CTE `sc$x`; emits
-    * `vb$x (word, freq, sc, np, path)`.
+  /** One unrolled Viterbi phase over scored CTE `${p}sc$x`; emits
+    * `${p}vb$x (word, freq, sc, np, path)`. `p` prefixes every CTE
+    * name so the whole chain can coexist with another MATERIALIZED
+    * chain in one statement (DuckDB hoists materialized CTEs to one
+    * global scope — nested-WITH shadowing is a binder error).
     */
-  private def dViterbi(x: String): String = {
+  private def dViterbi(p: String, x: String): String = {
     val rounds = (1 to DoubleRounds).map { r =>
-      val prev = s"sg$x${r - 1}"
-      s"""u$x$r AS (SELECT word, i, j, sc, np, path FROM $prev
+      val prev = s"${p}sg$x${r - 1}"
+      s"""${p}u$x$r AS (SELECT word, i, j, sc, np, path FROM $prev
            UNION ALL
            SELECT a.word, a.i, b.j, a.sc + b.sc AS sc,
              a.np + b.np AS np, list_concat(a.path, b.path) AS path
            FROM $prev a JOIN $prev b
              ON b.word = a.word AND b.i = a.j),
-         sg$x$r AS MATERIALIZED (SELECT word, i, j, sc, np, path FROM (
+         ${p}sg$x$r AS MATERIALIZED (SELECT word, i, j, sc, np, path
+           FROM (
              SELECT word, i, j, sc, np, path, row_number() OVER (
                PARTITION BY word, i, j
                ORDER BY sc DESC, np, path) AS rn
-             FROM u$x$r) WHERE rn = 1)"""
+             FROM ${p}u$x$r) WHERE rn = 1)"""
     }.mkString(",\n")
-    s"""sg${x}0 AS MATERIALIZED (SELECT word, i, j, sc, np, path FROM (
+    s"""${p}sg${x}0 AS MATERIALIZED (SELECT word, i, j, sc, np, path
+         FROM (
          SELECT sp.word, sp.i, sp.j, s.sc, CAST(1 AS BIGINT) AS np,
            [sp.piece] AS path, row_number() OVER (
              PARTITION BY sp.word, sp.i, sp.j
              ORDER BY s.sc DESC, sp.piece) AS rn
-         FROM sp JOIN sc$x s ON s.piece = sp.piece) WHERE rn = 1),
+         FROM ${p}sp sp JOIN ${p}sc$x s ON s.piece = sp.piece)
+         WHERE rn = 1),
        $rounds,
-       vb$x AS MATERIALIZED (SELECT wf.word, wf.freq, g.sc, g.np, g.path
-         FROM wf JOIN sg$x$DoubleRounds g
+       ${p}vb$x AS MATERIALIZED (SELECT wf.word, wf.freq, g.sc, g.np,
+           g.path
+         FROM ${p}wf wf JOIN ${p}sg$x$DoubleRounds g
            ON g.word = wf.word AND g.i = 0 AND g.j = wf.len)"""
   }
 
-  private def dCensus(x: String, out: String): String =
+  private def dCensus(p: String, x: String, out: String): String =
     s"""$out AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT)
          AS cnt
-       FROM (SELECT freq, unnest(path) AS piece FROM vb$x)
+       FROM (SELECT freq, unnest(path) AS piece FROM ${p}vb$x)
        GROUP BY piece)"""
 
   private def dScore(cts: String, out: String): String =
@@ -299,29 +306,36 @@ object UnigramTrainer {
            AS sc
        FROM $cts)"""
 
-  private lazy val TrainCtes: String =
-    s"""tok AS MATERIALIZED ($DTok),
-       wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT)
+  /** The full unrolled training chain with every CTE name prefixed
+    * by `p` — `p = ""` is this module's own oracles; a non-empty
+    * prefix lets [[TokCompare]] state this chain alongside the BPE
+    * chain in ONE statement.
+    */
+  private[text] def trainCtes(p: String): String =
+    s"""${p}tok AS MATERIALIZED ($DTok),
+       ${p}wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT)
            AS freq, CAST(len(word) AS BIGINT) AS len
-         FROM tok GROUP BY word
+         FROM ${p}tok GROUP BY word
          HAVING len(word) <= $MaxWordLen),
-       sp AS MATERIALIZED (SELECT word, freq, i, i + pl AS j,
+       ${p}sp AS MATERIALIZED (SELECT word, freq, i, i + pl AS j,
            substr(word, CAST(i + 1 AS INTEGER), CAST(pl AS INTEGER))
              AS piece
          FROM (SELECT word, freq, i,
              unnest(range(1, least($MaxPieceLen, len - i) + 1)) AS pl
            FROM (SELECT word, freq, len,
                unnest(range(0, len)) AS i
-             FROM wf))),
-       c0 AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT)
+             FROM ${p}wf))),
+       ${p}c0 AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT)
            AS cnt
-         FROM sp GROUP BY piece),
-       ${dScore("c0", "sca")},
-       ${dViterbi("a")},
-       ${dCensus("a", "c1")},
-       ${dScore("c1", "scb")},
-       ${dViterbi("b")},
-       ${dCensus("b", "c2")}"""
+         FROM ${p}sp GROUP BY piece),
+       ${dScore(s"${p}c0", s"${p}sca")},
+       ${dViterbi(p, "a")},
+       ${dCensus(p, "a", s"${p}c1")},
+       ${dScore(s"${p}c1", s"${p}scb")},
+       ${dViterbi(p, "b")},
+       ${dCensus(p, "b", s"${p}c2")}"""
+
+  private[text] lazy val TrainCtes: String = trainCtes("")
 
   val oracles: Map[String, String] = Map(
     "ta_unigram_train" ->
