@@ -150,8 +150,16 @@ object AvCodec {
         typ match {
           case "moov" => walk(off + hdr, off + boxSize, depth + 1)
           case "mvhd" =>
+            if (boxSize < hdr + 1)
+              fail(s"mvhd box too short for version byte (size $boxSize)")
             val p = (off + hdr).toInt
             val version = b(p) & 0xff
+            // Version-dependent payload: v0 reads through byte 20,
+            // v1 through byte 32 — a truncated box must fail loudly
+            // rather than mis-read sibling boxes' bytes.
+            val need = if (version == 0) 20L else 32L
+            if (boxSize < hdr + need)
+              fail(s"mvhd v$version too short (size $boxSize, need ${hdr + need})")
             if (version == 0) {
               ts = be(b, p + 12, 4); dur = be(b, p + 16, 4)
             } else {

@@ -210,12 +210,16 @@ object Multimodal {
     val nb = (length(bodyHex) / 2).cast("long")
     val byteRate = shiftright(Rate * Ch * Bits, 3)
     val blockAlign = shiftright(Ch * Bits, 3)
+    // RIFF WORD alignment (ADVICE r7): an odd-sized data chunk gets a
+    // 00 pad byte the size field EXCLUDES; the outer RIFF size counts
+    // the pad (it covers all chunk bytes after 'RIFF <size>').
+    val pad = when(nb % 2 === 1, lit("00")).otherwise(lit(""))
     val wavHex = concat(
-      lit("52494646"), leN(nb + 36L, 4), lit("57415645"), // RIFF size WAVE
+      lit("52494646"), leN(nb + 36L + nb % 2, 4), lit("57415645"),
       lit("666D7420"), lit("10000000"), lit("0100"), // "fmt " 16 PCM
       leN(Ch, 2), leN(Rate, 4), leN(byteRate, 4),
       leN(blockAlign, 2), leN(Bits, 2),
-      lit("64617461"), leN(nb, 4), bodyHex) // "data" chunk
+      lit("64617461"), leN(nb, 4), bodyHex, pad) // "data" chunk
     val mvhd = concat(
       lit("0000006C"), lit("6D766864"), // size 108, "mvhd"
       lit("00000000"), lit("00000000"), lit("00000000"), // v/flags, times
@@ -372,13 +376,14 @@ object Multimodal {
     val nb = "octet_length(encode(text))"
     s"""SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN
-         '52494646' || ${dLe(s"$nb + 36", 4)} || '57415645' ||
+         '52494646' || ${dLe(s"$nb + 36 + ($nb) % 2", 4)} || '57415645' ||
          '666D7420' || '10000000' || '0100' ||
          ${dLe(DCh, 2)} || ${dLe(DRate, 4)} ||
          ${dLe(s"(($DRate) * ($DCh) * ($DBits)) // 8", 4)} ||
          ${dLe(s"(($DCh) * ($DBits)) // 8", 2)} ||
          ${dLe(DBits, 2)} ||
-         '64617461' || ${dLe(nb, 4)} || hex(encode(text))
+         '64617461' || ${dLe(nb, 4)} || hex(encode(text)) ||
+         CASE WHEN ($nb) % 2 = 1 THEN '00' ELSE '' END
        ELSE
          '00000014' || '66747970' || '69736F6D' ||
          '00000200' || '69736F6D' ||

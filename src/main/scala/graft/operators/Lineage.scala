@@ -64,12 +64,26 @@ object Lineage {
       cache.getOrElseUpdate((s, dir, key), { once; null })
     }
 
-  /** Unpersist every cached frame and forget all keys (tests /
-    * long-lived sessions that switch datasets).
+  /** Caches that live OUTSIDE this map (the two-frame trainer memos)
+    * register a hook so [[clear]] releases them too — artifact
+    * lifetime follows the shared-lineage lifecycle (ADVICE r7).
     */
-  def clear(): Unit = cache.synchronized {
-    cache.values.foreach(df => if (df != null) df.unpersist())
-    cache.clear()
+  private val clearHooks = scala.collection.mutable.ArrayBuffer
+    .empty[() => Unit]
+
+  def onClear(hook: () => Unit): Unit =
+    clearHooks.synchronized { clearHooks += hook }
+
+  /** Unpersist every cached frame and forget all keys (tests /
+    * long-lived sessions that switch datasets), then run the
+    * registered external-cache hooks.
+    */
+  def clear(): Unit = {
+    cache.synchronized {
+      cache.values.foreach(df => if (df != null) df.unpersist())
+      cache.clear()
+    }
+    clearHooks.synchronized { clearHooks.toSeq }.foreach(_.apply())
   }
 
   /** The keys currently registered for `s` (as `dir#key`). Bench

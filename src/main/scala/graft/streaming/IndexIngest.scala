@@ -67,12 +67,19 @@ object IndexIngest {
     q.awaitTermination()
   }
 
-  private def stagedRows(s: SparkSession, path: String): DataFrame = {
+  private def stagedRows(s: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(staged(path))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      s.read.parquet(staged(path)).select("vec_id", "codes", "cid")
-    else s.emptyDataFrame
+    // Gate on a batch_id= subdir existing, not just the root: publish
+    // can crash between deleting the last batch partition and deleting
+    // the root (a tolerated window), leaving an empty root that would
+    // make schema inference throw (ADVICE r7). Metadata-only — no
+    // Spark action, so searchAll pays no extra job per call.
+    val hasBatch = fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (hasBatch)
+      Some(s.read.parquet(staged(path)).select("vec_id", "codes", "cid"))
+    else None
   }
 
   /** IVFADC over sealed ∪ staged — streamed vectors are searchable
@@ -84,8 +91,8 @@ object IndexIngest {
     val sealedLists = s.read.parquet(VectorIndex.lists(path))
       .withColumn("cid", col("cid").cast("long"))
       .select("vec_id", "codes", "cid")
-    val st = stagedRows(s, path)
-    val all = if (st.isEmpty) sealedLists else sealedLists.unionByName(st)
+    val all = stagedRows(s, path)
+      .fold(sealedLists)(st => sealedLists.unionByName(st))
     VectorIndex.searchLists(s, path, all, q, corpus)
   }
 

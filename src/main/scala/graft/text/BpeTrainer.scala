@@ -102,6 +102,16 @@ object BpeTrainer {
   private val memo = scala.collection.mutable.Map
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
+  // Lineage.clear() releases these localCheckpoint'ed artifacts too
+  // (ADVICE r7): unpersist the underlying checkpoint RDDs, then forget.
+  graft.operators.Lineage.onClear(() => memo.synchronized {
+    import org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint
+    memo.values.foreach { case (a, b) =>
+      releaseCheckpoint(a); releaseCheckpoint(b)
+    }
+    memo.clear()
+  })
+
   private[graft] def artifacts(s: SparkSession,
       dir: String): (DataFrame, DataFrame) =
     if (sys.env.get("SPARK_GRAFT_LINEAGE").contains("off")) train(s, dir)

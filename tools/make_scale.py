@@ -21,6 +21,7 @@ way a real 10x corpus does:
 
 Usage: make_scale.py <src_sf_dir> <out_dir> <K>
 """
+import hashlib
 import re
 import sys
 
@@ -52,6 +53,34 @@ COPY_ONLY = ["nation", "region"]
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
 
+def block_signs(block: int) -> list:
+    """Rademacher sign pattern for a 64-shard block.
+
+    Signs come from sha256(block,i) rather than an integer-multiply
+    bit trick: the Knuth-multiply pattern collided far earlier than
+    its nominal period (ADVICE r7 — block 35 was the pure negation of
+    block 0, blocks 16/87 identical, block 172 == block 0), silently
+    violating the constant-duplicate-density invariant. A crypto hash
+    makes collisions/negations astronomically unlikely, and
+    assert_sign_patterns refuses loudly if they ever occur.
+    """
+    if block == 0:
+        return [1.0] * 64
+    return [1.0 if hashlib.sha256(f"{block},{i}".encode()).digest()[0] & 1
+            else -1.0 for i in range(64)]
+
+
+def assert_sign_patterns(k_shards: int) -> None:
+    """Refuse loudly if any two blocks' sign patterns coincide or negate."""
+    n_blocks = (k_shards - 1) // 64 + 1
+    pats = [tuple(block_signs(b)) for b in range(n_blocks)]
+    for a in range(n_blocks):
+        for b in range(a + 1, n_blocks):
+            neg = tuple(-x for x in pats[b])
+            assert pats[a] != pats[b], f"sign collision: blocks {a},{b}"
+            assert pats[a] != neg, f"sign negation: blocks {a},{b}"
+
+
 def shard(table: pa.Table, name: str, k: int) -> pa.Table:
     if k == 0:
         return table  # shard 0 is the original fixture, bit-for-bit
@@ -76,9 +105,7 @@ def shard(table: pa.Table, name: str, k: int) -> pa.Table:
             # instead of shard 64 reproducing shard 0 exactly.
             rot = k % 64
             block = k // 64
-            signs = [1.0 if block == 0 or
-                     (((i + 1) * (2 * block + 1) * 2654435761) >> 13) & 1
-                     else -1.0 for i in range(64)]
+            signs = block_signs(block)
             col = pa.array(
                 [None if v is None else
                  [x * s for x, s in zip(v[rot:] + v[:rot], signs)]
@@ -90,11 +117,12 @@ def shard(table: pa.Table, name: str, k: int) -> pa.Table:
 def main() -> None:
     src, out, k_shards = sys.argv[1], sys.argv[2], int(sys.argv[3])
     # Embedding decorrelation: rotation by k % 64 within a block of
-    # 64 shards, composed with a per-block Rademacher sign flip
-    # beyond (round 7 — the former K<=64 refusal). The (rot, block)
-    # pair repeats only after 64 * 2^63 shards; practically bounded by
-    # disk, not the transform.
+    # 64 shards, composed with a per-block sha256-derived Rademacher
+    # sign flip beyond. assert_sign_patterns verifies at startup that
+    # no two blocks in use coincide or negate each other (cheap:
+    # K//64 patterns, pairwise compare).
     assert k_shards >= 1
+    assert_sign_patterns(k_shards)
     import os
     os.makedirs(out, exist_ok=True)
     for name in COPY_ONLY:
