@@ -36,6 +36,7 @@ object SparkEntry {
     (graft.operators.Sketches.queries, graft.operators.Sketches.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (graft.text.BpeTrainer.queries, graft.text.BpeTrainer.oracles),
+    (graft.text.ByteBpe.queries, graft.text.ByteBpe.oracles),
     (graft.text.UnigramTrainer.queries, graft.text.UnigramTrainer.oracles),
     (graft.text.TokCompare.queries, graft.text.TokCompare.oracles),
     (Dedup.queries, Dedup.oracles),

@@ -124,83 +124,21 @@ object BpeTrainer {
       })
     }
 
-  /** The training loop. Returns (merges, finalPieces):
+  /** The training loop (the shared [[BpeCore.mergeLoop]] over a
+    * single-character seed). Returns (merges, finalPieces):
     * merges = (rank, left_sym, right_sym, merged, pair_count);
     * finalPieces = (word, freq, pos, sym) after [[Merges]] rounds.
     */
   private def train(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.graft.ColumnBridge.statsBarrier
-
     val words = tokens(s, dir)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var pieces = words
+    val seed = words
       .select(col("word"), col("freq"),
         explode(sequence(lit(1L), length(col("word")).cast("long")))
           .as("pos"))
       .select(col("word"), col("freq"), col("pos"),
         expr("substring(word, pos, 1)").as("sym"))
-      .localCheckpoint()
-
-    val wOrd = Window.partitionBy("word").orderBy("pos")
-    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-    graft.operators.Fixpoint.withScopedShuffle(s, pieces.count()) {
-      var exhausted = false
-      var k = 0
-      while (k < Merges && !exhausted) {
-        k += 1
-        val ld = pieces
-          .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-        // The round's winning pair as a 1-row frame: min over the
-        // (−count, left, right) struct = count DESC, left ASC,
-        // right ASC. A global aggregate always yields exactly one
-        // row — NULL fields once no pair remains.
-        val best = ld.filter(col("nxt").isNotNull)
-          .groupBy(col("sym").as("a"), col("nxt").as("b"))
-          .agg(sum("freq").as("c"))
-          .select(struct((-col("c")).as("nc"), col("a"), col("b")).as("s"))
-          .agg(min(col("s")).as("m"))
-          .select(col("m.a").as("a"), col("m.b").as("b"),
-            (-col("m.nc")).as("c"))
-          .localCheckpoint()
-        bests += best
-        // Islands-parity greedy rewrite (see scaladoc). cum counts
-        // candidates up to AND including the row; rk ranks a
-        // candidate inside its island (non-candidate rows sharing a
-        // grp value contribute 0 and cannot disturb the rank).
-        val cd = ld.crossJoin(broadcast(best))
-          .withColumn("cand", col("sym") === col("a") &&
-            col("nxt") === col("b"))
-          .withColumn("cum",
-            sum(when(col("cand"), 1).otherwise(0)).over(wOrd))
-          .withColumn("grp", col("pos") - col("cum"))
-          .withColumn("rk", sum(when(col("cand"), 1).otherwise(0))
-            .over(Window.partitionBy("word", "grp").orderBy("pos")))
-          .withColumn("keep_m", col("cand") && col("rk") % 2 === 1)
-          .withColumn("absorbed",
-            coalesce(lag(col("keep_m"), 1).over(wOrd), lit(false)))
-        pieces = statsBarrier(cd
-          .filter(!col("absorbed"))
-          .select(col("word"), col("freq"),
-            row_number().over(wOrd).cast("long").as("pos"),
-            when(col("keep_m"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-          .localCheckpoint())
-        // 1-row exhaustion probe (convergence-probe shape): skip the
-        // remaining provable-no-op rounds once no pair is left.
-        exhausted = best.first().isNullAt(0)
-      }
-    }
-
-    val merges = bests.zipWithIndex.map { case (b, i) =>
-      b.select(lit(i + 1L).as("rank"), col("a").as("left_sym"),
-        col("b").as("right_sym"),
-        concat(col("a"), col("b")).as("merged"),
-        col("c").as("pair_count"))
-    }.reduce(_ unionByName _)
-      .filter(col("left_sym").isNotNull)
-      .localCheckpoint()
-    (merges, pieces)
+    BpeCore.mergeLoop(s, seed, Merges)
   }
 
   // -----------------------------------------------------------------
@@ -387,39 +325,9 @@ object BpeTrainer {
            unnest(regexp_extract_all(text, '[A-Za-z][A-Za-z'']*')) AS w
          FROM documents))"""
 
-  private def roundCtes(k: Int): String = {
-    val p = s"pc${k - 1}"
-    s"""ld$k AS MATERIALIZED (SELECT word, freq, pos, sym,
-         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-       FROM $p),
-       bs$k AS MATERIALIZED (SELECT sym AS a, nxt AS b,
-           CAST(SUM(freq) AS BIGINT) AS c
-         FROM ld$k WHERE nxt IS NOT NULL GROUP BY sym, nxt
-         ORDER BY c DESC, a, b LIMIT 1),
-       cd$k AS MATERIALIZED (SELECT word, freq, pos, sym, nxt, cand,
-           SUM(CASE WHEN cand THEN 1 ELSE 0 END)
-             OVER (PARTITION BY word, grp ORDER BY pos) AS rk
-         FROM (SELECT word, freq, pos, sym, nxt, cand,
-             pos - SUM(CASE WHEN cand THEN 1 ELSE 0 END)
-               OVER (PARTITION BY word ORDER BY pos) AS grp
-           FROM (SELECT word, freq, pos, sym, nxt,
-               (sym = (SELECT a FROM bs$k)
-                 AND nxt = (SELECT b FROM bs$k)) AS cand
-             FROM ld$k))),
-       pc$k AS MATERIALIZED (SELECT word, freq,
-           CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
-             AS BIGINT) AS pos,
-           CASE WHEN keep_m THEN sym || nxt ELSE sym END AS sym
-         FROM (SELECT word, freq, pos, sym, nxt, keep_m,
-             coalesce(lag(keep_m)
-               OVER (PARTITION BY word ORDER BY pos), false) AS absorbed
-           FROM (SELECT word, freq, pos, sym, nxt,
-               (cand AND rk % 2 = 1) AS keep_m FROM cd$k))
-         WHERE NOT absorbed)"""
-  }
-
   /** The full unrolled training chain: tok → word freqs → char
-    * pieces → [[Merges]] rounds. Shared by both oracles.
+    * pieces → [[Merges]] rounds ([[BpeCore.roundCtes]]). Shared by
+    * both oracles.
     */
   private[text] lazy val TrainCtes: String =
     s"""$TokCte,
@@ -430,17 +338,12 @@ object BpeTrainer {
          FROM (SELECT word, freq,
              unnest(range(1, len(word) + 1)) AS i
            FROM wf)),
-       ${(1 to Merges).map(roundCtes).mkString(",\n")}"""
+       ${(1 to Merges).map(BpeCore.roundCtes).mkString(",\n")}"""
 
   val oracles: Map[String, String] = Map(
     "ta_bpe_train" ->
       s"""WITH $TrainCtes,
-         mg AS (${(1 to Merges).map(k =>
-          s"SELECT CAST($k AS BIGINT) AS rank, a, b, c FROM bs$k")
-          .mkString("\nUNION ALL\n")})
-         SELECT rank, a AS left_sym, b AS right_sym,
-           a || b AS merged, c AS pair_count
-         FROM mg ORDER BY rank""",
+         ${BpeCore.mergeTableSql(Merges)}""",
     "ta_bpe_encode" ->
       s"""WITH $TrainCtes,
          pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_p

@@ -44,6 +44,102 @@ object TokenizerStore {
   def loadMerges(s: SparkSession, path: String): DataFrame =
     s.read.parquet(mergesPath(path)).orderBy("rank")
 
+  // -----------------------------------------------------------------
+  // Byte-level store (round 8): the OOV-IMPOSSIBLE artifact. The
+  // word-level store SURFACES out-of-vocabulary words; the byte-level
+  // one cannot have any — an unseen pretoken is encoded by replaying
+  // the stored merge table over its byte sequence (sequential
+  // in-rank-order application is equivalent to lowest-applicable-
+  // rank-first because merge k's constituent symbols are only ever
+  // produced by merges of rank < k), so `encodeBatchBytes` reports a
+  // structurally-zero oov column purely for API parity.
+
+  private def byteMergesPath(path: String) = s"$path/byte_merges"
+  private def bytePiecesPath(path: String) = s"$path/byte_pieces"
+
+  /** Persist the byte-level tokenizer (merge table + vocabulary
+    * segmentations) trained on the corpus at `dir`.
+    */
+  def saveBytes(s: SparkSession, dir: String, path: String): Unit = {
+    val (merges, pieces) = ByteBpe.artifacts(s, dir)
+    merges.write.mode("overwrite").parquet(byteMergesPath(path))
+    pieces.write.mode("overwrite").parquet(bytePiecesPath(path))
+  }
+
+  /** The stored byte-level merge table, rank order. */
+  def loadBytesMerges(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(byteMergesPath(path)).orderBy("rank")
+
+  /** Segment a frame of distinct pretoken hex keys (`word`) against
+    * the stored byte tokenizer: vocabulary hits are a dictionary
+    * join; unseen pretokens REPLAY the stored merges over their byte
+    * seed — [[BpeCore.applyMerge]] per rank, each rank's pair pulled
+    * as a 1-row NULL-safe aggregate (absent rank → NULL pair → the
+    * rewrite is a provable no-op), so no driver-side collect of the
+    * table. Work is |distinct unseen pretokens|, not |batch|.
+    */
+  def segmentBytes(s: SparkSession, path: String,
+      words: DataFrame): DataFrame = {
+    val stored = s.read.parquet(bytePiecesPath(path))
+    val dw = words.select("word").distinct()
+    val known = stored.join(dw, "word").select("word", "pos", "sym")
+    val unseen = dw.join(stored.select("word").distinct(),
+      Seq("word"), "left_anti")
+    val merges = s.read.parquet(byteMergesPath(path))
+    // 1-row probe for the stored rank count (the sanctioned
+    // aggregate-probe shape); 0 when training exhausted instantly.
+    val maxRank = Option(merges.agg(max("rank")).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var pieces = unseen
+      .select(col("word"), lit(1L).as("freq"),
+        explode(sequence(lit(1L),
+          (length(col("word")) / 2).cast("long"))).as("pos"))
+      .select(col("word"), col("freq"), col("pos"),
+        expr("substring(word, cast(2*pos - 1 as int), 2)").as("sym"))
+      .localCheckpoint()
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("word").orderBy("pos")
+    var k = 1L
+    while (k <= maxRank) {
+      val best = merges.filter(col("rank") === k)
+        .agg(min("left_sym").as("a"), min("right_sym").as("b"))
+        .localCheckpoint()
+      val ld = pieces.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      pieces = BpeCore.applyMerge(ld, best).localCheckpoint()
+      k += 1
+    }
+    known.unionByName(pieces.select("word", "pos", "sym"))
+  }
+
+  /** Encode an arbitrary (doc_id, text) batch against the STORED
+    * byte tokenizer. Zero OOV by construction — every pretoken
+    * segments, seen or not.
+    */
+  def encodeBatchBytes(s: SparkSession, path: String,
+      batch: DataFrame): DataFrame = {
+    val toks = batch.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"),
+          lit(ByteBpe.PretokRegex), lit(0))).as("t"))
+      .select(col("doc_id"), hex(encode(col("t"), "UTF-8")).as("word"))
+    val perWord = segmentBytes(s, path, toks)
+      .groupBy("word").agg(count(lit(1)).as("n_p"))
+    val perDoc = toks
+      .join(perWord, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(when(col("n_p").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        sum(length(col("word")) / 2).cast("long").as("n_bytes"),
+        coalesce(sum("n_p"), lit(0L)).as("n_pieces"))
+    batch.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pretokens"), lit(0L)).as("n_pretokens"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
   /** Encode an arbitrary (doc_id, text) batch against the STORED
     * tokenizer: reference tokenization, one hash join against the
     * pieces table, per-doc aggregate — plus the OOV census. No
