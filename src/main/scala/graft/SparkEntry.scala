@@ -37,6 +37,8 @@ object SparkEntry {
     (TextAnalysis.queries, TextAnalysis.oracles),
     (graft.text.BpeTrainer.queries, graft.text.BpeTrainer.oracles),
     (graft.text.ByteBpe.queries, graft.text.ByteBpe.oracles),
+    (graft.text.QualityClassifier.queries,
+      graft.text.QualityClassifier.oracles),
     (graft.text.UnigramTrainer.queries, graft.text.UnigramTrainer.oracles),
     (graft.text.TokCompare.queries, graft.text.TokCompare.oracles),
     (Dedup.queries, Dedup.oracles),

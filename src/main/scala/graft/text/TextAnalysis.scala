@@ -49,7 +49,7 @@ object TextAnalysis {
     *    they keep direct scans — the single-shot exploding pass is
     *    already the right 100 TB shape for them.
     */
-  private def tokenized(s: SparkSession, dir: String): DataFrame =
+  private[text] def tokenized(s: SparkSession, dir: String): DataFrame =
     graft.operators.Lineage.materialized(s, dir, "ta_tokenized",
       org.apache.spark.storage.StorageLevel.DISK_ONLY) {
       // Column order (toks, doc_id) is LOAD-BEARING: CacheManager
@@ -683,6 +683,30 @@ object TextAnalysis {
   private def dH31(w: String): String =
     s"CAST(('0x' || substr(md5($w), 1, 15)) AS BIGINT) % $P"
 
+  /** The rule-based keep/drop label chain (d → b → r) of the
+    * ta_filter_pipeline oracle, shared verbatim with the NB quality-
+    * classifier oracle ([[QualityClassifier]]) so the classifier's
+    * training labels are THE filter's decisions in both engines.
+    */
+  private[text] lazy val FilterCtes: String =
+    s"""d AS (SELECT doc_id, $Toks AS toks FROM documents),
+       b AS (SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_prepend(0, list_transform(toks,
+           t -> length(t)))) AS BIGINT) AS tok_chars,
+         CAST(${dHits(MarkerWords.head._2)} AS BIGINT) AS stop_hits,
+         CAST(COALESCE(list_max(list_transform(toks, t ->
+           len(list_filter(toks, u -> u = t)))), 0) AS BIGINT)
+           AS best_run FROM d),
+       r AS (SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens < 10 THEN 'too_short'
+              WHEN n_tokens > 5000 THEN 'too_long'
+              WHEN NOT (tok_chars BETWEEN n_tokens * 2
+                AND n_tokens * 12) THEN 'bad_tok_len'
+              WHEN stop_hits * 20 < n_tokens THEN 'low_stopword'
+              WHEN best_run * 5 > n_tokens THEN 'repetitive'
+              ELSE 'keep' END AS reason FROM b)"""
+
   private def dHits(words: Seq[String]): String =
     s"len(list_filter(toks, w -> list_contains(${
       words.mkString("['", "','", "']")}, w)))"
@@ -695,23 +719,7 @@ object TextAnalysis {
     }.mkString(" ")
     Map(
       "ta_filter_pipeline" ->
-        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
-           b AS (SELECT doc_id,
-             CAST(len(toks) AS BIGINT) AS n_tokens,
-             CAST(list_sum(list_prepend(0, list_transform(toks,
-               t -> length(t)))) AS BIGINT) AS tok_chars,
-             CAST(${dHits(MarkerWords.head._2)} AS BIGINT) AS stop_hits,
-             CAST(COALESCE(list_max(list_transform(toks, t ->
-               len(list_filter(toks, u -> u = t)))), 0) AS BIGINT)
-               AS best_run FROM d),
-           r AS (SELECT doc_id, n_tokens,
-             CASE WHEN n_tokens < 10 THEN 'too_short'
-                  WHEN n_tokens > 5000 THEN 'too_long'
-                  WHEN NOT (tok_chars BETWEEN n_tokens * 2
-                    AND n_tokens * 12) THEN 'bad_tok_len'
-                  WHEN stop_hits * 20 < n_tokens THEN 'low_stopword'
-                  WHEN best_run * 5 > n_tokens THEN 'repetitive'
-                  ELSE 'keep' END AS reason FROM b)
+        s"""WITH $FilterCtes
            SELECT doc_id, n_tokens, reason, reason = 'keep' AS keep
            FROM r ORDER BY doc_id""",
       "ta_lm_score" ->

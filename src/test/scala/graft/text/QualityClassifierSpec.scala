@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** NB quality classifier gated against an independent sequential
+  * implementation (VERDICT r7 item 2's "Done" condition), plus the
+  * documented comparison against the rule-based filter's keep set.
+  */
+class QualityClassifierSpec extends SparkSpec {
+
+  /** Sequential twin of the engine's fixed-point qlog2: bit length −
+    * 1 as the integer part, 8 mantissa-squaring fractional bits.
+    */
+  private def ilog2(x: Long): Long = {
+    if (x <= 0) return 0L
+    val l = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (l >= 15) x >> (l - 15) else x << (15 - l)
+    var f = 0L
+    for (_ <- 1 to 8) {
+      val sq = m * m
+      if (sq >= (1L << 31)) { f = f * 2 + 1; m = sq >> 16 }
+      else { f = f * 2; m = sq >> 15 }
+    }
+    (l << 8) + f
+  }
+
+  test("distributed NB == sequential reference, score-for-score") {
+    // Corpus + rule labels, collected once for the in-memory model.
+    val toks = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+          .as("ts"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+      .toMap
+    val keep = TextAnalysis.filterPipeline(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+
+    // Sequential multinomial NB with ilog2 quantization.
+    val cw = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    toks.foreach { case (id, ts) =>
+      ts.foreach { w =>
+        val (k, d) = cw(w)
+        cw(w) = if (keep(id)) (k + 1, d) else (k, d + 1)
+      }
+    }
+    val nk = cw.values.map(_._1).sum
+    val nd = cw.values.map(_._2).sum
+    val v = cw.size.toLong
+    val dk = keep.values.count(identity).toLong
+    val dd = keep.size - dk
+    val ndocs = keep.size.toLong
+    def score(ts: Seq[String]): (Long, Long) = (
+      ilog2(dk) - ilog2(ndocs) +
+        ts.map(w => ilog2(cw(w)._1 + 1) - ilog2(nk + v)).sum,
+      ilog2(dd) - ilog2(ndocs) +
+        ts.map(w => ilog2(cw(w)._2 + 1) - ilog2(nd + v)).sum)
+
+    // Model table equivalence.
+    val model = QualityClassifier.nbModel(spark, sf).collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("c_keep"), r.getAs[Long]("c_drop"),
+          r.getAs[Long]("w_keep"), r.getAs[Long]("w_drop"))).toMap
+    assert(model.keySet == cw.keySet.toSet)
+    model.foreach { case (w, (ck, cd, wk, wd)) =>
+      assert((ck, cd) == cw(w), s"$w counts")
+      assert(wk == ilog2(ck + 1) - ilog2(nk + v), s"$w w_keep")
+      assert(wd == ilog2(cd + 1) - ilog2(nd + v), s"$w w_drop")
+    }
+
+    // Per-document scores and predictions.
+    val got = QualityClassifier.nbQuality(spark, sf).collect()
+    assert(got.length == toks.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (sk, sd) = score(toks(id))
+      assert(r.getAs[Long]("s_keep") == sk, s"doc $id s_keep")
+      assert(r.getAs[Long]("s_drop") == sd, s"doc $id s_drop")
+      assert(r.getAs[Boolean]("pred_keep") == (sk >= sd))
+      assert(r.getAs[Boolean]("rule_keep") == keep(id))
+      assert(r.getAs[Boolean]("agree") == ((sk >= sd) == keep(id)))
+    }
+  }
+
+  test("classifier vs rule filter: the documented comparison — " +
+    "recovers the keep class and flags a real drop set") {
+    val rows = QualityClassifier.nbQuality(spark, sf).collect()
+    val keepRows = rows.filter(_.getAs[Boolean]("rule_keep"))
+    val dropRows = rows.filterNot(_.getAs[Boolean]("rule_keep"))
+    assert(dropRows.nonEmpty,
+      "fixture must exercise both classes (rule filter drops some)")
+    // The NB generalization of the rule labels: majority agreement on
+    // the keep class (the fixture's keep docs share the vocabulary
+    // distribution, so a distilled classifier must recover most of
+    // them; exact agreement is NOT expected — NB reads token
+    // distributions, the rules read lengths/runs).
+    val keepAgree = keepRows.count(_.getAs[Boolean]("agree"))
+    assert(keepAgree * 2 > keepRows.length,
+      s"keep-class agreement $keepAgree/${keepRows.length}")
+    // Every score is a finite exact integer (no NULL leak).
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("s_keep")))
+      assert(!r.isNullAt(r.fieldIndex("s_drop")))
+    }
+  }
+}
