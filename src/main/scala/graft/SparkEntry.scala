@@ -49,6 +49,8 @@ object SparkEntry {
     (Stateful.queries, Stateful.oracles),
     (graft.streaming.Resume.queries, graft.streaming.Resume.oracles),
     (graft.streaming.RateIngest.queries, graft.streaming.RateIngest.oracles),
+    (graft.streaming.DedupIngest.queries,
+      graft.streaming.DedupIngest.oracles),
     (graft.core.ShardedSinkGate.queries, graft.core.ShardedSinkGate.oracles),
   )
 

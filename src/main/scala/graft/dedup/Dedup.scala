@@ -79,12 +79,19 @@ object Dedup {
   private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
     graft.operators.Lineage.materialized(s, dir, "dd_shingled",
       org.apache.spark.storage.StorageLevel.DISK_ONLY) {
-      docs(s, dir)
-        .filter(size(tokens(col("text"))) >= 3)
-        .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
-        .select(col("doc_id"), shingles3(col("hs")).as("shingles"))
-        .repartition(col("doc_id"))
+      shingleFrame(docs(s, dir))
     }
+
+  /** The shingle derivation over an arbitrary (doc_id, text) frame —
+    * the corpus path above and the per-micro-batch path of the
+    * streaming dedup ([[graft.streaming.DedupIngest]]) must be the
+    * SAME expressions or stream ≡ batch cannot hold.
+    */
+  private[graft] def shingleFrame(b: DataFrame): DataFrame =
+    b.filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+      .select(col("doc_id"), shingles3(col("hs")).as("shingles"))
+      .repartition(col("doc_id"))
 
   /** 4th structural rule: NEVER `explode(shingles)` directly — the
     * Generate triggers InferFiltersFromGenerate, whose inferred
@@ -124,7 +131,7 @@ object Dedup {
     * persisted as a parquet table keyed by doc_id and appended per
     * ingest batch (see [[incremental]] + DedupSpec's round-trip).
     */
-  private def bandedSigs(sh: DataFrame): DataFrame = {
+  private[graft] def bandedSigs(sh: DataFrame): DataFrame = {
     import graft.functions.MinhashSig.minhashNative
     sh.select(col("doc_id"), minhashNative(col("shingles"), K).as("sig"))
       .repartition(col("doc_id"))
@@ -1258,7 +1265,7 @@ object Dedup {
   /** The MinHash+LSH verified-pair chain through `pr` — shared by
     * the dd_minhash_lsh gate and the dd_split_leakage composition.
     */
-  private lazy val DLshPairCtes =
+  private[graft] lazy val DLshPairCtes =
     s"""d AS ($DHs),
        sh AS ($DShingles),
        sg AS (SELECT doc_id, list_transform(range(0, $K), i ->

