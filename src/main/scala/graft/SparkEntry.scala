@@ -39,6 +39,7 @@ object SparkEntry {
     (graft.text.ByteBpe.queries, graft.text.ByteBpe.oracles),
     (graft.text.QualityClassifier.queries,
       graft.text.QualityClassifier.oracles),
+    (graft.text.HtmlExtract.queries, graft.text.HtmlExtract.oracles),
     (graft.text.UnigramTrainer.queries, graft.text.UnigramTrainer.oracles),
     (graft.text.TokCompare.queries, graft.text.TokCompare.oracles),
     (Dedup.queries, Dedup.oracles),
