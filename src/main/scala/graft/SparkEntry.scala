@@ -46,6 +46,7 @@ object SparkEntry {
     (VectorSearch.queries, VectorSearch.oracles),
     (graft.sim.VectorIndex.queries, graft.sim.VectorIndex.oracles),
     (Multimodal.queries, Multimodal.oracles),
+    (graft.multimodal.PixelPng.queries, graft.multimodal.PixelPng.oracles),
     (EventOps.queries, EventOps.oracles),
     (Stateful.queries, Stateful.oracles),
     (graft.streaming.Resume.queries, graft.streaming.Resume.oracles),
