@@ -80,45 +80,44 @@ object CorpusOps {
   // coalesces the range exchange out from under the pid arithmetic.
   val VocabParts = 16
 
-  // The previous call's pinned layout, unpersisted on the next call so
-  // repeated verify/bench cycles don't accumulate cached partitions.
-  // Between calls ONE layout stays cached (a few MB — it is the
-  // distinct-token count table, not the corpus), which is the price
-  // of making the (pid, rn) decomposition reuse-independent; callers
-  // interleaving two un-executed vocabFull frames would re-expose the
-  // reuse hazard for the first one, so don't — execute each result
-  // before building the next (Verify/Bench do).
-  @volatile private var lastLaid: Option[DataFrame] = None
-
-  def vocabFull(s: SparkSession, dir: String): DataFrame = {
-    val counted = docs(s, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-    // persist() pins ONE evaluation of the range layout. Without it,
-    // `offsets` and the final join are two subtrees over `laid`, and
-    // they agree only while exchange reuse dedupes them — the range
-    // sampler's boundaries are execution-dependent, so a reuse miss
-    // (reuse disabled, canonicalization drift) would silently combine
-    // offsets from one boundary placement with row indexes from
-    // another. Caching makes both consumers read the same partitions
-    // regardless of plan reuse.
+  /** Range-partitioned dense id assignment over a (key, cnt) count
+    * table: ids 1..N in (cnt DESC, key ASC) order, WITHOUT a global
+    * single-partition window — the vocabFull discipline, factored
+    * (round 8) so [[graft.text.BpeTrainer.bpePack]]'s piece-vocabulary
+    * ids use it too. The layout is localCheckpoint'ed (eager, truly
+    * immutable) rather than persist()'ed: `offsets` and the final
+    * join are two subtrees over `laid`, and the range sampler's
+    * boundaries are execution-dependent, so both consumers MUST read
+    * one pinned evaluation — a checkpoint guarantees that regardless
+    * of plan/exchange reuse, with no cross-call unpersist bookkeeping.
+    * The only non-partitioned window left is the offsets prefix-sum
+    * over [[VocabParts]] rows — a constant-bounded frame, the same
+    * class as a broadcast 1-row aggregate.
+    */
+  private[graft] def rankedIds(counted: DataFrame, keyCol: String,
+      cntCol: String, idCol: String): DataFrame = {
     val laid = counted
-      .repartitionByRange(VocabParts, desc("cnt"), asc("token"))
-      .sortWithinPartitions(desc("cnt"), asc("token"))
+      .repartitionByRange(VocabParts, desc(cntCol), asc(keyCol))
+      .sortWithinPartitions(desc(cntCol), asc(keyCol))
       .withColumn("mono", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mono"), 33))
       .withColumn("rn", col("mono").bitwiseAND(lit((1L << 33) - 1)))
-      .persist()
-    lastLaid.foreach(_.unpersist(blocking = false))
-    lastLaid = Some(laid)
+      .localCheckpoint()
     val offsets = laid.groupBy("pid").agg(count(lit(1)).as("psz"))
       .withColumn("off",
         coalesce(sum("psz").over(Window.orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "off")
     laid.join(broadcast(offsets), "pid")
-      .select(col("token"), col("cnt"),
-        (col("off") + col("rn") + 1L).as("vocab_id"))
+      .select(col(keyCol), col(cntCol),
+        (col("off") + col("rn") + 1L).as(idCol))
+  }
+
+  def vocabFull(s: SparkSession, dir: String): DataFrame = {
+    val counted = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    rankedIds(counted, "token", "cnt", "vocab_id")
       .orderBy("vocab_id")
   }
 

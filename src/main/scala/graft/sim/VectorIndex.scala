@@ -220,7 +220,7 @@ object VectorIndex {
     * broadcast scalar frame (no driver collect), same count + IEEE
     * floor in both engines.
     */
-  private def withThreshold(e: DataFrame): DataFrame =
+  private[graft] def withThreshold(e: DataFrame): DataFrame =
     e.crossJoin(broadcast(
       e.agg(floor(count(lit(1)) * lit(BaseFrac)).cast("long").as("thr"))))
 

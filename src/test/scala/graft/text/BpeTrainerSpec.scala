@@ -127,12 +127,27 @@ class BpeTrainerSpec extends SparkSpec {
   }
 
   test("pack plan: the vocabulary-id join broadcasts, nothing " +
-    "degrades to a cartesian product") {
-    val plan = BpeTrainer.bpePack(spark, sf)
-      .queryExecution.executedPlan.toString
+    "degrades to a cartesian product, and no window over the piece " +
+    "stream runs unpartitioned (VERDICT r7: vid assignment is the " +
+    "distributed rankedIds discipline)") {
+    val exec = BpeTrainer.bpePack(spark, sf).queryExecution.executedPlan
+    val plan = exec.toString
     assert(plan.contains("BroadcastHashJoin"),
       "vocab-id join is not a broadcast join")
     assert(!plan.contains("CartesianProduct"))
+    // The only permitted empty-partition window is rankedIds'
+    // prefix-sum over the VocabParts-row offsets frame (orders by
+    // pid); a global window ordering by cnt/sym would be the old
+    // single-task vid sort sneaking back.
+    val globalWins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    globalWins.foreach { w =>
+      val order = w.orderSpec.map(_.child.toString).mkString(",")
+      assert(order.contains("pid"),
+        s"unpartitioned window over non-offsets frame: $order")
+    }
   }
 
   test("random tie-heavy corpora: distributed merges == sequential " +
