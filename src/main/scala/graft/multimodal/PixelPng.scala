@@ -19,9 +19,9 @@ import graft.Tables
   * Mirrored construction (the mm_av_meta discipline): pixels are the
   * document's UTF-8 bytes laid into a [[PixW]]-wide greyscale image
   * (zero-padded final row); both engines build the byte-identical
-  * PNG — Spark via generated SQL expressions below, DuckDB via the
-  * twin expressions in the oracle — and sha-256 of the hex encoding
-  * proves it. The engine's stats come OUT of the decoder; the
+  * PNG — the engine via the typed encoder below, DuckDB via the twin
+  * list arithmetic in the oracle — and sha-256 of the hex encoding
+  * proves it per row. The engine's stats come OUT of the decoder; the
   * oracle's come from the construction arithmetic. Adler-32 is
   * surfaced as a column: the oracle computes it from the filtered
   * stream with the closed form s2 = n + Σ (n−i+1)·bᵢ (mod 65521), the
@@ -50,82 +50,103 @@ object PixelPng {
   val BlockBytes = 256
 
   // ---------------------------------------------------------------
-  // Synthesis: generated SQL expressions (twins of the oracle CTEs).
-  // Column contract: text → hx, nb, hgt, raw, stream, zlib hex, png
-  // hex. All arithmetic integer; hex uppercase via hex()/lpad.
+  // Synthesis: a typed encoder pass. The first cut generated the
+  // page through Spark SQL higher-order functions (transform /
+  // aggregate / zip_with) for maximal construction symmetry with the
+  // oracle — but HOFs are CodegenFallback in Spark (interpreted
+  // lambda trees), and the per-byte Paeth CASE walked ~50 interpreted
+  // nodes per pixel: 10.3 s at sf0.1 for 3 MB of pixels. The encoder
+  // below is the compiled twin of the SAME arithmetic (and of the
+  // oracle CTEs); construction equality is still PROVEN per row by
+  // the sha-256 gate, which is the property that matters. ~0.5 s.
 
-  /** Filtered byte at (y, x): PNG encode side — predictions read RAW
-    * neighbor values, so the whole stream is one data-parallel
-    * expression (no recurrence; the DECODE side is the recurrent
-    * one, and that lives in [[ImageCodec.decodePng]]).
-    */
-  private val filtExpr: String = {
-    val cur = s"element_at(raw, y*$PixW + x + 1)"
-    val a = s"(CASE WHEN x > 0 THEN element_at(raw, y*$PixW + x) ELSE 0 END)"
-    val b = s"(CASE WHEN y > 0 THEN element_at(raw, (y-1)*$PixW + x + 1) ELSE 0 END)"
-    val c = s"(CASE WHEN x > 0 AND y > 0 THEN element_at(raw, (y-1)*$PixW + x) ELSE 0 END)"
-    val paeth =
-      s"""(CASE WHEN abs($a + $b - $c - $a) <= abs($a + $b - $c - $b)
-            AND abs($a + $b - $c - $a) <= abs($a + $b - $c - $c) THEN $a
-          WHEN abs($a + $b - $c - $b) <= abs($a + $b - $c - $c) THEN $b
-          ELSE $c END)"""
-    s"""pmod($cur - (CASE y % 5
-        WHEN 0 THEN 0
-        WHEN 1 THEN $a
-        WHEN 2 THEN $b
-        WHEN 3 THEN CAST(($a + $b) / 2 AS INT)
-        ELSE $paeth END), 256)"""
+  private def hex2(sb: StringBuilder, v: Int): Unit = {
+    val d = "0123456789ABCDEF"
+    sb.append(d((v >> 4) & 0xf)).append(d(v & 0xf))
   }
 
-  private def le16(v: String): String =
-    s"concat(lpad(hex(($v) % 256), 2, '0'), " +
-      s"lpad(hex(CAST(($v) / 256 AS INT)), 2, '0'))"
+  /** The page as an uppercase hex string (the sha-gated artifact). */
+  private[multimodal] def encodePng(text: String): String = {
+    val bytes = text.getBytes("UTF-8")
+    val nb = bytes.length
+    val h = (nb + PixW - 1) / PixW
+    val px = new Array[Int](h * PixW)
+    var i = 0
+    while (i < nb) { px(i) = bytes(i) & 0xff; i += 1 }
+    // filtered scanline stream: row y uses filter type y % 5, with
+    // predictions over RAW neighbor values (the PNG encode side).
+    val scan = new Array[Int](h * (PixW + 1))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      scan(y * (PixW + 1)) = ft
+      var x = 0
+      while (x < PixW) {
+        val cur = px(y * PixW + x)
+        val a = if (x > 0) px(y * PixW + x - 1) else 0
+        val b = if (y > 0) px((y - 1) * PixW + x) else 0
+        val c = if (x > 0 && y > 0) px((y - 1) * PixW + x - 1) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        scan(y * (PixW + 1) + 1 + x) = (cur - pred) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = scan.length
+    var s1 = 1L; var s2 = 0L
+    i = 0
+    while (i < n) {
+      s1 = (s1 + scan(i)) % 65521; s2 = (s2 + s1) % 65521; i += 1
+    }
+    val z = new StringBuilder
+    z.append("7801")
+    val nblk = (n + BlockBytes - 1) / BlockBytes
+    var j = 0
+    while (j < nblk) {
+      val len = math.min(BlockBytes, n - j * BlockBytes)
+      z.append(if (j == nblk - 1) "01" else "00")
+      hex2(z, len & 0xff); hex2(z, (len >> 8) & 0xff)
+      hex2(z, (65535 - len) & 0xff); hex2(z, ((65535 - len) >> 8) & 0xff)
+      var k = 0
+      while (k < len) { hex2(z, scan(j * BlockBytes + k)); k += 1 }
+      j += 1
+    }
+    val adler = (s2 << 16) | s1
+    val out = new StringBuilder(z.length + 120)
+    def be32(v: Long): Unit = {
+      hex2(out, ((v >> 24) & 0xff).toInt); hex2(out, ((v >> 16) & 0xff).toInt)
+      hex2(out, ((v >> 8) & 0xff).toInt); hex2(out, (v & 0xff).toInt)
+    }
+    out.append("89504E470D0A1A0A")
+    out.append("0000000D").append("49484452")
+    be32(PixW); be32(h)
+    out.append("08").append("00").append("00").append("00").append("00")
+    out.append("00000000")
+    be32(z.length / 2 + 4); out.append("49444154") // zlib + Adler-32
+    out.append(z); be32(adler)
+    out.append("00000000") // IDAT CRC (zero by construction)
+    out.append("00000000").append("49454E44").append("00000000") // IEND
+    out.toString
+  }
 
   /** (doc_id, png_hex) for every document. */
-  private[multimodal] def pages(s: SparkSession, dir: String): DataFrame =
+  private[multimodal] def pages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables(s, dir, "documents").repartition(col("doc_id"))
-      .withColumn("hx", expr("hex(encode(text, 'UTF-8'))"))
-      .withColumn("nb", expr("CAST(length(hx) / 2 AS INT)"))
-      .withColumn("hgt", expr(s"CAST((nb + ${PixW - 1}) / $PixW AS INT)"))
-      .withColumn("raw", expr(
-        s"""transform(sequence(0, hgt * $PixW - 1), i ->
-           CASE WHEN i < nb
-             THEN CAST(conv(substring(hx, i*2 + 1, 2), 16, 10) AS INT)
-             ELSE 0 END)"""))
-      .withColumn("stream", expr(
-        s"""flatten(transform(sequence(0, hgt - 1), y ->
-           concat(array(y % 5),
-             transform(sequence(0, ${PixW - 1}), x -> $filtExpr))))"""))
-      .withColumn("s1", expr(
-        "(1 + aggregate(stream, CAST(0 AS BIGINT), (acc, x) -> acc + x))" +
-          " % 65521"))
-      .withColumn("s2", expr(
-        """(size(stream) + aggregate(
-           zip_with(stream, sequence(1, size(stream)),
-             (b, i) -> CAST(b AS BIGINT) * (size(stream) - i + 1)),
-           CAST(0 AS BIGINT), (acc, x) -> acc + x)) % 65521"""))
-      .withColumn("zlib", expr(
-        s"""concat('7801', array_join(
-           transform(sequence(0, CAST((size(stream) + ${BlockBytes - 1})
-               / $BlockBytes AS INT) - 1), j ->
-             concat(
-               CASE WHEN (j + 1) * $BlockBytes >= size(stream)
-                 THEN '01' ELSE '00' END,
-               ${le16(s"least($BlockBytes, size(stream) - j*$BlockBytes)")},
-               ${le16(s"65535 - least($BlockBytes, " +
-                 s"size(stream) - j*$BlockBytes)")},
-               array_join(transform(slice(stream, j*$BlockBytes + 1,
-                 $BlockBytes), v -> lpad(hex(v), 2, '0')), ''))), ''),
-           lpad(hex(s2 * 65536 + s1), 8, '0'))"""))
-      .withColumn("png_hex", expr(
-        s"""concat('89504E470D0A1A0A',
-           '0000000D', '49484452',
-           lpad(hex($PixW), 8, '0'), lpad(hex(hgt), 8, '0'),
-           '08', '00', '00', '00', '00', '00000000',
-           lpad(hex(CAST(length(zlib) / 2 AS INT)), 8, '0'), '49444154',
-           zlib, '00000000',
-           '00000000', '49454E44', '00000000')"""))
-      .select("doc_id", "png_hex")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, tx) => (id, encodePng(tx)) })
+      .toDF("doc_id", "png_hex")
+  }
 
   // ---------------------------------------------------------------
   // mm_pixel_stats: decode the page back; exact-integer statistics
