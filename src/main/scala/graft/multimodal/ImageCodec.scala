@@ -158,7 +158,12 @@ object ImageCodec {
     var end = false
     while (!end && off + 8 <= b.length) {
       val len = be32(b, off)
+      // Both guards are needed: the first catches Int overflow in the
+      // offset arithmetic, the second a declared length past the end
+      // of the payload (which would otherwise surface as an
+      // IndexOutOfBounds from the IDAT copy, not a loud parse error).
       if (len > Int.MaxValue - 12L - off) fail("chunk overruns payload")
+      if (off + 8 + len > b.length) fail("chunk data overruns payload")
       val typ = new String(b, off + 4, 4, "US-ASCII")
       val data = off + 8
       typ match {

@@ -65,11 +65,15 @@ object PixelPng {
     sb.append(d((v >> 4) & 0xf)).append(d(v & 0xf))
   }
 
-  /** The page as an uppercase hex string (the sha-gated artifact). */
+  /** The page as an uppercase hex string (the sha-gated artifact).
+    * An empty document still yields a VALID 16×1 all-padding image —
+    * height 0 is illegal PNG, so the floor keeps the construction
+    * total over any input (fixture docs are never empty; spec-gated).
+    */
   private[multimodal] def encodePng(text: String): String = {
     val bytes = text.getBytes("UTF-8")
     val nb = bytes.length
-    val h = (nb + PixW - 1) / PixW
+    val h = math.max(1, (nb + PixW - 1) / PixW)
     val px = new Array[Int](h * PixW)
     var i = 0
     while (i < nb) { px(i) = bytes(i) & 0xff; i += 1 }
@@ -207,7 +211,8 @@ object PixelPng {
            FROM documents),
          g AS (SELECT doc_id, hx,
              CAST(length(hx) // 2 AS BIGINT) AS nb,
-             CAST((length(hx) // 2 + ${PixW - 1}) // $PixW AS BIGINT)
+             greatest(CAST(1 AS BIGINT),
+               CAST((length(hx) // 2 + ${PixW - 1}) // $PixW AS BIGINT))
                AS hgt
            FROM t),
          r AS (SELECT doc_id, nb, hgt,
@@ -266,7 +271,7 @@ object PixelPng {
              list_transform(px.bytes, v -> v * v))) AS BIGINT) AS sum_sq,
            CAST(CASE WHEN px.pad > 0 THEN 0
              ELSE list_min(px.bytes) END AS BIGINT) AS min_pix,
-           CAST(list_max(px.bytes) AS BIGINT) AS max_pix,
+           CAST(coalesce(list_max(px.bytes), 0) AS BIGINT) AS max_pix,
            CAST(p.s2 * 65536 + p.s1 AS BIGINT) AS adler32,
            sha256(p.png_hex) AS sha256_hex
          FROM p JOIN px ON px.doc_id = p.doc_id

@@ -180,22 +180,34 @@ object DedupIngest {
       .sorted
     var total = 0L
     batchIds.foreach { b =>
+      // A crash in a previous publish can land between the three
+      // per-batch staging deletes (sigs → shingles → pairs, pairs
+      // LAST — so a listed batch id may have its sigs/shingles
+      // partitions already gone). Each table's append is therefore
+      // individually gated on its partition still existing: absent =
+      // that table's append already completed AND its delete landed.
+      def gone(root: String): Boolean =
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$root/batch_id=$b"))
       // sigs: append this batch's docs not already sealed.
-      val sg = s.read.parquet(s"${stSigs(path)}/batch_id=$b")
-        .select("doc_id", "bi", "bh").localCheckpoint()
-      val sealedDocs = s.read.parquet(sigs(path))
-        .select("doc_id").distinct()
-      val missSig = sg.join(sealedDocs, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      missSig.write.mode("append").parquet(sigs(path))
+      if (!gone(stSigs(path))) {
+        val sg = s.read.parquet(s"${stSigs(path)}/batch_id=$b")
+          .select("doc_id", "bi", "bh").localCheckpoint()
+        val sealedDocs = s.read.parquet(sigs(path))
+          .select("doc_id").distinct()
+        sg.join(sealedDocs, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+          .write.mode("append").parquet(sigs(path))
+      }
       // shingles: same recovery, by doc_id.
-      val sh = s.read.parquet(s"${stShing(path)}/batch_id=$b")
-        .select("doc_id", "shingles").localCheckpoint()
-      val sealedSh = s.read.parquet(shing(path))
-        .select("doc_id").distinct()
-      sh.join(sealedSh, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-        .write.mode("append").parquet(shing(path))
+      if (!gone(stShing(path))) {
+        val sh = s.read.parquet(s"${stShing(path)}/batch_id=$b")
+          .select("doc_id", "shingles").localCheckpoint()
+        val sealedSh = s.read.parquet(shing(path))
+          .select("doc_id").distinct()
+        sh.join(sealedSh, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+          .write.mode("append").parquet(shing(path))
+      }
       // pairs: by endpoint pair; the pairs table may not exist yet.
       val pr = s.read.parquet(s"${stPairs(path)}/batch_id=$b")
         .select("doc_a", "doc_b", "inter", "uni").localCheckpoint()

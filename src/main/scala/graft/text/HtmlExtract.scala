@@ -157,9 +157,19 @@ object HtmlExtract {
         if (selfClose) closeOne()
         else if (RawTextTags(t)) {
           // consume raw content up to the matching close tag; the
-          // content is not document text.
+          // content is not document text. ASCII case-insensitive
+          // scan in place — NOT html.toLowerCase.indexOf: that
+          // allocates an O(n) copy per raw-text tag (quadratic on
+          // script-heavy pages) and toLowerCase can CHANGE length
+          // for some codepoints (e.g. İ), misaligning indices.
           val close = s"</$t"
-          val e = html.toLowerCase.indexOf(close, i)
+          var e = -1
+          var p = i
+          while (e < 0 && p + close.length <= n) {
+            if (html.regionMatches(true, p, close, 0, close.length))
+              e = p
+            p += 1
+          }
           if (e < 0) { i = n; closeOne() }
           else {
             var k = e + close.length

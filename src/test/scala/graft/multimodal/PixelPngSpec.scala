@@ -151,6 +151,27 @@ class PixelPngSpec extends SparkSpec {
       .getMessage.nonEmpty)
   }
 
+  test("empty document: the encoder floors height at 1 (an all-" +
+      "padding row) and the round trip stays total") {
+    val hx = PixelPng.encodePng("")
+    val bytes = hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val img = decodePng(bytes)
+    assert(img.width === PixelPng.PixW && img.height === 1)
+    assert(img.pixels.forall(_ == 0))
+  }
+
+  test("a chunk whose declared length overruns the payload fails " +
+      "loudly, not with IndexOutOfBounds") {
+    val scan = filterRows(W3, 3, Px, _ => 0)
+    val good = png(W3, 3, scan)
+    // inflate the declared IDAT length without adding bytes
+    val c = good.clone
+    val idatLenOff = 8 + 25 // after sig + IHDR chunk
+    c(idatLenOff + 2) = 0x7f.toByte // length high bytes → huge
+    val e = intercept[IllegalArgumentException](decodePng(c))
+    assert(e.getMessage.contains("overruns"))
+  }
+
   test("synthesized gate payloads: a REAL inflater (java.util.zip) " +
       "accepts the stored-block zlib and yields the same scanlines") {
     val rows = PixelPng.pages(spark, sf)
