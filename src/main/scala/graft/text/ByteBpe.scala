@@ -58,15 +58,35 @@ object ByteBpe {
   def hexKey(t: String): String =
     t.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
 
-  /** (doc_id, word): the corpus pretoken stream, each pretoken keyed
-    * by the hex of its UTF-8 bytes (case preserved).
+  /** GPT-2-flavored SPACE-PREFIX pretokenizer (the `ta_bpe_sp`
+    * convention): leading spaces attach to the following
+    * letter/digit/other run (" the" becomes ONE pretoken, so the
+    * trainer can learn the space-prefixed pieces real byte-level
+    * vocabularies are full of); whitespace runs that precede nothing
+    * attachable (tabs/newlines, trailing runs) fall through to the
+    * standalone-whitespace class. Still full coverage — the
+    * backtracking alternation degrades to [[PretokRegex]]'s classes
+    * exactly when the prefix cannot attach — and still
+    * lookahead-free, so Java regex and RE2 agree (both implement
+    * leftmost-first preference order; RE2 simulates it without
+    * backtracking).
     */
-  private def pretoks(s: SparkSession, dir: String): DataFrame =
+  val SpPretokRegex: String =
+    "[ ]*[A-Za-z]+|[ ]*[0-9]+|[ ]*[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+
+  /** (doc_id, word): the corpus pretoken stream under `regex`, each
+    * pretoken keyed by the hex of its UTF-8 bytes (case preserved).
+    */
+  private def pretoksWith(regex: String)(s: SparkSession,
+      dir: String): DataFrame =
     Tables(s, dir, "documents").repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit(PretokRegex), lit(0)))
+        explode(regexp_extract_all(col("text"), lit(regex), lit(0)))
           .as("t"))
       .select(col("doc_id"), hex(encode(col("t"), "UTF-8")).as("word"))
+
+  private def pretoks(s: SparkSession, dir: String): DataFrame =
+    pretoksWith(PretokRegex)(s, dir)
 
   /** Two-frame session memo — the [[BpeTrainer.artifacts]] twin for
     * the byte-level artifacts, released by `Lineage.clear()` like the
@@ -85,19 +105,46 @@ object ByteBpe {
 
   private[graft] def artifacts(s: SparkSession,
       dir: String): (DataFrame, DataFrame) =
-    if (sys.env.get("SPARK_GRAFT_LINEAGE").contains("off")) train(s, dir)
+    if (sys.env.get("SPARK_GRAFT_LINEAGE").contains("off"))
+      train(PretokRegex)(s, dir)
     else memo.synchronized {
       memo.getOrElseUpdate((s, dir), {
         graft.operators.Lineage.note(s, dir, "ta_bpe_bytes_artifacts")
-        train(s, dir)
+        train(PretokRegex)(s, dir)
+      })
+    }
+
+  /** Space-prefix twin of [[artifacts]] (its own memo key shape is
+    * unnecessary: one extra map keyed by session+dir).
+    */
+  private val memoSp = scala.collection.mutable.Map
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  graft.operators.Lineage.onClear(() => memoSp.synchronized {
+    import org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint
+    memoSp.values.foreach { case (a, b) =>
+      releaseCheckpoint(a); releaseCheckpoint(b)
+    }
+    memoSp.clear()
+  })
+
+  private[graft] def artifactsSp(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    if (sys.env.get("SPARK_GRAFT_LINEAGE").contains("off"))
+      train(SpPretokRegex)(s, dir)
+    else memoSp.synchronized {
+      memoSp.getOrElseUpdate((s, dir), {
+        graft.operators.Lineage.note(s, dir, "ta_bpe_sp_artifacts")
+        train(SpPretokRegex)(s, dir)
       })
     }
 
   /** Byte seed: pos i ↦ hex pair (2i−1, 2i) of the pretoken's hex
     * string, then the shared merge loop.
     */
-  private def train(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val words = pretoks(s, dir)
+  private def train(regex: String)(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val words = pretoksWith(regex)(s, dir)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val seed = words
       .select(col("word"), col("freq"),
@@ -113,6 +160,15 @@ object ByteBpe {
   // hex strings; `merged` concatenation = byte-sequence concatenation.
   def byteTrain(s: SparkSession, dir: String): DataFrame =
     artifacts(s, dir)._1.orderBy("rank")
+
+  // -----------------------------------------------------------------
+  // ta_bpe_sp: the space-prefix merge table — same machinery, the
+  // GPT-2 whitespace convention. On the fixture the top merges are
+  // space-prefixed word starts (hex "20xx" pieces), which is exactly
+  // what distinguishes this convention from standalone-whitespace
+  // pretokens (spec-gated).
+  def spTrain(s: SparkSession, dir: String): DataFrame =
+    artifactsSp(s, dir)._1.orderBy("rank")
 
   // -----------------------------------------------------------------
   // ta_bpe_bytes_encode: encode the corpus with the trained byte
@@ -148,21 +204,21 @@ object ByteBpe {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_bytes" -> byteTrain,
     "ta_bpe_bytes_encode" -> byteEncode,
+    "ta_bpe_sp" -> spTrain,
   )
 
   // ---------------------------------------------------------------
   // Oracles: pretokens → hex keys → byte pieces, then the SAME
   // unrolled round chain as the word-level oracle
   // (BpeCore.roundCtes — only tok/pc0 differ).
-  private val TokCte =
+  private def tokCte(regex: String) =
     s"""tok AS MATERIALIZED (SELECT doc_id, hex(encode(w)) AS word FROM (
          SELECT doc_id,
-           unnest(regexp_extract_all(text,
-             '[A-Za-z]+|[0-9]+|[ \\t\\n\\r]+|[^A-Za-z0-9 \\t\\n\\r]+')) AS w
+           unnest(regexp_extract_all(text, '$regex')) AS w
          FROM documents))"""
 
-  private[text] lazy val TrainCtes: String =
-    s"""$TokCte,
+  private def trainCtesFor(regex: String): String =
+    s"""${tokCte(regex)},
        wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
          FROM tok GROUP BY word),
        pc0 AS MATERIALIZED (SELECT word, freq, i AS pos,
@@ -172,9 +228,19 @@ object ByteBpe {
            FROM wf)),
        ${(1 to Merges).map(BpeCore.roundCtes).mkString(",\n")}"""
 
+  private val DPretok =
+    "[A-Za-z]+|[0-9]+|[ \\t\\n\\r]+|[^A-Za-z0-9 \\t\\n\\r]+"
+  private val DSpPretok =
+    "[ ]*[A-Za-z]+|[ ]*[0-9]+|[ ]*[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+
+  private[text] lazy val TrainCtes: String = trainCtesFor(DPretok)
+
   val oracles: Map[String, String] = Map(
     "ta_bpe_bytes" ->
       s"""WITH $TrainCtes,
+         ${BpeCore.mergeTableSql(Merges)}""",
+    "ta_bpe_sp" ->
+      s"""WITH ${trainCtesFor(DSpPretok)},
          ${BpeCore.mergeTableSql(Merges)}""",
     "ta_bpe_bytes_encode" ->
       s"""WITH $TrainCtes,

@@ -121,6 +121,38 @@ class ByteBpeSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("space-prefix convention (ta_bpe_sp): full coverage holds, " +
+    "the learned table == sequential reference under the sp regex, " +
+    "and space-prefixed pieces are actually learned") {
+    def sp(t: String): Vector[String] =
+      ByteBpe.SpPretokRegex.r.findAllIn(t).toVector
+    // coverage under the attach-leading-spaces alternation
+    Seq("a b", "a  b", " lead", "trail ", "tabs\tand  more",
+      "12 3.4 !x", "", " ", "   ", "a \n b").foreach { t =>
+      assert(sp(t).mkString == t, s"sp coverage broken on: '$t'")
+    }
+    // the convention's signature: single spaces attach forward,
+    // runs attach entirely, unattachable whitespace stands alone
+    assert(sp("a b") === Vector("a", " b"))
+    assert(sp("a  b") === Vector("a", "  b"))
+    // a whitespace RUN (not a plain space prefix) absorbs greedily,
+    // including the space that would otherwise attach to 'b'
+    assert(sp("a \n b") === Vector("a", " \n ", "b"))
+    val freqs = graft.Tables(spark, sf, "documents")
+      .select(explode(regexp_extract_all(col("text"),
+        lit(ByteBpe.SpPretokRegex), lit(0))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = sequentialByteBpe(freqs, ByteBpe.Merges)
+    val got = ByteBpe.spTrain(spark, sf).collect()
+      .map(r => (r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count")))
+    assert(got.toSeq === expect)
+    // space-prefixed vocabulary really forms (hex 20 = ' ')
+    assert(got.exists(_._1 == "20"),
+      "no merge consumes the space prefix — the convention is inert")
+  }
+
   test("stored byte tokenizer: zero OOV on a batch the training " +
     "corpus never saw; pieces == sequential replay of stored merges") {
     val dir = java.nio.file.Files
