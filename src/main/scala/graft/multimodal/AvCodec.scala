@@ -131,6 +131,34 @@ object AvCodec {
     Pcm(ch, rate, bits, samples)
   }
 
+  /** The `mdat` payload out of the box walk — the video twin of
+    * [[decodePcm]]'s data-chunk extraction: same size/largesize/
+    * to-EOF handling and overrun checks as [[parseMp4]], but carrying
+    * the payload OFFSET so feature extraction reads real bytes out of
+    * the wire format rather than assuming a layout.
+    */
+  def decodeMdat(b: Array[Byte]): Array[Byte] = {
+    var off = 0L
+    val end = b.length.toLong
+    while (off + 8 <= end) {
+      val sz0 = be(b, off.toInt, 4)
+      val typ = fourcc(b, off.toInt + 4)
+      val (boxSize, hdr) =
+        if (sz0 == 1) (be(b, off.toInt + 8, 8), 16L)
+        else if (sz0 == 0) (end - off, 8L)
+        else (sz0, 8L)
+      if (boxSize < hdr || off + boxSize > end)
+        fail(s"box $typ overruns container at $off (size $boxSize)")
+      if (typ == "mdat") {
+        val from = (off + hdr).toInt
+        return java.util.Arrays.copyOfRange(b, from,
+          (off + boxSize).toInt)
+      }
+      off += boxSize
+    }
+    fail("no mdat box")
+  }
+
   private def parseMp4(b: Array[Byte]): Meta = {
     var ts = -1L; var dur = -1L; var media = -1L
 

@@ -321,12 +321,64 @@ object Multimodal {
     parsed.orderBy("doc_id")
   }
 
+  // mm_video_features: feature extraction past the MP4 header — the
+  // video twin of [[audioFeatures]]. There is no pixel codec for
+  // entropy-coded video in this container, so the DECLARED raw-frame
+  // convention applies: the mdat payload (recovered by the REAL box
+  // walk, [[AvCodec.decodeMdat]] — size/largesize/to-EOF framing and
+  // overrun checks) is read as fixed [[VideoFrameBytes]]-byte frames,
+  // and the features are the ones a modality filter thresholds:
+  // exact-BIGINT byte statistics plus a TEMPORAL-ACTIVITY proxy —
+  // the L1 difference of consecutive frame byte-sums (a real
+  // motion-detection primitive, exact in integers so the oracle
+  // hash-matches). Only the MP4 half of the corpus is video; the
+  // parity filter pushes into the documents scan.
+  val VideoFrameBytes = 64
+
+  def videoFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mp4 = toAvMedia(
+      Tables(s, dir, "documents").filter(col("doc_id") % 2 === 1))
+    val parsed = mp4.mapPartitions { it =>
+      it.map { r =>
+        val d = AvCodec.decodeMdat(r.payload)
+        val nb = d.length
+        val nf = (nb + VideoFrameBytes - 1) / VideoFrameBytes
+        var sum = 0L; var sq = 0L; var mn = 255L; var mx = 0L
+        var i = 0
+        while (i < nb) {
+          val v = (d(i) & 0xff).toLong
+          sum += v; sq += v * v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        var motion = 0L; var prev = 0L
+        var k = 0
+        while (k < nf) {
+          var fs = 0L
+          var j = k * VideoFrameBytes
+          val e = math.min(nb, j + VideoFrameBytes)
+          while (j < e) { fs += (d(j) & 0xff); j += 1 }
+          if (k > 0) motion += math.abs(fs - prev)
+          prev = fs
+          k += 1
+        }
+        (r.doc_id, nb.toLong, nf.toLong, sum, sq,
+          if (nb > 0) Some(mn) else None,
+          if (nb > 0) Some(mx) else None, motion)
+      }
+    }.toDF("doc_id", "n_bytes", "n_frames", "sum_b", "sum_sq",
+      "min_b", "max_b", "motion")
+    parsed.orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_stats" -> decodeStats,
     "mm_frame_sample" -> frameChecksum,
     "mm_av_meta" -> avMeta,
     "mm_audio_features" -> audioFeatures,
+    "mm_video_features" -> videoFeatures,
   )
 
   // ---------------------------------------------------------------
@@ -494,6 +546,37 @@ object Multimodal {
          FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
            LEFT JOIN zc ON zc.doc_id = w.doc_id
          ORDER BY w.doc_id""",
+    "mm_video_features" ->
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx
+           FROM documents WHERE doc_id % 2 = 1),
+         l AS (SELECT doc_id,
+             list_transform(range(0, length(hx) // 2), i ->
+               CAST(('0x' || substr(hx, CAST(i*2 + 1 AS INTEGER), 2))
+                 AS BIGINT)) AS bs
+           FROM b),
+         f AS (SELECT doc_id, bs,
+             CAST(len(bs) AS BIGINT) AS nb,
+             CAST((len(bs) + ${VideoFrameBytes - 1}) // $VideoFrameBytes
+               AS BIGINT) AS nf
+           FROM l),
+         fs AS (SELECT doc_id, nb, nf, bs,
+             list_transform(range(0, nf), k ->
+               list_sum(list_prepend(CAST(0 AS BIGINT),
+                 bs[CAST(k*$VideoFrameBytes + 1 AS INTEGER) :
+                    CAST((k+1)*$VideoFrameBytes AS INTEGER)]))) AS fsums
+           FROM f)
+         SELECT doc_id, nb AS n_bytes, nf AS n_frames,
+           CAST(list_sum(list_prepend(CAST(0 AS BIGINT), bs)) AS BIGINT)
+             AS sum_b,
+           CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+             list_transform(bs, v -> v*v))) AS BIGINT) AS sum_sq,
+           CAST(list_min(bs) AS BIGINT) AS min_b,
+           CAST(list_max(bs) AS BIGINT) AS max_b,
+           CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, nf), k ->
+               abs(fsums[CAST(k+1 AS INTEGER)]
+                 - fsums[CAST(k AS INTEGER)])))) AS BIGINT) AS motion
+         FROM fs ORDER BY doc_id""",
     "mm_frame_sample" ->
       s"""WITH p AS ($payloadCte),
          f AS (SELECT doc_id,

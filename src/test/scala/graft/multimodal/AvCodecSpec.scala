@@ -68,6 +68,22 @@ class AvCodecSpec extends AnyFunSuite {
       mdatToEof = true)).dataBytes == 4)
   }
 
+  test("decodeMdat: payload recovered byte-for-byte under plain / " +
+      "largesize / to-EOF framing; missing mdat fails loudly") {
+    val plain = AvCodec.decodeMdat(mp4(0, largesizeMdat = false))
+    assert(plain.length == 4)
+    assert(plain.toSeq ==
+      AvCodec.decodeMdat(mp4(0, largesizeMdat = true)).toSeq)
+    assert(plain.toSeq ==
+      AvCodec.decodeMdat(mp4(0, largesizeMdat = false,
+        mdatToEof = true)).toSeq)
+    // a container with no mdat (ftyp only) fails with the loud error
+    val e = intercept[IllegalArgumentException](AvCodec.decodeMdat(
+      hex("00000014" + "66747970" + "69736F6D" + "00000200" +
+        "69736F6D")))
+    assert(e.getMessage.contains("mdat"))
+  }
+
   test("malformed streams fail loudly, never loop or mis-parse") {
     def bad(b: Array[Byte]): Unit =
       assertThrows[IllegalArgumentException](AvCodec.parse(b))
