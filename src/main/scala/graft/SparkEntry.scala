@@ -40,6 +40,7 @@ object SparkEntry {
     (graft.text.QualityClassifier.queries,
       graft.text.QualityClassifier.oracles),
     (graft.text.HtmlExtract.queries, graft.text.HtmlExtract.oracles),
+    (graft.text.Normalize.queries, graft.text.Normalize.oracles),
     (graft.text.UnigramTrainer.queries, graft.text.UnigramTrainer.oracles),
     (graft.text.TokCompare.queries, graft.text.TokCompare.oracles),
     (Dedup.queries, Dedup.oracles),

@@ -101,6 +101,57 @@ private[text] object BpeCore {
     (merges, pieces)
   }
 
+  /** Packed-example layout over a position-ordered piece stream
+    * (doc_id, ti, pos, sym) — the [[BpeTrainer.bpePack]] machinery,
+    * factored (round 9) so the byte-level trainer packs with the
+    * identical discipline ([[ByteBpe.bytePack]]): usage-ranked
+    * vocabulary ids via the distributed
+    * [[graft.pipeline.CorpusOps.rankedIds]] layout, per-doc piece
+    * index, EOS separator (reserved id 0) after each document,
+    * contiguous per-bucket offsets, examples of
+    * 2^[[BpeTrainer.ExShift]] ids. Output: (bucket, seq_id, n_pieces,
+    * n_docs, id_sum, ids_md5).
+    */
+  def packExamples(stream: DataFrame): DataFrame = {
+    import graft.pipeline.CorpusOps.PackBuckets
+    import BpeTrainer.{ExLen, ExShift}
+    val vc = graft.pipeline.CorpusOps.rankedIds(
+        stream.groupBy("sym").agg(count(lit(1)).as("cnt")),
+        "sym", "cnt", "vid")
+      .select("sym", "vid")
+    val wSeq = Window.partitionBy("doc_id").orderBy("ti", "pos")
+    val pieceIds = stream
+      .withColumn("pi", (row_number().over(wSeq) - 1).cast("long"))
+      .join(broadcast(vc), "sym")
+      .select(col("doc_id"), col("pi"), col("vid"))
+    val counts = pieceIds.groupBy("doc_id")
+      .agg(count(lit(1)).as("npc"))
+      .localCheckpoint() // shared by the EOS rows and the offsets
+    val pid = pieceIds.unionByName(counts
+      .select(col("doc_id"), col("npc").as("pi"), lit(0L).as("vid")))
+    val wOfs = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ofs = counts
+      .select(col("doc_id"), (col("npc") + 1L).as("np"))
+      .withColumn("bucket", col("doc_id") % PackBuckets)
+      .select(col("doc_id"), col("bucket"),
+        (sum("np").over(wOfs) - col("np")).as("st"))
+    pid.join(ofs, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        (col("st") + col("pi")).as("gpos"), col("vid"))
+      .select(col("doc_id"), col("bucket"),
+        shiftright(col("gpos"), ExShift).as("seq_id"),
+        (col("gpos") % ExLen).as("pos"), col("vid"))
+      .groupBy("bucket", "seq_id")
+      .agg(count(lit(1)).as("n_pieces"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum("vid").as("id_sum"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("vid")))),
+          x => x.getField("vid").cast("string")), ",")).as("ids_md5"))
+      .orderBy("bucket", "seq_id")
+  }
+
   /** One unrolled merge round of the DuckDB oracle — the identical
     * windows/islands arithmetic as [[applyMerge]] plus the per-round
     * best-pair selection with the same tie-break. Reads `pc${k-1}`,
@@ -137,6 +188,48 @@ private[text] object BpeCore {
                (cand AND rk % 2 = 1) AS keep_m FROM cd$k))
          WHERE NOT absorbed)"""
   }
+
+  /** The DuckDB twin of [[packExamples]]: the CTE chain + final
+    * SELECT over a `pstream` CTE (doc_id, ti, pos, sym) that the
+    * caller's prefix must define. Shared verbatim by the word-level
+    * and byte-level pack oracles.
+    */
+  def packSqlTail: String =
+    s"""vc AS (SELECT sym, CAST(row_number() OVER (
+           ORDER BY cnt DESC, sym) AS BIGINT) AS vid
+         FROM (SELECT sym, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM pstream GROUP BY sym)),
+       pid AS MATERIALIZED (SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY ti, pos) - 1 AS BIGINT) AS pi,
+           vid
+         FROM pstream JOIN vc USING (sym)),
+       dc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS npc
+         FROM pid GROUP BY doc_id),
+       pid2 AS (SELECT doc_id, pi, vid FROM pid
+         UNION ALL
+         SELECT doc_id, npc AS pi, CAST(0 AS BIGINT) AS vid FROM dc),
+       ofs AS (SELECT doc_id, bucket,
+           SUM(np) OVER (PARTITION BY bucket ORDER BY doc_id) - np
+             AS st
+         FROM (SELECT doc_id,
+             doc_id % ${graft.pipeline.CorpusOps.PackBuckets}
+               AS bucket,
+             npc + 1 AS np
+           FROM dc)),
+       ex AS (SELECT p.doc_id, o.bucket,
+           (o.st + p.pi) // ${BpeTrainer.ExLen} AS seq_id,
+           (o.st + p.pi) % ${BpeTrainer.ExLen} AS pos, p.vid
+         FROM pid2 p JOIN ofs o ON o.doc_id = p.doc_id)
+       SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(seq_id AS BIGINT) AS seq_id,
+         CAST(COUNT(*) AS BIGINT) AS n_pieces,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(SUM(vid) AS BIGINT) AS id_sum,
+         md5(string_agg(CAST(vid AS VARCHAR), ',' ORDER BY pos))
+           AS ids_md5
+       FROM ex GROUP BY bucket, seq_id
+       ORDER BY bucket, seq_id"""
 
   /** The merge-table SELECT over `nMerges` unrolled `bs$k` CTEs. */
   def mergeTableSql(nMerges: Int): String =

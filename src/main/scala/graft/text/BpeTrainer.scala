@@ -250,7 +250,6 @@ object BpeTrainer {
   val ExLen = 1L << ExShift
 
   def bpePack(s: SparkSession, dir: String): DataFrame = {
-    import graft.pipeline.CorpusOps.PackBuckets
     val pieces = artifacts(s, dir)._2
     val tokp = Tables(s, dir, "documents").repartition(col("doc_id"))
       .select(col("doc_id"),
@@ -260,53 +259,11 @@ object BpeTrainer {
         upper(col("t")).as("word"))
     val stream = tokp.join(pieces.select("word", "pos", "sym"), "word")
       .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
-    // 1. usage-ranked vocabulary ids (vocab-sized: broadcastable) —
-    // assigned with the distributed range-partition + offset
-    // discipline ([[graft.pipeline.CorpusOps.rankedIds]]), NOT a
-    // global single-partition window (VERDICT r7 minor finding).
-    val vc = graft.pipeline.CorpusOps.rankedIds(
-        stream.groupBy("sym").agg(count(lit(1)).as("cnt")),
-        "sym", "cnt", "vid")
-      .select("sym", "vid")
-    // 2. per-doc 0-based piece index, then the id stream — with the
-    // EOS separator (reserved id 0, below every vocabulary id) after
-    // each document's last piece: the pretraining convention that
-    // marks document boundaries inside packed sequences (a doc with
-    // no tokens has no stream presence and no EOS, identically in
-    // both engines).
-    val wSeq = Window.partitionBy("doc_id").orderBy("ti", "pos")
-    val pieceIds = stream
-      .withColumn("pi", (row_number().over(wSeq) - 1).cast("long"))
-      .join(broadcast(vc), "sym")
-      .select(col("doc_id"), col("pi"), col("vid"))
-    val counts = pieceIds.groupBy("doc_id")
-      .agg(count(lit(1)).as("npc"))
-      .localCheckpoint() // shared by the EOS rows and the offsets
-    val pid = pieceIds.unionByName(counts
-      .select(col("doc_id"), col("npc").as("pi"), lit(0L).as("vid")))
-    // 3. contiguous layout: per-bucket running start offsets over the
-    // EOS-inclusive document lengths.
-    val wOfs = Window.partitionBy("bucket").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ofs = counts
-      .select(col("doc_id"), (col("npc") + 1L).as("np"))
-      .withColumn("bucket", col("doc_id") % PackBuckets)
-      .select(col("doc_id"), col("bucket"),
-        (sum("np").over(wOfs) - col("np")).as("st"))
-    pid.join(ofs, "doc_id")
-      .select(col("doc_id"), col("bucket"),
-        (col("st") + col("pi")).as("gpos"), col("vid"))
-      .select(col("doc_id"), col("bucket"),
-        shiftright(col("gpos"), ExShift).as("seq_id"),
-        (col("gpos") % ExLen).as("pos"), col("vid"))
-      .groupBy("bucket", "seq_id")
-      .agg(count(lit(1)).as("n_pieces"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        sum("vid").as("id_sum"),
-        md5(array_join(transform(
-          sort_array(collect_list(struct(col("pos"), col("vid")))),
-          x => x.getField("vid").cast("string")), ",")).as("ids_md5"))
-      .orderBy("bucket", "seq_id")
+    // Vocabulary ids, per-doc piece index, EOS separator, contiguous
+    // per-bucket layout, 2^ExShift examples — the shared machinery
+    // ([[BpeCore.packExamples]], factored round 9 for the byte-level
+    // twin); rankedIds keeps vid assignment distributed (VERDICT r7).
+    BpeCore.packExamples(stream)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -374,41 +331,7 @@ object BpeTrainer {
                FROM documents))),
          pstream AS MATERIALIZED (SELECT t.doc_id, t.ti, p.pos, p.sym
            FROM tokp t JOIN pc$Merges p ON p.word = t.word),
-         vc AS (SELECT sym, CAST(row_number() OVER (
-               ORDER BY cnt DESC, sym) AS BIGINT) AS vid
-           FROM (SELECT sym, CAST(COUNT(*) AS BIGINT) AS cnt
-             FROM pstream GROUP BY sym)),
-         pid AS MATERIALIZED (SELECT doc_id,
-             CAST(row_number() OVER (PARTITION BY doc_id
-               ORDER BY ti, pos) - 1 AS BIGINT) AS pi,
-             vid
-           FROM pstream JOIN vc USING (sym)),
-         dc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS npc
-           FROM pid GROUP BY doc_id),
-         pid2 AS (SELECT doc_id, pi, vid FROM pid
-           UNION ALL
-           SELECT doc_id, npc AS pi, CAST(0 AS BIGINT) AS vid FROM dc),
-         ofs AS (SELECT doc_id, bucket,
-             SUM(np) OVER (PARTITION BY bucket ORDER BY doc_id) - np
-               AS st
-           FROM (SELECT doc_id,
-               doc_id % ${graft.pipeline.CorpusOps.PackBuckets}
-                 AS bucket,
-               npc + 1 AS np
-             FROM dc)),
-         ex AS (SELECT p.doc_id, o.bucket,
-             (o.st + p.pi) // $ExLen AS seq_id,
-             (o.st + p.pi) % $ExLen AS pos, p.vid
-           FROM pid2 p JOIN ofs o ON o.doc_id = p.doc_id)
-         SELECT CAST(bucket AS BIGINT) AS bucket,
-           CAST(seq_id AS BIGINT) AS seq_id,
-           CAST(COUNT(*) AS BIGINT) AS n_pieces,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(SUM(vid) AS BIGINT) AS id_sum,
-           md5(string_agg(CAST(vid AS VARCHAR), ',' ORDER BY pos))
-             AS ids_md5
-         FROM ex GROUP BY bucket, seq_id
-         ORDER BY bucket, seq_id""",
+         ${BpeCore.packSqlTail}""",
     "ta_bpe_score" ->
       s"""WITH $TrainCtes,
          tokp AS MATERIALIZED (SELECT doc_id, ti, upper(w) AS word FROM (

@@ -178,15 +178,36 @@ object ByteBpe {
   // pieces/byte; a doc whose every byte is covered has
   // n_bytes = octet_length(text) (the coverage theorem, visible in
   // the oracle's independent recomputation).
-  def byteEncode(s: SparkSession, dir: String): DataFrame = {
-    val perWord = artifacts(s, dir)._2
+  def byteEncode(s: SparkSession, dir: String): DataFrame =
+    encodeWith(artifacts(s, dir)._2, PretokRegex)(s, dir)
+
+  // -----------------------------------------------------------------
+  // ta_bpe_sp_encode (VERDICT r8 item 5): the dictionary-join encode
+  // under the space-prefix artifacts — same census columns as
+  // ta_bpe_bytes_encode, so the convention comparison (does gluing
+  // the leading space onto the word buy compression?) is a measured
+  // pieces_per_byte delta between two green rows, not an assertion.
+  // On the fixture the sp convention encodes " the"-style pretokens
+  // as single learned pieces where the standalone convention spends a
+  // whitespace piece + a word piece; the measured corpus-level ratio
+  // is recorded in BASELINE.md.
+  def spEncode(s: SparkSession, dir: String): DataFrame =
+    encodeWith(artifactsSp(s, dir)._2, SpPretokRegex)(s, dir)
+
+  private def encodeWith(pieces: DataFrame, regex: String)(
+      s: SparkSession, dir: String): DataFrame = {
+    val perWord = pieces
       .groupBy("word")
       .agg(count(lit(1)).as("n_p"))
-    val perDoc = pretoks(s, dir)
+    val perDoc = pretoksWith(regex)(s, dir)
       .join(perWord, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pretokens"),
-        sum(length(col("word")) / 2).cast("long").as("n_bytes"),
+        // cast BEFORE the sum (VERDICT r8 minor finding): length/2 is
+        // a double in Spark; the per-row cast makes the fold a pure
+        // BIGINT sum — the house exact-integer-accumulator discipline
+        // (hex length is even, so the truncation is exact division).
+        sum((length(col("word")) / 2).cast("long")).as("n_bytes"),
         sum(col("n_p")).as("n_pieces"))
     Tables(s, dir, "documents").select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -201,10 +222,36 @@ object ByteBpe {
       .orderBy("doc_id")
   }
 
+  // -----------------------------------------------------------------
+  // ta_bpe_bytes_pack (VERDICT r8 item 2): packed pretraining
+  // examples under the BYTE-level artifacts — the OOV-impossible
+  // tokenizer becomes the pipeline's PACKING tokenizer, so the packed
+  // ids ship with the same coverage guarantee as the encode census.
+  // Identical machinery to ta_bpe_pack ([[BpeCore.packExamples]]:
+  // distributed vid assignment, EOS id 0 per document, per-bucket
+  // contiguous layout); only the pretokenizer and dictionary differ.
+  // Piece-total conservation vs ta_bpe_bytes_encode is spec-gated:
+  // Σ pack n_pieces = Σ encode n_pieces + |docs with ≥1 pretoken|
+  // (one EOS per non-empty document).
+  def bytePack(s: SparkSession, dir: String): DataFrame = {
+    val pieces = artifacts(s, dir)._2
+    val tokp = Tables(s, dir, "documents").repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("text"), lit(PretokRegex),
+          lit(0))).as(Seq("ti0", "t")))
+      .select(col("doc_id"), (col("ti0") + 1).cast("long").as("ti"),
+        hex(encode(col("t"), "UTF-8")).as("word"))
+    val stream = tokp.join(pieces.select("word", "pos", "sym"), "word")
+      .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
+    BpeCore.packExamples(stream)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_bytes" -> byteTrain,
     "ta_bpe_bytes_encode" -> byteEncode,
+    "ta_bpe_bytes_pack" -> bytePack,
     "ta_bpe_sp" -> spTrain,
+    "ta_bpe_sp_encode" -> spEncode,
   )
 
   // ---------------------------------------------------------------
@@ -235,6 +282,28 @@ object ByteBpe {
 
   private[text] lazy val TrainCtes: String = trainCtesFor(DPretok)
 
+  /** The encode-census SELECT over a train-CTE prefix (tok + the
+    * unrolled rounds): shared by the standalone and space-prefix
+    * encode oracles.
+    */
+  private def encodeSqlFor(ctes: String): String =
+    s"""WITH $ctes,
+       pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_p
+         FROM pc$Merges GROUP BY word),
+       pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+           CAST(SUM(len(word) // 2) AS BIGINT) AS n_bytes,
+           CAST(SUM(n_p) AS BIGINT) AS n_pieces
+         FROM tok JOIN pw USING (word) GROUP BY doc_id)
+       SELECT d.doc_id,
+         coalesce(pd.n_pretokens, 0) AS n_pretokens,
+         coalesce(pd.n_bytes, 0) AS n_bytes,
+         coalesce(pd.n_pieces, 0) AS n_pieces,
+         CASE WHEN coalesce(pd.n_bytes, 0) = 0 THEN NULL
+           ELSE CAST(pd.n_pieces AS DOUBLE) / CAST(pd.n_bytes AS DOUBLE)
+         END AS pieces_per_byte
+       FROM documents d LEFT JOIN pd USING (doc_id)
+       ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "ta_bpe_bytes" ->
       s"""WITH $TrainCtes,
@@ -242,22 +311,18 @@ object ByteBpe {
     "ta_bpe_sp" ->
       s"""WITH ${trainCtesFor(DSpPretok)},
          ${BpeCore.mergeTableSql(Merges)}""",
-    "ta_bpe_bytes_encode" ->
+    "ta_bpe_bytes_encode" -> encodeSqlFor(TrainCtes),
+    "ta_bpe_sp_encode" -> encodeSqlFor(trainCtesFor(DSpPretok)),
+    "ta_bpe_bytes_pack" ->
       s"""WITH $TrainCtes,
-         pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_p
-           FROM pc$Merges GROUP BY word),
-         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
-             CAST(SUM(len(word) // 2) AS BIGINT) AS n_bytes,
-             CAST(SUM(n_p) AS BIGINT) AS n_pieces
-           FROM tok JOIN pw USING (word) GROUP BY doc_id)
-         SELECT d.doc_id,
-           coalesce(pd.n_pretokens, 0) AS n_pretokens,
-           coalesce(pd.n_bytes, 0) AS n_bytes,
-           coalesce(pd.n_pieces, 0) AS n_pieces,
-           CASE WHEN coalesce(pd.n_bytes, 0) = 0 THEN NULL
-             ELSE CAST(pd.n_pieces AS DOUBLE) / CAST(pd.n_bytes AS DOUBLE)
-           END AS pieces_per_byte
-         FROM documents d LEFT JOIN pd USING (doc_id)
-         ORDER BY doc_id""",
+         tokp AS MATERIALIZED (SELECT doc_id, ti, hex(encode(w)) AS word
+           FROM (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS ti,
+               unnest(ws) AS w
+             FROM (SELECT doc_id,
+                 regexp_extract_all(text, '$DPretok') AS ws
+               FROM documents))),
+         pstream AS MATERIALIZED (SELECT t.doc_id, t.ti, p.pos, p.sym
+           FROM tokp t JOIN pc$Merges p ON p.word = t.word),
+         ${BpeCore.packSqlTail}""",
   )
 }

@@ -166,9 +166,82 @@ object QualityClassifier {
       .orderBy("doc_id")
   }
 
+  // -----------------------------------------------------------------
+  // ta_nb_eval (VERDICT r8 item 3): HELD-OUT evaluation — the number
+  // a real pipeline gates deploys on, closing the in-sample `agree`
+  // finding. The model is trained ONLY on the deterministic train
+  // slice of [[graft.pipeline.CorpusOps.split]] (the engine's own
+  // split discipline: md5-hash bucket < 80) and every document is
+  // scored under that train-slice model; confusion counts are
+  // reported per split, so the validation/test rows are genuine
+  // out-of-sample precision/recall while the train row keeps the
+  // in-sample contrast. All counts are exact BIGINTs; precision and
+  // recall are each ONE final IEEE division of exact integers (the
+  // house single-final-division discipline), bit-identical across
+  // engines.
+  def nbEval(s: SparkSession, dir: String): DataFrame = {
+    val spl = graft.pipeline.CorpusOps.split(s, dir)
+      .select("doc_id", "split")
+    val lab = labels(s, dir)
+    val trLab = lab
+      .join(spl.filter(col("split") === "train").select("doc_id"),
+        "doc_id")
+    // Train-slice model: per-word class counts, class totals and
+    // vocabulary over train docs only. Held-out tokens absent from
+    // the train vocabulary contribute nothing (the dictionary join
+    // drops them — standard NB unseen-word skip, identical in both
+    // engines because the join is).
+    val cw = tok(s, dir).join(trLab, "doc_id")
+      .groupBy("w")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("ck"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("cd"))
+    val t = cw.agg(sum("ck").as("nk"), sum("cd").as("nd"),
+      count(lit(1)).as("v"))
+    val dt = trLab
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("dk"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("dd"),
+        count(lit(1)).as("ndocs"))
+    val model = cw.crossJoin(broadcast(t))
+      .select(col("w"),
+        (qlog2("ck + 1") - qlog2("nk + v")).as("w_keep"),
+        (qlog2("cd + 1") - qlog2("nd + v")).as("w_drop"))
+    val perDoc = tok(s, dir).join(model, "w")
+      .groupBy("doc_id")
+      .agg(sum("w_keep").as("lk"), sum("w_drop").as("ld"))
+    val scored = graft.Tables(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(lab.withColumnRenamed("keep", "rule_keep"), "doc_id")
+      .join(spl, "doc_id")
+      .crossJoin(broadcast(dt))
+      .select(col("split"), col("rule_keep"),
+        ((qlog2("dk") - qlog2("ndocs") + coalesce(col("lk"), lit(0L)))
+          >= (qlog2("dd") - qlog2("ndocs")
+            + coalesce(col("ld"), lit(0L)))).as("pred_keep"))
+    scored.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_keep") && col("rule_keep"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("pred_keep") && !col("rule_keep"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(!col("pred_keep") && col("rule_keep"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(!col("pred_keep") && !col("rule_keep"), 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("prec",
+        when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")))
+      .withColumn("rec",
+        when(col("tp") + col("fn") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double")))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_nb_model" -> nbModel,
     "ta_nb_quality" -> nbQuality,
+    "ta_nb_eval" -> nbEval,
   )
 
   // ---------------------------------------------------------------
@@ -244,5 +317,70 @@ object QualityClassifier {
                + coalesce(pd.ld, 0))) = lab.keep AS agree
          FROM lab LEFT JOIN pd USING (doc_id) CROSS JOIN dtot
          ORDER BY doc_id""",
+    // Held-out eval: the SAME label chain + the ta_split bucket
+    // arithmetic; the model CTEs are retrained over the train slice
+    // (tr* names), then every doc is scored and confusion counts
+    // aggregate per split. `prec`/`rec` (PRECISION is a DuckDB type
+    // keyword) are single final divisions of exact integers.
+    "ta_nb_eval" ->
+      s"""WITH ${TextAnalysis.FilterCtes},
+         lab AS (SELECT doc_id, reason = 'keep' AS keep FROM r),
+         spl AS (SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'validation'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                 15)) AS BIGINT) % 100 AS bucket FROM documents)),
+         tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+         trlab AS (SELECT lab.doc_id, lab.keep FROM lab
+           JOIN spl USING (doc_id) WHERE spl.split = 'train'),
+         cw AS (SELECT w,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS ck,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS cd
+           FROM tok JOIN trlab USING (doc_id) GROUP BY w),
+         tots AS (SELECT CAST(SUM(ck) AS BIGINT) AS nk,
+             CAST(SUM(cd) AS BIGINT) AS nd,
+             CAST(COUNT(*) AS BIGINT) AS v FROM cw),
+         dtot AS (SELECT
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS dk,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS dd,
+             CAST(COUNT(*) AS BIGINT) AS ndocs FROM trlab),
+         model AS (SELECT w,
+             ${dQlog2("ck + 1")} - ${dQlog2("nk + v")} AS w_keep,
+             ${dQlog2("cd + 1")} - ${dQlog2("nd + v")} AS w_drop
+           FROM cw CROSS JOIN tots),
+         pd AS (SELECT doc_id,
+             CAST(SUM(w_keep) AS BIGINT) AS lk,
+             CAST(SUM(w_drop) AS BIGINT) AS ld
+           FROM tok JOIN model USING (w) GROUP BY doc_id),
+         sc AS (SELECT spl.split, lab.keep AS rule_keep,
+             (${dQlog2("dk")} - ${dQlog2("ndocs")} + coalesce(pd.lk, 0))
+               >= (${dQlog2("dd")} - ${dQlog2("ndocs")}
+                 + coalesce(pd.ld, 0)) AS pred_keep
+           FROM lab JOIN spl USING (doc_id)
+             LEFT JOIN pd USING (doc_id) CROSS JOIN dtot),
+         ag AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN pred_keep AND rule_keep THEN 1
+               ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pred_keep AND NOT rule_keep THEN 1
+               ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN NOT pred_keep AND rule_keep THEN 1
+               ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT pred_keep AND NOT rule_keep THEN 1
+               ELSE 0 END) AS BIGINT) AS tn
+           FROM sc GROUP BY split)
+         SELECT split, n_docs, tp, fp, fn, tn,
+           CASE WHEN tp + fp = 0 THEN NULL
+             ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+           END AS prec,
+           CASE WHEN tp + fn = 0 THEN NULL
+             ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+           END AS rec
+         FROM ag ORDER BY split""",
   )
 }

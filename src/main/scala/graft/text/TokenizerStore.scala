@@ -48,11 +48,23 @@ object TokenizerStore {
   // Byte-level store (round 8): the OOV-IMPOSSIBLE artifact. The
   // word-level store SURFACES out-of-vocabulary words; the byte-level
   // one cannot have any — an unseen pretoken is encoded by replaying
-  // the stored merge table over its byte sequence (sequential
-  // in-rank-order application is equivalent to lowest-applicable-
-  // rank-first because merge k's constituent symbols are only ever
-  // produced by merges of rank < k), so `encodeBatchBytes` reports a
-  // structurally-zero oov column purely for API parity.
+  // the stored merge table over its byte sequence, so
+  // `encodeBatchBytes` reports a structurally-zero oov column purely
+  // for API parity.
+  //
+  // ENCODING CONVENTION (ADVICE r8): unseen pretokens are segmented
+  // by a SINGLE in-rank-order pass over the stored merges — each rank
+  // applied once, greedily left-to-right. This is the store's DEFINED
+  // convention, not a claim of equivalence to lowest-applicable-rank-
+  // first fixpoint encoding (GPT-2 encoder semantics): two merges at
+  // different ranks can produce the same merged symbol string, so a
+  // later rank's rewrite can in principle create a pair an earlier,
+  // already-passed rank would have merged. The sequential reference
+  // in the spec uses the same single-pass convention, the training-
+  // corpus vocabulary is segmented identically (the pieces table IS
+  // the training-time single-pass result per rank), and the
+  // convention is deterministic and engine-invariant — which is what
+  // a persisted tokenizer artifact must guarantee.
 
   private def byteMergesPath(path: String) = s"$path/byte_merges"
   private def bytePiecesPath(path: String) = s"$path/byte_pieces"
@@ -73,7 +85,8 @@ object TokenizerStore {
   /** Segment a frame of distinct pretoken hex keys (`word`) against
     * the stored byte tokenizer: vocabulary hits are a dictionary
     * join; unseen pretokens REPLAY the stored merges over their byte
-    * seed — [[BpeCore.applyMerge]] per rank, each rank's pair pulled
+    * seed under the single-pass rank-order convention documented
+    * above — [[BpeCore.applyMerge]] per rank, each rank's pair pulled
     * as a 1-row NULL-safe aggregate (absent rank → NULL pair → the
     * rewrite is a provable no-op), so no driver-side collect of the
     * table. Work is |distinct unseen pretokens|, not |batch|.
@@ -128,7 +141,8 @@ object TokenizerStore {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pretokens"),
         sum(when(col("n_p").isNull, 1L).otherwise(0L)).as("oov_tokens"),
-        sum(length(col("word")) / 2).cast("long").as("n_bytes"),
+        // per-row cast → pure BIGINT sum (integer-fold discipline).
+        sum((length(col("word")) / 2).cast("long")).as("n_bytes"),
         coalesce(sum("n_p"), lit(0L)).as("n_pieces"))
     batch.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")

@@ -56,8 +56,10 @@ class ByteBpeSpec extends SparkSpec {
   }
 
   /** Sequential encode: apply a stored merge list in rank order,
-    * greedy left-to-right non-overlapping per merge (equivalent to
-    * lowest-applicable-rank-first — see TokenizerStore scaladoc).
+    * greedy left-to-right non-overlapping per merge — the store's
+    * DEFINED single-pass encoding convention (see TokenizerStore
+    * scaladoc; ADVICE r8 — not claimed equivalent to
+    * lowest-applicable-rank-first fixpoint encoding in general).
     */
   private def seqEncode(t: String,
       merges: Seq[(String, String)]): Vector[String] = {
@@ -216,5 +218,30 @@ class ByteBpeSpec extends SparkSpec {
       assert(segs(ByteBpe.hexKey(t)) == exp,
         s"'$t': got ${segs(ByteBpe.hexKey(t))}, sequential $exp")
     }
+  }
+
+  test("ta_bpe_bytes_pack conserves the encode census: " +
+    "Σ pack n_pieces == Σ encode n_pieces + one EOS per non-empty doc") {
+    val enc = ByteBpe.byteEncode(spark, sf)
+      .agg(sum("n_pieces").as("p"),
+        sum(when(col("n_pretokens") > 0, 1L).otherwise(0L)).as("ne"))
+      .first()
+    val packed = ByteBpe.bytePack(spark, sf)
+      .agg(sum("n_pieces")).first().getLong(0)
+    assert(packed == enc.getAs[Long]("p") + enc.getAs[Long]("ne"),
+      s"pack total $packed != encode ${enc.getAs[Long]("p")} + " +
+        s"${enc.getAs[Long]("ne")} EOS rows")
+  }
+
+  test("byte coverage is pretokenizer-invariant: ta_bpe_sp_encode " +
+    "reports the same per-doc n_bytes as ta_bpe_bytes_encode") {
+    // Both pretokenizers partition the text, so n_bytes must equal
+    // octet_length(text) under either — the coverage theorem made
+    // visible across conventions.
+    val a = ByteBpe.byteEncode(spark, sf).select("doc_id", "n_bytes")
+    val b = ByteBpe.spEncode(spark, sf)
+      .select(col("doc_id"), col("n_bytes").as("nb_sp"))
+    assert(a.join(b, "doc_id")
+      .filter(col("n_bytes") =!= col("nb_sp")).count() == 0L)
   }
 }
