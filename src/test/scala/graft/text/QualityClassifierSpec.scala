@@ -108,4 +108,37 @@ class QualityClassifierSpec extends SparkSpec {
       assert(!r.isNullAt(r.fieldIndex("s_drop")))
     }
   }
+
+  test("held-out eval (ta_nb_eval): splits partition the corpus, " +
+    "confusion cells sum to the split size, and the held-out rows " +
+    "are genuinely out-of-sample") {
+    import org.apache.spark.sql.functions._
+    val rows = QualityClassifier.nbEval(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet == Set("train", "validation", "test"))
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    assert(rows.values.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.values.foreach { r =>
+      val cells = Seq("tp", "fp", "fn", "tn").map(r.getAs[Long](_)).sum
+      assert(cells == r.getAs[Long]("n_docs"), s"cells != n_docs: $r")
+    }
+    // Out-of-sample means the eval model differs from the full-corpus
+    // one: the train slice is a strict subset, so the in-sample
+    // (train-row) agreement here need not equal ta_nb_quality's
+    // full-corpus agreement count — assert the train-slice model was
+    // really trained on fewer docs than the corpus.
+    val trainDocs = graft.pipeline.CorpusOps.split(spark, sf)
+      .filter(col("split") === "train").count()
+    assert(trainDocs < nDocs && trainDocs > 0)
+    assert(rows("train").getAs[Long]("n_docs") == trainDocs)
+    // Precision/recall are the single final division of the cells.
+    rows.values.foreach { r =>
+      val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"))
+      if (tp + fp > 0)
+        assert(r.getAs[Double]("prec") == tp.toDouble / (tp + fp))
+      if (tp + fn > 0)
+        assert(r.getAs[Double]("rec") == tp.toDouble / (tp + fn))
+    }
+  }
 }
