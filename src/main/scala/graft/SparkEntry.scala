@@ -33,6 +33,8 @@ object SparkEntry {
     (graft.operators.Warehouse.queries,
       graft.operators.Warehouse.oracles),
     (graft.pipeline.CorpusOps.queries, graft.pipeline.CorpusOps.oracles),
+    (graft.pipeline.CorpusPipeline.queries,
+      graft.pipeline.CorpusPipeline.oracles),
     (graft.operators.Sketches.queries, graft.operators.Sketches.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (graft.text.BpeTrainer.queries, graft.text.BpeTrainer.oracles),

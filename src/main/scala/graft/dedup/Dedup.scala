@@ -196,15 +196,25 @@ object Dedup {
   // dd_ngram_jaccard: exact n-gram Jaccard ≥ 0.7, blocked on the
   // min-shingle. Single-key blocking keeps buckets tiny (the key is
   // content-derived, so duplicates collide and unrelated docs don't).
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // mk is wrapped in coalesce to make it NON-NULLABLE: joining on a
-    // nullable derived key makes Catalyst infer isnotnull(mk) and
-    // push it below the repartition exchange, alias-substituting the
-    // entire md5→shingle pipeline into a scan-side filter that
-    // re-evaluates the token transform per element_at reference
-    // (~50 s/side measured at sf0.1). shingles is never empty here
-    // (≥3-token pre-filter), so the -1 sentinel is unreachable.
-    val keyed = shingled(s, dir)
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    minShinglePairs(shingled(s, dir)).orderBy("doc_a", "doc_b")
+
+  /** The min-shingle-blocked verified pair join over an arbitrary
+    * shingle frame (doc_id, shingles) — factored (round 9) so the
+    * corpus-pipeline dedup stage ([[graft.pipeline.CorpusPipeline]])
+    * runs the identical candidate+verify chain over its own
+    * stage-derived shingles.
+    *
+    * mk is wrapped in coalesce to make it NON-NULLABLE: joining on a
+    * nullable derived key makes Catalyst infer isnotnull(mk) and
+    * push it below the repartition exchange, alias-substituting the
+    * entire md5→shingle pipeline into a scan-side filter that
+    * re-evaluates the token transform per element_at reference
+    * (~50 s/side measured at sf0.1). shingles is never empty here
+    * (≥3-token pre-filter), so the -1 sentinel is unreachable.
+    */
+  private[graft] def minShinglePairs(sh: DataFrame): DataFrame = {
+    val keyed = sh
       .select(col("doc_id"), col("shingles"),
         coalesce(array_min(col("shingles")), lit(-1L)).as("mk"))
     keyed.as("a")
@@ -217,7 +227,6 @@ object Dedup {
           - size(array_intersect(col("a.shingles"), col("b.shingles"))))
           .cast("long").as("uni"))
       .filter(col("inter") * 10 >= col("uni") * 7)
-      .orderBy("doc_a", "doc_b")
   }
 
   // -----------------------------------------------------------------

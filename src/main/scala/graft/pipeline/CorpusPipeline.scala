@@ -1,0 +1,331 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextHash
+import graft.operators.Lineage
+import graft.text.{BpeCore, ByteBpe, HtmlExtract, Normalize,
+  QualityClassifier, TextAnalysis}
+
+/** END-TO-END CORPUS BUILD (VERDICT r8 item 1 — "the stages exist
+  * and are individually gated; they don't yet feed each other").
+  * One declared query chains the engine's corpus stages so each
+  * consumes the PREVIOUS stage's output, not the raw table:
+  *
+  *   documents
+  *     → [0] NFC normalize                 ([[Normalize.nfc]])
+  *     → [1] HTML synthesize + extract     ([[HtmlExtract.blocks]])
+  *     → [2] trained-classifier keep       ([[QualityClassifier]])
+  *     → [3] near-dup dedup keeplist       ([[Dedup]] chain)
+  *     → [4] byte-BPE encode + pack        ([[ByteBpe]]/[[BpeCore]])
+  *     → packed examples, gated on their content hashes (ids_md5)
+  *
+  * Each stage is a pure frame→frame function (`extractStage`,
+  * `qualityStage`, `dedupStage`, `packStage`), so "consumes the
+  * previous stage's output" is true BY CONSTRUCTION — the composition
+  * is function application, and the spec drives crafted corpora
+  * through the same functions. The two model-like inputs are
+  * ARTIFACTS from upstream training, exactly as a production build
+  * consumes them: the NB quality model is `ta_nb_model`'s (trained on
+  * the raw corpus labels — the shipped-classifier shape) and the
+  * tokenizer is `ta_bpe_bytes`' pieces table (trained once on the
+  * corpus snapshot; the store replay path of
+  * [[graft.text.TokenizerStore.segmentBytes]] covers pretokens the
+  * snapshot never saw — unreachable here because extraction only ever
+  * drops text, so the clean corpus' pretokens are a subset of the
+  * training corpus').
+  *
+  * `pipe_corpus` is the final packed-example table — n_pieces,
+  * contributing docs, id sum and the md5 of the position-ordered id
+  * stream per example, so the gate proves BYTE-level content
+  * equality of the corpus both engines built through all five
+  * stages. `pipe_stages` is the 1-row funnel (the acceptance
+  * dashboard of a real corpus build): docs in, quality survivors,
+  * dedup survivors, examples and total pieces out.
+  *
+  * 100 TB shape: stage 0+1 is one narrow typed pass; stage 2 is a
+  * broadcast dictionary join + per-doc aggregate; stage 3 is the
+  * min-shingle candidate join + the bounded CC fixpoint over
+  * pair-touched docs only; stage 4 is a dictionary join + the
+  * per-bucket pack windows. Stage frames are Lineage-shared, so
+  * `pipe_stages` reads the same materializations `pipe_corpus`
+  * built — at scale each stage boundary is a persisted table, which
+  * is exactly what the Lineage keys model.
+  */
+object CorpusPipeline {
+
+  // ---- stage functions: each takes the previous stage's frame ----
+
+  /** Stage 0+1: (doc_id, text) → (doc_id, clean). NFC-normalize the
+    * text (identity on ASCII, real on any corpus), synthesize the
+    * mirrored-construction page from the NORMALIZED text, parse it
+    * back with the lenient tag walk, and keep the content blocks
+    * that survive the link-density rule — joined with single spaces,
+    * so the clean text stays in the single-spaced form every
+    * downstream tokenizer expects.
+    */
+  def extractStage(docsFrame: DataFrame)(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val nfc = docsFrame.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, Normalize.nfc(t)) })
+      .toDF("doc_id", "text")
+    val pages = nfc
+      .select(col("doc_id"), HtmlExtract.pageHtml.as("html"))
+      .as[(Long, String)]
+    pages.mapPartitions { it =>
+      it.map { case (id, html) =>
+        val keep = HtmlExtract.blocks(html).filter(HtmlExtract.kept)
+        (id, keep.map(_.text).mkString(" "))
+      }
+    }.toDF("doc_id", "clean")
+  }
+
+  /** Stage 2: score the CLEAN text under the trained NB artifact
+    * (model = (word, w_keep, w_drop, …), priors = 1-row
+    * (dk, dd, ndocs)); keep docs the classifier predicts keep.
+    * A doc whose clean text lost tokens to extraction is scored on
+    * what SURVIVED — the stage reads its input, not the raw table.
+    */
+  def qualityStage(clean: DataFrame, model: DataFrame,
+      priors: DataFrame): DataFrame = {
+    import QualityClassifier.qlog2
+    val m = model.select(col("word").as("w"), col("w_keep"),
+      col("w_drop"))
+    val perDoc = clean
+      .select(col("doc_id"), explode(TextHash.tokens(col("clean")))
+        .as("w"))
+      .join(m, "w")
+      .groupBy("doc_id")
+      .agg(sum("w_keep").as("lk"), sum("w_drop").as("ld"))
+    clean.join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .filter((qlog2("dk") - qlog2("ndocs")
+          + coalesce(col("lk"), lit(0L)))
+        >= (qlog2("dd") - qlog2("ndocs")
+          + coalesce(col("ld"), lit(0L))))
+      .select("doc_id", "clean")
+  }
+
+  /** Stage 3: near-dup keeplist over the quality survivors' clean
+    * text — the identical shingle/candidate/verify/CC chain as the
+    * dd_ family ([[Dedup.shingleFrame]] / [[Dedup.minShinglePairs]] /
+    * [[Dedup.connectedComponents]]), applied to THIS stage's input.
+    * Docs with < 3 clean tokens have no shingles and auto-keep.
+    */
+  def dedupStage(kept: DataFrame): DataFrame = {
+    val sh = Dedup.shingleFrame(
+      kept.select(col("doc_id"), col("clean").as("text")))
+    val labels = Dedup.connectedComponents(
+      Dedup.minShinglePairs(sh).select("doc_a", "doc_b"))
+    kept
+      .join(labels.select(col("node").as("doc_id"), col("c").as("cid")),
+        Seq("doc_id"), "left")
+      .filter(col("doc_id") === coalesce(col("cid"), col("doc_id")))
+      .select("doc_id", "clean")
+  }
+
+  /** Stage 4: byte-BPE encode the survivors' clean text against the
+    * trained pieces dictionary and lay the id stream out as packed
+    * examples ([[BpeCore.packExamples]] — the ta_bpe_bytes_pack
+    * machinery over the pipeline corpus instead of the raw one).
+    */
+  def packStage(surv: DataFrame, pieces: DataFrame): DataFrame = {
+    val tokp = surv
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("clean"),
+          lit(ByteBpe.PretokRegex), lit(0))).as(Seq("ti0", "t")))
+      .select(col("doc_id"), (col("ti0") + 1).cast("long").as("ti"),
+        hex(encode(col("t"), "UTF-8")).as("word"))
+    val stream = tokp
+      .join(pieces.select("word", "pos", "sym"), "word")
+      .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
+    BpeCore.packExamples(stream)
+  }
+
+  // ---- Lineage-shared stage materializations ----
+
+  private def cleanDocs(s: SparkSession, dir: String): DataFrame =
+    Lineage.materialized(s, dir, "pipe_clean") {
+      extractStage(Tables(s, dir, "documents")
+        .repartition(col("doc_id")))(s)
+    }
+
+  private def qualityKept(s: SparkSession, dir: String): DataFrame =
+    Lineage.materialized(s, dir, "pipe_quality") {
+      qualityStage(cleanDocs(s, dir),
+        QualityClassifier.nbModel(s, dir),
+        QualityClassifier.totals(s, dir).select("dk", "dd", "ndocs"))
+    }
+
+  private def survivors(s: SparkSession, dir: String): DataFrame =
+    Lineage.materialized(s, dir, "pipe_surv") {
+      dedupStage(qualityKept(s, dir))
+    }
+
+  private def packed(s: SparkSession, dir: String): DataFrame =
+    Lineage.materialized(s, dir, "pipe_packed") {
+      packStage(survivors(s, dir), ByteBpe.artifacts(s, dir)._2)
+    }
+
+  // -----------------------------------------------------------------
+  // pipe_corpus: the packed-example table of the five-stage build.
+  def pipeCorpus(s: SparkSession, dir: String): DataFrame =
+    packed(s, dir).orderBy("bucket", "seq_id")
+
+  // -----------------------------------------------------------------
+  // pipe_stages: the 1-row funnel summary.
+  def pipeStages(s: SparkSession, dir: String): DataFrame = {
+    val nd = Tables(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val nq = qualityKept(s, dir)
+      .agg(count(lit(1)).as("n_quality_kept"))
+    val nk = survivors(s, dir)
+      .agg(count(lit(1)).as("n_dedup_kept"))
+    val pk = packed(s, dir)
+      .agg(count(lit(1)).as("n_examples"),
+        sum("n_pieces").as("total_pieces"))
+    nd.crossJoin(broadcast(nq)).crossJoin(broadcast(nk))
+      .crossJoin(broadcast(pk))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_corpus" -> pipeCorpus,
+    "pipe_stages" -> pipeStages,
+  )
+
+  // ---------------------------------------------------------------
+  // Oracle: the same five stages as one CTE chain — rule labels
+  // (FilterCtes) → NB model (the ta_nb_model arithmetic, m-prefixed
+  // names), byte artifacts (ByteBpe.TrainCtes), extraction from the
+  // construction arithmetic (the ta_html_extract discipline),
+  // classifier keep, min-shingle near-dup + recursive-CC keeplist,
+  // and the shared pack tail. Every stage CTE reads the previous
+  // stage's CTE, never `documents` (except the three upstream
+  // artifact trainings, mirroring the Spark side exactly).
+  private val P = TextHash.Prime
+  private val ParMax = HtmlExtract.ParMax
+
+  private def q(c: String): String = QualityClassifier.dQlog2(c)
+
+  private lazy val PipeCtes: String = {
+    val toks = "regexp_extract_all(lower(clean), '[a-z0-9]+')"
+    s"""${TextAnalysis.FilterCtes},
+       ${ByteBpe.TrainCtes},
+       mlab AS (SELECT doc_id, reason = 'keep' AS keep FROM r),
+       mtok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+       mcw AS (SELECT w,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS ck,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS cd
+         FROM mtok JOIN mlab USING (doc_id) GROUP BY w),
+       mtots AS (SELECT CAST(SUM(ck) AS BIGINT) AS nk,
+           CAST(SUM(cd) AS BIGINT) AS nd,
+           CAST(COUNT(*) AS BIGINT) AS v FROM mcw),
+       mdtot AS (SELECT
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS dk,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dd,
+           CAST(COUNT(*) AS BIGINT) AS ndocs FROM mlab),
+       mmodel AS (SELECT w,
+           ${q("ck + 1")} - ${q("nk + v")} AS w_keep,
+           ${q("cd + 1")} - ${q("nd + v")} AS w_drop
+         FROM mcw CROSS JOIN mtots),
+       nt AS (SELECT doc_id, nfc_normalize(text) AS text
+         FROM documents),
+       tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM nt),
+       epar AS (SELECT doc_id, toks,
+           unnest(range(0, (len(toks) + ${ParMax - 1}) // $ParMax))
+             AS pi
+         FROM tt),
+       ep2 AS (SELECT doc_id, pi,
+           array_to_string(
+             toks[pi*$ParMax + 1 : pi*$ParMax + $ParMax], ' ')
+             AS ptext,
+           toks[pi*$ParMax + 1] AS tok0,
+           ((pi + doc_id) % 5 = 0) AS linked
+         FROM epar),
+       epstat AS (SELECT doc_id, pi, ptext,
+           CAST(length(ptext) AS BIGINT) AS plen,
+           CASE WHEN linked THEN CAST(length(tok0) AS BIGINT)
+             ELSE 0 END AS plink
+         FROM ep2 WHERE length(ptext) > 0),
+       ext AS (SELECT doc_id,
+           string_agg(CASE WHEN plink * 5 <= plen * 2 THEN ptext END,
+             ' ' ORDER BY pi) AS clean
+         FROM epstat GROUP BY doc_id),
+       cl AS (SELECT nt.doc_id, COALESCE(ext.clean, '') AS clean
+         FROM nt LEFT JOIN ext USING (doc_id)),
+       qtok AS (SELECT doc_id, unnest($toks) AS w FROM cl),
+       qpd AS (SELECT doc_id, CAST(SUM(w_keep) AS BIGINT) AS lk,
+           CAST(SUM(w_drop) AS BIGINT) AS ld
+         FROM qtok JOIN mmodel USING (w) GROUP BY doc_id),
+       qkeep AS (SELECT cl.doc_id, cl.clean
+         FROM cl LEFT JOIN qpd USING (doc_id) CROSS JOIN mdtot
+         WHERE (${q("dk")} - ${q("ndocs")} + coalesce(qpd.lk, 0))
+           >= (${q("dd")} - ${q("ndocs")} + coalesce(qpd.ld, 0))),
+       pdh AS (SELECT doc_id, list_transform($toks,
+           w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $P)
+             AS hs
+         FROM qkeep),
+       psh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(hs) - 1),
+             i -> ((hs[i]*131 + hs[i+1]) % $P * 131 + hs[i+2]) % $P))
+             AS shingles
+         FROM pdh WHERE len(hs) >= 3),
+       pmk AS (SELECT doc_id, shingles,
+           COALESCE(list_min(shingles), -1) AS mk FROM psh),
+       pcand AS (SELECT a.doc_id AS da, b.doc_id AS db
+         FROM pmk a JOIN pmk b
+         ON a.mk = b.mk AND a.doc_id < b.doc_id),
+       pver AS (SELECT da AS doc_a, db AS doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT)
+             AS inter,
+           CAST(len(x.shingles) + len(y.shingles)
+             - len(list_intersect(x.shingles, y.shingles)) AS BIGINT)
+             AS uni
+         FROM pcand JOIN psh x ON x.doc_id = da
+           JOIN psh y ON y.doc_id = db),
+       ppairs AS (SELECT doc_a, doc_b FROM pver
+         WHERE inter * 10 >= uni * 7),
+       pedges AS (SELECT doc_a AS u, doc_b AS v FROM ppairs
+         UNION SELECT doc_b, doc_a FROM ppairs),
+       preach AS (
+         SELECT u AS node, v AS r FROM pedges
+         UNION
+         SELECT preach.node, e.v FROM preach
+         JOIN pedges e ON preach.r = e.u),
+       plab AS (SELECT node, LEAST(node, MIN(r)) AS cid
+         FROM preach GROUP BY node),
+       surv AS (SELECT qk.doc_id, qk.clean FROM qkeep qk
+         LEFT JOIN plab ON plab.node = qk.doc_id
+         WHERE qk.doc_id = COALESCE(plab.cid, qk.doc_id)),
+       tokp AS MATERIALIZED (SELECT doc_id, ti, hex(encode(w)) AS word
+         FROM (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS ti,
+             unnest(ws) AS w
+           FROM (SELECT doc_id,
+               regexp_extract_all(clean, '${ByteBpe.DPretok}') AS ws
+             FROM surv))),
+       pstream AS MATERIALIZED (SELECT t.doc_id, t.ti, p.pos, p.sym
+         FROM tokp t JOIN pc${ByteBpe.Merges} p ON p.word = t.word)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "pipe_corpus" ->
+      s"""WITH RECURSIVE $PipeCtes,
+         ${BpeCore.packSqlTail}""",
+    "pipe_stages" ->
+      s"""WITH RECURSIVE $PipeCtes,
+         ${BpeCore.packSqlCtes}
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM qkeep)
+             AS n_quality_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_dedup_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM (SELECT DISTINCT bucket, seq_id FROM ex) g)
+             AS n_examples,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS total_pieces""",
+  )
+}

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * gaps-and-islands greedy merge and the fixpoint discipline; it is
   * not repeated here.
   */
-private[text] object BpeCore {
+private[graft] object BpeCore {
 
   /** One greedy left-to-right non-overlapping merge application.
     *
@@ -189,12 +189,15 @@ private[text] object BpeCore {
          WHERE NOT absorbed)"""
   }
 
-  /** The DuckDB twin of [[packExamples]]: the CTE chain + final
-    * SELECT over a `pstream` CTE (doc_id, ti, pos, sym) that the
-    * caller's prefix must define. Shared verbatim by the word-level
-    * and byte-level pack oracles.
+  /** The DuckDB twin of [[packExamples]], split so callers can end
+    * the chain with their own SELECT: [[packSqlCtes]] is the CTE
+    * chain over a `pstream` CTE (doc_id, ti, pos, sym) that the
+    * caller's prefix must define, ending at the exploded `ex` frame;
+    * [[packSqlTail]] appends the standard packed-example SELECT.
+    * Shared verbatim by the word-level, byte-level and pipeline pack
+    * oracles.
     */
-  def packSqlTail: String =
+  def packSqlCtes: String =
     s"""vc AS (SELECT sym, CAST(row_number() OVER (
            ORDER BY cnt DESC, sym) AS BIGINT) AS vid
          FROM (SELECT sym, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -220,7 +223,10 @@ private[text] object BpeCore {
        ex AS (SELECT p.doc_id, o.bucket,
            (o.st + p.pi) // ${BpeTrainer.ExLen} AS seq_id,
            (o.st + p.pi) % ${BpeTrainer.ExLen} AS pos, p.vid
-         FROM pid2 p JOIN ofs o ON o.doc_id = p.doc_id)
+         FROM pid2 p JOIN ofs o ON o.doc_id = p.doc_id)"""
+
+  def packSqlTail: String =
+    s"""$packSqlCtes
        SELECT CAST(bucket AS BIGINT) AS bucket,
          CAST(seq_id AS BIGINT) AS seq_id,
          CAST(COUNT(*) AS BIGINT) AS n_pieces,

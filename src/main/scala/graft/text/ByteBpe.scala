@@ -275,12 +275,12 @@ object ByteBpe {
            FROM wf)),
        ${(1 to Merges).map(BpeCore.roundCtes).mkString(",\n")}"""
 
-  private val DPretok =
+  private[graft] val DPretok =
     "[A-Za-z]+|[0-9]+|[ \\t\\n\\r]+|[^A-Za-z0-9 \\t\\n\\r]+"
   private val DSpPretok =
     "[ ]*[A-Za-z]+|[ ]*[0-9]+|[ ]*[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
 
-  private[text] lazy val TrainCtes: String = trainCtesFor(DPretok)
+  private[graft] lazy val TrainCtes: String = trainCtesFor(DPretok)
 
   /** The encode-census SELECT over a train-CTE prefix (tok + the
     * unrolled rounds): shared by the standalone and space-prefix

@@ -198,7 +198,7 @@ object HtmlExtract {
 
   // -----------------------------------------------------------------
   // Synthesis (Spark side of the mirrored construction).
-  private def pageHtml: Column = {
+  private[graft] def pageHtml: Column = {
     val toks = split(col("text"), " ")
     val nPar = expr(s"CAST((size(split(text, ' ')) + ${ParMax - 1}) " +
       s"/ $ParMax AS INT)")

@@ -70,7 +70,7 @@ object QualityClassifier {
     * m 17, so the packed state never nears BIGINT range. The DuckDB
     * twin is [[dQlog2]].
     */
-  private def qlog2(c: String): Column = {
+  private[graft] def qlog2(c: String): Column = {
     val sq = s"(shiftright(acc, $FracBits) * shiftright(acc, $FracBits))"
     expr(
       s"""(CAST(length(bin($c)) - 1 AS BIGINT) * ${1 << FracBits}) +
@@ -111,7 +111,7 @@ object QualityClassifier {
     * document counts, corpus document count — broadcast everywhere,
     * never collected.
     */
-  private def totals(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def totals(s: SparkSession, dir: String): DataFrame = {
     val t = wordCounts(s, dir)
       .agg(sum("ck").as("nk"), sum("cd").as("nd"),
         count(lit(1)).as("v"))
@@ -251,7 +251,7 @@ object QualityClassifier {
   // same normalize-then-8-squarings fold, struct-accumulated through
   // list_reduce with a prepended initial value (the house fold-with-
   // init idiom).
-  private def dQlog2(c: String): String = {
+  private[graft] def dQlog2(c: String): String = {
     val sq = "((acc >> 8) * (acc >> 8))"
     s"""((CAST(length(bin($c)) AS BIGINT) - 1) * ${1 << FracBits} +
        (list_reduce(

@@ -688,7 +688,7 @@ object TextAnalysis {
     * classifier oracle ([[QualityClassifier]]) so the classifier's
     * training labels are THE filter's decisions in both engines.
     */
-  private[text] lazy val FilterCtes: String =
+  private[graft] lazy val FilterCtes: String =
     s"""d AS (SELECT doc_id, $Toks AS toks FROM documents),
        b AS (SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
