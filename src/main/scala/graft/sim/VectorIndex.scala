@@ -231,11 +231,13 @@ object VectorIndex {
     * read. The production artifact API above takes a caller-chosen
     * path; this scoping is purely gate-harness hygiene.
     */
-  private def gatePath(s: SparkSession, dir: String): String =
+  private def gatePath(s: SparkSession, dir: String): String = {
+    graft.operators.GateSweep.sweepStale() // ADVICE r8: reap dead pids
     "/tmp/graft_ivfpq_index_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
       s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
+  }
 
   // -----------------------------------------------------------------
   // ss_ivfpq_incr: the full persisted-index lifecycle, oracle-gated.

@@ -122,11 +122,13 @@ object IndexIngest {
   // over sealed ∪ staged must hash-match the same oracle as the
   // batch-appended store (`ss_ivfpq_incr`'s SQL, reused VERBATIM):
   // growing-segment reads are not weaker than sealed reads.
-  private def gatePath(s: SparkSession, dir: String): String =
+  private def gatePath(s: SparkSession, dir: String): String = {
+    graft.operators.GateSweep.sweepStale() // ADVICE r8: reap dead pids
     "/tmp/graft_ingest_gate_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
       s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
+  }
 
   def ingestSearch(s: SparkSession, dir: String): DataFrame = {
     import graft.sim.{VectorIndex, VectorSearch}

@@ -111,4 +111,51 @@ class DedupIngestSpec extends SparkSpec {
       .filter(col("n") > 1).count()
     assert(dup === 0L, "duplicate signatures after re-ingest")
   }
+
+  test("a zero-pair batch still seals: publish enumerates batch ids " +
+    "across ALL staging tables (ADVICE r8), not just staged_pairs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dd_zeropair")
+    val path = root.resolve("store").toString
+    // Store: one doc; batch: one UNIQUE doc — the verification finds
+    // no pairs, so no staged_pairs/batch_id=0 partition is written.
+    DedupIngest.build(spark,
+      Seq((1L, "alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text"), path)
+    val src = root.resolve("src"); Files.createDirectories(src)
+    Seq((2L, "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    DedupIngest.ingest(spark, path, stream,
+      root.resolve("ckpt").toString)
+
+    assert(Files.exists(root.resolve("store/staged_sigs")),
+      "batch must have staged its signatures")
+    // The empty write may create the staged_pairs ROOT, but no
+    // batch_id= partition lands — which is exactly what the pre-fix
+    // enumeration missed.
+    def pairBatches(): Seq[String] = {
+      val d = root.resolve("store/staged_pairs").toFile
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSeq
+    }
+    assert(pairBatches().isEmpty,
+      "precondition: a zero-pair batch writes no pairs partition")
+
+    assert(DedupIngest.publish(spark, path) === 0L)
+    // The batch's signatures are sealed and staging is fully gone —
+    // the pre-fix behavior left staged_sigs/batch_id=0 forever.
+    assert(!Files.exists(root.resolve("store/staged_sigs")))
+    assert(!Files.exists(root.resolve("store/staged_shingles")))
+    val sealedIds = spark.read.parquet(s"$path/sigs")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sealedIds == Set(1L, 2L))
+  }
 }
