@@ -36,10 +36,13 @@ import graft.Tables
   *    by BOTH sides' arithmetic (26 docs at sf0.01 have 1-token
   *    tails), so the threshold is genuinely exercised.
   *
-  * Out of scope (documented, not silently wrong): HTML entities are
-  * treated as literal text; the HTML5 implicit-close rules (e.g. a
-  * second `<p>` closing the first) are not applied — a close tag,
-  * raw-text exit, or EOF closes an element.
+  * Out of scope (documented, not silently wrong): only the five
+  * markup-escape entities (`&amp; &lt; &gt; &quot; &#39;`) decode in
+  * text nodes — the exact inverse of the synthesis escape (ADVICE
+  * r8), so any corpus text round-trips through the page byte-for-
+  * byte; all other entities stay literal. The HTML5 implicit-close
+  * rules (e.g. a second `<p>` closing the first) are not applied — a
+  * close tag, raw-text exit, or EOF closes an element.
   *
   * 100 TB shape: a narrow per-row walk with no shuffle before the
   * presentation sort — the same class as the multimodal decoders;
@@ -180,9 +183,18 @@ object HtmlExtract {
         }
       } else {
         if (blks.top.order < 0) { blks.top.order = order; order += 1 }
-        blks.top.sb.append(c)
+        // Minimal entity decode — the exact inverse of the synthesis
+        // escape (ADVICE r8), so block text and link counts are RAW
+        // characters. Only the five escape entities decode; any other
+        // `&...` stays literal (documented out-of-scope behavior).
+        var ch = c
+        var adv = 1
+        if (c == '&') Entities.find { case (e, _) =>
+          html.startsWith(e, i)
+        }.foreach { case (e, d) => ch = d; adv = e.length }
+        blks.top.sb.append(ch)
         if (linkDepth > 0) blks.top.link += 1
-        i += 1
+        i += adv
       }
     }
     while (elems.nonEmpty) closeOne()
@@ -198,6 +210,40 @@ object HtmlExtract {
 
   // -----------------------------------------------------------------
   // Synthesis (Spark side of the mirrored construction).
+
+  /** HTML-escape the five markup metacharacters (ADVICE r8: raw
+    * corpus text embedded unescaped desynchronized the parsed
+    * extraction from the oracle arithmetic on any corpus containing
+    * them). `&` FIRST — escaping is not idempotent otherwise. The
+    * parser's entity decode below is the exact inverse, so block
+    * text and link-char counts stay in RAW characters and the
+    * construction arithmetic (plen/plink over raw ptext) is
+    * untouched. DuckDB twin: [[dEsc]].
+    */
+  private def esc(c: Column): Column =
+    replace(replace(replace(replace(replace(c,
+      lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;")),
+      lit(">"), lit("&gt;")),
+      lit("\""), lit("&quot;")),
+      lit("'"), lit("&#39;"))
+
+  private def dEsc(x: String): String =
+    s"""replace(replace(replace(replace(replace($x,
+       '&', '&amp;'),
+       '<', '&lt;'),
+       '>', '&gt;'),
+       '"', '&quot;'),
+       '''', '&#39;')"""
+
+  /** The entities [[esc]] emits, decoded by the parser's text
+    * accumulation (longest first is irrelevant — none is a prefix of
+    * another).
+    */
+  private val Entities: Seq[(String, Char)] = Seq(
+    ("&amp;", '&'), ("&lt;", '<'), ("&gt;", '>'),
+    ("&quot;", '"'), ("&#39;", '\''))
+
   private[graft] def pageHtml: Column = {
     val toks = split(col("text"), " ")
     val nPar = expr(s"CAST((size(split(text, ' ')) + ${ParMax - 1}) " +
@@ -210,10 +256,11 @@ object HtmlExtract {
         slice(toks, i * ParMax + lit(2), lit(ParMax - 1)), " ")
       val linked = (i + col("doc_id")) % 5 === 0
       concat(lit("<p>"),
-        when(linked, concat(lit("<a href=\"/t\">"), tok0, lit("</a>"),
-          when(length(rest) > 0, concat(lit(" "), rest))
+        when(linked, concat(lit("<a href=\"/t\">"), esc(tok0),
+          lit("</a>"),
+          when(length(rest) > 0, concat(lit(" "), esc(rest)))
             .otherwise(lit(""))))
-          .otherwise(ptext),
+          .otherwise(esc(ptext)),
         lit("</p>"))
     })
     concat(
@@ -290,9 +337,10 @@ object HtmlExtract {
            FROM par),
          ph AS (SELECT doc_id, pi, ptext, tok0, linked,
              '<p>' || CASE WHEN linked THEN
-               '<a href="/t">' || tok0 || '</a>' ||
-               CASE WHEN length(rest) > 0 THEN ' ' || rest ELSE '' END
-             ELSE ptext END || '</p>' AS phtml
+               '<a href="/t">' || ${dEsc("tok0")} || '</a>' ||
+               CASE WHEN length(rest) > 0
+                 THEN ' ' || ${dEsc("rest")} ELSE '' END
+             ELSE ${dEsc("ptext")} END || '</p>' AS phtml
            FROM p2),
          pstat AS (SELECT doc_id, pi, ptext,
              CAST(length(ptext) AS BIGINT) AS plen,

@@ -35,6 +35,24 @@ class CorpusPipelineSpec extends SparkSpec {
       "NFC must have composed the decomposed sequence BEFORE synthesis")
   }
 
+  test("extractStage round-trips markup metacharacters: the escaped " +
+    "synthesis + entity-decoding parse return the raw text (ADVICE r8)") {
+    val meta = "a&b <tag> \"quoted\" it's five"
+    val out = CorpusPipeline.extractStage(
+      Seq((3L, meta)).toDF("doc_id", "text"))(spark)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) == meta,
+      "metacharacter text must survive the page round-trip unchanged")
+    // And a LINKED metachar first token: doc_id 5 links paragraph 0;
+    // the anchor text decodes to raw and the paragraph is long enough
+    // to survive the density rule.
+    val linked = "a&b " + (1 to 19).map(i => s"w$i").mkString(" ")
+    val out5 = CorpusPipeline.extractStage(
+      Seq((5L, linked)).toDF("doc_id", "text"))(spark)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out5(5L) == linked)
+  }
+
   test("qualityStage scores its INPUT frame under the given model " +
     "artifact") {
     // Crafted model: 'junk' votes drop hard, everything else is

@@ -90,4 +90,16 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(simple("<p> <a>x<a>y</a></a>z </p>") ===
       Seq(("xyz", 2L, false)))
   }
+
+  test("the five escape entities decode to raw characters (ADVICE " +
+      "r8 inverse-escape contract); unknown entities stay literal") {
+    assert(simple("<p>a&amp;b &lt;tag&gt; &quot;q&quot; &#39;x&#39;</p>")
+      === Seq(("a&b <tag> \"q\" 'x'", 0L, false)))
+    // decoded chars count once inside anchors (raw-length link count)
+    assert(simple("<p><a>&amp;&lt;&gt;</a></p>")
+      === Seq(("&<>", 3L, false)))
+    // anything else after '&' is literal text, including near-misses
+    assert(simple("<p>&amp x &unknown; &#40;</p>")
+      === Seq(("&amp x &unknown; &#40;", 0L, false)))
+  }
 }
