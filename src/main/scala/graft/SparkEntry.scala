@@ -43,11 +43,13 @@ object SparkEntry {
       graft.text.QualityClassifier.oracles),
     (graft.text.HtmlExtract.queries, graft.text.HtmlExtract.oracles),
     (graft.text.Normalize.queries, graft.text.Normalize.oracles),
+    (graft.text.TokenizerStore.queries, graft.text.TokenizerStore.oracles),
     (graft.text.UnigramTrainer.queries, graft.text.UnigramTrainer.oracles),
     (graft.text.TokCompare.queries, graft.text.TokCompare.oracles),
     (Dedup.queries, Dedup.oracles),
     (VectorSearch.queries, VectorSearch.oracles),
     (graft.sim.VectorIndex.queries, graft.sim.VectorIndex.oracles),
+    (graft.sim.VersionedIndex.queries, graft.sim.VersionedIndex.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (graft.multimodal.PixelPng.queries, graft.multimodal.PixelPng.oracles),
     (EventOps.queries, EventOps.oracles),

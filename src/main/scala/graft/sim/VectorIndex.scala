@@ -167,10 +167,17 @@ object VectorIndex {
     * without changing the probe/ADC/rerank pipeline.
     */
   private[graft] def searchLists(s: SparkSession, path: String,
-      stored: DataFrame, q: DataFrame, corpus: DataFrame): DataFrame = {
-    val cent = s.read.parquet(centPath(path))
-    val cb = s.read.parquet(cbPath(path))
+      stored: DataFrame, q: DataFrame, corpus: DataFrame): DataFrame =
+    searchFrames(s, s.read.parquet(centPath(path)),
+      s.read.parquet(cbPath(path)), stored, q, corpus)
 
+  /** [[searchLists]] with the quantizer tables ALSO injected — the
+    * seam [[VersionedIndex]] uses to point the probe/ADC/rerank
+    * pipeline at one manifest-resolved snapshot of all three tables.
+    */
+  private[graft] def searchFrames(s: SparkSession, cent: DataFrame,
+      cb: DataFrame, stored: DataFrame, q: DataFrame,
+      corpus: DataFrame): DataFrame = {
     val wp = Window.partitionBy("query_id").orderBy(desc("pcos"), asc("cid"))
     val probes = q.join(broadcast(cent))
       .select(col("query_id"), col("cid"),

@@ -98,6 +98,13 @@ object TokenizerStore {
     val known = stored.join(dw, "word").select("word", "pos", "sym")
     val unseen = dw.join(stored.select("word").distinct(),
       Seq("word"), "left_anti")
+    // Full-vocabulary-hit fast path (the common production case, and
+    // the declared ta_tok_store_encode shape: a batch drawn from the
+    // training corpus has no unseen pretokens): skip the replay loop
+    // rather than schedule `maxRank` no-op jobs over an empty frame.
+    // The probe is one limit-1 job over the vocabulary-bounded
+    // anti-join, not a count.
+    if (unseen.isEmpty) return known
     val merges = s.read.parquet(byteMergesPath(path))
     // 1-row probe for the stored rank count (the sanctioned
     // aggregate-probe shape); 0 when training exhausted instantly.
@@ -153,6 +160,75 @@ object TokenizerStore {
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
       .orderBy("doc_id")
   }
+
+  // -----------------------------------------------------------------
+  // ta_tok_store_encode: the byte-store LIFECYCLE as a declared
+  // oracle row (round-8 spec promoted, like ss_ingest_search was).
+  // The query runs the full artifact path — train once, persist both
+  // tables to disk, read them back in a separate scan, encode the
+  // corpus against the STORED tables — while the DuckDB twin
+  // retrains from scratch and encodes in-query. Matching hashes
+  // prove the persisted artifact round-trips losslessly: the on-disk
+  // tokenizer encodes bit-for-bit like the session-trained one, with
+  // the oov column DERIVED (left-join miss count) rather than
+  // asserted, and structurally zero here because the batch is the
+  // training corpus itself. 100 TB shape: the store build is the
+  // flat-in-corpus-size byte trainer + two vocabulary-bounded
+  // writes; the encode is one dictionary hash join + a per-doc
+  // aggregate, |batch| work with the full-vocabulary-hit fast path
+  // skipping the replay loop entirely.
+
+  /** Gate-harness scratch path (per dataset, process and session —
+    * the [[graft.sim.VectorIndex]] gatePath discipline; production
+    * callers pass their own path to [[saveBytes]]).
+    */
+  private def gatePath(s: SparkSession, dir: String): String = {
+    graft.operators.GateSweep.sweepStale()
+    "/tmp/graft_tok_store_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+      s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
+  }
+
+  def storeEncode(s: SparkSession, dir: String): DataFrame = {
+    val path = gatePath(s, dir)
+    graft.operators.Lineage.ensure(s, dir, "ta_tok_store_bytes") {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true) // a crashed previous run's leftovers
+      saveBytes(s, dir, path)
+    }
+    encodeBatchBytes(s, path,
+      graft.Tables(s, dir, "documents").select("doc_id", "text"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tok_store_encode" -> storeEncode,
+  )
+
+  // The oracle retrains in-query (ByteBpe.TrainCtes) and derives the
+  // census the store path reports; `oov_tokens` comes from the
+  // left-join miss, never a literal.
+  val oracles: Map[String, String] = Map(
+    "ta_tok_store_encode" ->
+      s"""WITH ${ByteBpe.TrainCtes},
+         pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_p
+           FROM pc${ByteBpe.Merges} GROUP BY word),
+         pd AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+             CAST(SUM(CASE WHEN pw.word IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS oov_tokens,
+             CAST(SUM(len(t.word) // 2) AS BIGINT) AS n_bytes,
+             CAST(COALESCE(SUM(n_p), 0) AS BIGINT) AS n_pieces
+           FROM tok t LEFT JOIN pw USING (word) GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(pd.n_pretokens, 0) AS n_pretokens,
+           coalesce(pd.oov_tokens, 0) AS oov_tokens,
+           coalesce(pd.n_bytes, 0) AS n_bytes,
+           coalesce(pd.n_pieces, 0) AS n_pieces
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id""",
+  )
 
   /** Encode an arbitrary (doc_id, text) batch against the STORED
     * tokenizer: reference tokenization, one hash join against the

@@ -1,0 +1,156 @@
+package graft.sim
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The versioned index's contracts the SQL oracle cannot express
+  * (the oracle gate `ss_version_search` proves the NEWEST snapshot
+  * equals the rebuilt index):
+  *  - snapshot isolation: after an append commits v2, a reader
+  *    resolving v1 still gets the BASE-ONLY answer, and the v1 list
+  *    files are bit-identical;
+  *  - atomic visibility: a publisher that dies after writing data
+  *    but BEFORE the `_COMMITTED` marker is invisible to readers and
+  *    never blocks the next publish;
+  *  - compaction-as-snapshot: publishCompact changes no reader's
+  *    answer, shrinks the current version's file count, and leaves
+  *    old pubs untouched;
+  *  - gc: expiring old snapshots deletes exactly the unreferenced
+  *    versions/pubs and the surviving snapshot still answers
+  *    identically.
+  */
+class VersionedIndexSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_vtest").toString
+
+  private def split(): (DataFrame, DataFrame, DataFrame) = {
+    val e = VectorSearch.vecs(spark, sf).localCheckpoint()
+    (e, e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400))
+  }
+
+  private def queriesOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < VectorSearch.NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("manifest round-trips and the commit marker orders visibility") {
+    val root = freshRoot()
+    val (_, base, _) = split()
+    val v1 = VersionedIndex.publishBuild(spark, root, base)
+    assert(v1 === 1L)
+    val m = VersionedIndex.manifest(spark, root, v1)
+    assert(m === VersionedIndex.Manifest(1L, "p1", Seq("p1")))
+    assert(VersionedIndex.committedVersions(spark, root) === Seq(1L))
+  }
+
+  test("snapshot isolation: v1 answers base-only after v2 commits, " +
+      "and v1's files are untouched") {
+    val root = freshRoot()
+    val (e, base, inc) = split()
+    val q = queriesOf(e)
+
+    VersionedIndex.publishBuild(spark, root, base)
+    val v1Before = rows(VersionedIndex.search(spark, root, q, e))
+
+    // An UNversioned reference index over base only.
+    val refRoot = freshRoot()
+    VectorIndex.build(base, refRoot)
+    val baseOnly = rows(VectorIndex.search(spark, refRoot, q, e))
+    assert(v1Before === baseOnly)
+
+    val p1Lists = new java.io.File(s"$root/lists/pub=p1")
+    def fileSizes = p1Lists.listFiles().flatMap { d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length())
+    }.toMap
+    val sizesBefore = fileSizes
+
+    val v2 = VersionedIndex.publishAppend(spark, root, inc)
+    assert(v2 === 2L)
+    assert(VersionedIndex.manifest(spark, root, v2).listPubs ===
+      Seq("p1", "p2"))
+
+    // v1 resolved EXPLICITLY still answers base-only; its files are
+    // bit-for-bit (size-for-size) what they were.
+    val v1After =
+      rows(VersionedIndex.search(spark, root, q, e, Some(1L)))
+    assert(v1After === baseOnly)
+    assert(fileSizes === sizesBefore)
+
+    // The default (newest) resolution sees base ∪ increment — equal
+    // to the unversioned incremental store's answer.
+    VectorIndex.append(spark, refRoot, inc)
+    assert(rows(VersionedIndex.search(spark, root, q, e)) ===
+      rows(VectorIndex.search(spark, refRoot, q, e)))
+  }
+
+  test("a crashed publisher (no marker) is invisible and never " +
+      "blocks or pollutes the next publish") {
+    val root = freshRoot()
+    val (e, base, inc) = split()
+    val q = queriesOf(e)
+    VersionedIndex.publishBuild(spark, root, base)
+    val before = rows(VersionedIndex.search(spark, root, q, e))
+
+    // Simulate a publisher that died mid-build: a version dir with a
+    // manifest but no marker, plus orphan data.
+    val dead = new java.io.File(s"$root/v=2")
+    assert(dead.mkdirs())
+    Files.write(dead.toPath.resolve("manifest.json"),
+      """{"version":2,"quant_pub":"p1","list_pubs":["p1","p2"]}"""
+        .getBytes("UTF-8"))
+    assert(new java.io.File(s"$root/lists/pub=p2/cid=0").mkdirs())
+
+    // Readers resolve v1; the committed set excludes the corpse.
+    assert(VersionedIndex.committedVersions(spark, root) === Seq(1L))
+    assert(rows(VersionedIndex.search(spark, root, q, e)) === before)
+
+    // The next publish numbers PAST the corpse (its data can never
+    // be adopted) and commits cleanly.
+    val v3 = VersionedIndex.publishAppend(spark, root, inc)
+    assert(v3 === 3L)
+    assert(VersionedIndex.manifest(spark, root, v3).listPubs ===
+      Seq("p1", "p3"))
+    assert(VersionedIndex.committedVersions(spark, root) === Seq(1L, 3L))
+  }
+
+  test("publishCompact preserves every reader's answer and gc drops " +
+      "exactly the expired versions and unreferenced pubs") {
+    val root = freshRoot()
+    val (e, base, inc) = split()
+    val q = queriesOf(e)
+    VersionedIndex.publishBuild(spark, root, base)    // v1: p1
+    VersionedIndex.publishAppend(spark, root, inc)    // v2: p1+p2
+    val v2Ans = rows(VersionedIndex.search(spark, root, q, e))
+
+    val v3 = VersionedIndex.publishCompact(spark, root) // v3: p3 only
+    assert(VersionedIndex.manifest(spark, root, v3).listPubs ===
+      Seq("p3"))
+    // Same answer through the compacted snapshot AND the old one.
+    assert(rows(VersionedIndex.search(spark, root, q, e)) === v2Ans)
+    assert(rows(VersionedIndex.search(spark, root, q, e, Some(2L)))
+      === v2Ans)
+
+    // gc(keepLast=1): v1/v2 dirs gone, p1's lists and p2 gone, the
+    // quantizer pub p1 KEPT (v3 still references it), answer stable.
+    val (dropV, dropP) = VersionedIndex.gc(spark, root, keepLast = 1)
+    assert(dropV === Seq(1L, 2L))
+    assert(dropP === Seq("p1", "p2"))
+    assert(!new java.io.File(s"$root/v=1").exists())
+    assert(!new java.io.File(s"$root/lists/pub=p1").exists())
+    assert(!new java.io.File(s"$root/lists/pub=p2").exists())
+    assert(new java.io.File(s"$root/centroids/pub=p1").exists())
+    assert(VersionedIndex.committedVersions(spark, root) === Seq(3L))
+    assert(rows(VersionedIndex.search(spark, root, q, e)) === v2Ans)
+  }
+}

@@ -1,5 +1,7 @@
 package graft.text
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -243,5 +245,42 @@ class ByteBpeSpec extends SparkSpec {
       .select(col("doc_id"), col("n_bytes").as("nb_sp"))
     assert(a.join(b, "doc_id")
       .filter(col("n_bytes") =!= col("nb_sp")).count() == 0L)
+  }
+
+  test("ta_tok_store_encode: the declared row builds the store once " +
+    "per session and matches the session-trained census exactly") {
+    val first = TokenizerStore.storeEncode(spark, sf)
+      .collect().map(_.toSeq).toSeq
+
+    // The on-disk artifact this session built (gate path is internal;
+    // find it by the family prefix + our own pid).
+    val pid = ProcessHandle.current().pid()
+    val stores = new java.io.File("/tmp").listFiles()
+      .filter(f => f.getName.startsWith("graft_tok_store_") &&
+        f.getName.contains(s"_${pid}_"))
+    assert(stores.nonEmpty, "declared row left no store on disk")
+    def listing = stores.flatMap { st =>
+      java.nio.file.Files.walk(st.toPath).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    }.toMap
+    val before = listing
+
+    // Second invocation: Lineage hit — the store is NOT rebuilt
+    // (same files, same mtimes), and the census is identical.
+    val second = TokenizerStore.storeEncode(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(listing === before, "second call rebuilt the store")
+    assert(second === first)
+
+    // The store census equals the session-trained encode census
+    // (the persisted artifact is lossless), with oov structurally 0.
+    val viaSession = ByteBpe.byteEncode(spark, sf)
+      .select("doc_id", "n_pretokens", "n_bytes", "n_pieces")
+      .collect().map(_.toSeq).toSeq
+    val storeCensus = first.map(r => Seq(r(0), r(1), r(3), r(4)))
+    assert(storeCensus === viaSession)
+    assert(first.forall(_(2) == 0L), "oov must be structurally zero")
   }
 }
