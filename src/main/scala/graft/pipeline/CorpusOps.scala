@@ -382,7 +382,11 @@ object CorpusOps {
           s"$SegLen), ' '))")).as(Seq("seg_no", "seg")))
     val verdict = segs.groupBy(col("seg"))
       .agg((countDistinct(col("doc_id")) >= LineDedupMinDocs).as("drop"))
-    segs.join(verdict, Seq("seg"))
+    // verdict is |distinct segments| — corpus-scale, NEVER broadcast;
+    // shuffle_hash pins it as the per-partition build side (sharing
+    // the seg exchange with its own groupBy) so the Generate-derived
+    // segs stream can never become a broadcast build side either.
+    segs.join(verdict.hint("shuffle_hash"), Seq("seg"))
       .groupBy(col("doc_id"))
       .agg(
         sum(when(col("drop"), 0L).otherwise(1L)).as("n_kept"),

@@ -95,10 +95,13 @@ object CorpusPipeline {
     import QualityClassifier.qlog2
     val m = model.select(col("word").as("w"), col("w_keep"),
       col("w_drop"))
+    // Model side broadcast-hinted (vocabulary-bounded; see the
+    // ByteBpe encode note — the exploded token stream's size
+    // estimate must never make IT the build side).
     val perDoc = clean
       .select(col("doc_id"), explode(TextHash.tokens(col("clean")))
         .as("w"))
-      .join(m, "w")
+      .join(broadcast(m), "w")
       .groupBy("doc_id")
       .agg(sum("w_keep").as("lk"), sum("w_drop").as("ld"))
     clean.join(perDoc, Seq("doc_id"), "left")
@@ -141,7 +144,7 @@ object CorpusPipeline {
       .select(col("doc_id"), (col("ti0") + 1).cast("long").as("ti"),
         hex(encode(col("t"), "UTF-8")).as("word"))
     val stream = tokp
-      .join(pieces.select("word", "pos", "sym"), "word")
+      .join(broadcast(pieces.select("word", "pos", "sym")), "word")
       .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
     BpeCore.packExamples(stream)
   }

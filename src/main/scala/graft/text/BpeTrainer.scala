@@ -156,8 +156,12 @@ object BpeTrainer {
     val perWord = artifacts(s, dir)._2
       .groupBy("word")
       .agg(count(lit(1)).as("n_p"))
+    // Dictionary side broadcast-hinted: vocabulary-bounded by law,
+    // and Catalyst's post-Generate estimate of the token stream can
+    // otherwise flip the build side onto the STREAM (measured on the
+    // byte twin at 32×: a 3.6 GiB stream broadcast).
     val perDoc = tokens(s, dir)
-      .join(perWord, "word")
+      .join(broadcast(perWord), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(length(col("word"))).cast("long").as("n_chars"),
@@ -196,7 +200,8 @@ object BpeTrainer {
           .as(Seq("ti0", "t")))
       .select(col("doc_id"), (col("ti0") + 1).cast("long").as("ti"),
         upper(col("t")).as("word"))
-    val stream = tokp.join(pieces.select("word", "pos", "sym"), "word")
+    val stream = tokp
+      .join(broadcast(pieces.select("word", "pos", "sym")), "word")
       .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
     val wSeq = Window.partitionBy("doc_id").orderBy("ti", "pos")
     val seq = stream
@@ -208,8 +213,8 @@ object BpeTrainer {
       .select(col("doc_id"), col("pi"), col("sym").as("s1"),
         col("nxt").as("s2"))
     val bgc = bg.groupBy("s1", "s2").agg(count(lit(1)).as("c2"))
-    bg.join(bgc, Seq("s1", "s2"))
-      .join(uni, "s1")
+    bg.join(broadcast(bgc), Seq("s1", "s2"))
+      .join(broadcast(uni), "s1")
       .crossJoin(broadcast(vDf))
       .select(col("doc_id"), col("pi"),
         ((col("c2") + 1).cast("double") /
@@ -257,7 +262,8 @@ object BpeTrainer {
           .as(Seq("ti0", "t")))
       .select(col("doc_id"), (col("ti0") + 1).cast("long").as("ti"),
         upper(col("t")).as("word"))
-    val stream = tokp.join(pieces.select("word", "pos", "sym"), "word")
+    val stream = tokp
+      .join(broadcast(pieces.select("word", "pos", "sym")), "word")
       .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
     // Vocabulary ids, per-doc piece index, EOS separator, contiguous
     // per-bucket layout, 2^ExShift examples — the shared machinery

@@ -199,8 +199,14 @@ object ByteBpe {
     val perWord = pieces
       .groupBy("word")
       .agg(count(lit(1)).as("n_p"))
+    // The dictionary side is vocabulary-bounded BY LAW (Heaps), so it
+    // is always the broadcast build side; without the hint Catalyst's
+    // post-Generate size estimate of the pretoken STREAM can come in
+    // under the threshold and flip the build side — measured at 32×:
+    // a 3.6 GiB broadcast of the stream (grows linearly, OOM at
+    // scale). Same hint discipline at every stream⋈dictionary join.
     val perDoc = pretoksWith(regex)(s, dir)
-      .join(perWord, "word")
+      .join(broadcast(perWord), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pretokens"),
         // cast BEFORE the sum (VERDICT r8 minor finding): length/2 is
@@ -241,7 +247,8 @@ object ByteBpe {
           lit(0))).as(Seq("ti0", "t")))
       .select(col("doc_id"), (col("ti0") + 1).cast("long").as("ti"),
         hex(encode(col("t"), "UTF-8")).as("word"))
-    val stream = tokp.join(pieces.select("word", "pos", "sym"), "word")
+    val stream = tokp
+      .join(broadcast(pieces.select("word", "pos", "sym")), "word")
       .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
     BpeCore.packExamples(stream)
   }

@@ -144,7 +144,7 @@ object QualityClassifier {
     val model = nbModel(s, dir)
       .select(col("word").as("w"), col("w_keep"), col("w_drop"))
     val perDoc = tok(s, dir)
-      .join(model, "w")
+      .join(broadcast(model), "w") // dictionary side: vocab-bounded
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum("w_keep").as("lk"), sum("w_drop").as("ld"))
@@ -205,7 +205,7 @@ object QualityClassifier {
       .select(col("w"),
         (qlog2("ck + 1") - qlog2("nk + v")).as("w_keep"),
         (qlog2("cd + 1") - qlog2("nd + v")).as("w_drop"))
-    val perDoc = tok(s, dir).join(model, "w")
+    val perDoc = tok(s, dir).join(broadcast(model), "w")
       .groupBy("doc_id")
       .agg(sum("w_keep").as("lk"), sum("w_drop").as("ld"))
     val scored = graft.Tables(s, dir, "documents").select(col("doc_id"))

@@ -466,9 +466,18 @@ object TextAnalysis {
     val uniCnt = tok.groupBy("h").agg(count(lit(1)).as("c1"))
     val vDf = tok.agg(countDistinct(col("h")).as("v"))
     val bgCnt = withBg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    // Build-side discipline: the unigram table is vocabulary-bounded
+    // (broadcast by law); the BIGRAM table is vocab²-bounded — big
+    // enough at corpus scale that a forced broadcast would be wrong,
+    // so it gets a shuffle_hash hint instead: the stream shuffles by
+    // bg (an exchange it shares with the bgCnt aggregation), and the
+    // count table is the per-partition hash BUILD side. Either hint
+    // also prevents Catalyst's post-Generate underestimate of the
+    // STREAM from flipping the build side onto it (measured on the
+    // pack path at 32×: a 3.6 GiB stream broadcast).
     withBg
-      .join(bgCnt, "bg")
-      .join(uniCnt.withColumnRenamed("h", "h1"), "h1")
+      .join(bgCnt.hint("shuffle_hash"), "bg")
+      .join(broadcast(uniCnt.withColumnRenamed("h", "h1")), "h1")
       .crossJoin(broadcast(vDf))
       .select(col("doc_id"), col("pos"),
         ((col("c2") + 1).cast("double") /
@@ -662,7 +671,7 @@ object TextAnalysis {
     val ca = uni.select(col("tkn").as("a"), col("c").as("c_a"))
     val cb = uni.select(col("tkn").as("b"), col("c").as("c_b"))
     pairs.filter(col("cab") >= PmiMinCount)
-      .join(ca, "a").join(cb, "b")
+      .join(broadcast(ca), "a").join(broadcast(cb), "b")
       .crossJoin(nu).crossJoin(nb)
       .select(concat(col("a"), lit(" "), col("b")).as("bigram"),
         col("cab").as("pair_cnt"),

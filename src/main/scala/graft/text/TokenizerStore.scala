@@ -144,7 +144,7 @@ object TokenizerStore {
     val perWord = segmentBytes(s, path, toks)
       .groupBy("word").agg(count(lit(1)).as("n_p"))
     val perDoc = toks
-      .join(perWord, Seq("word"), "left")
+      .join(broadcast(perWord), Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pretokens"),
         sum(when(col("n_p").isNull, 1L).otherwise(0L)).as("oov_tokens"),
@@ -246,7 +246,7 @@ object TokenizerStore {
           .as("t"))
       .select(col("doc_id"), upper(col("t")).as("word"))
     val perDoc = toks
-      .join(perWord, Seq("word"), "left")
+      .join(broadcast(perWord), Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("n_p").isNull, 1L).otherwise(0L)).as("oov_tokens"),

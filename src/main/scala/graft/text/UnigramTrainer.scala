@@ -202,7 +202,7 @@ object UnigramTrainer {
   def unigramEncode(s: SparkSession, dir: String): DataFrame = {
     val perWord = artifacts(s, dir)._2.select(col("word"), col("np"))
     val perDoc = tokens(s, dir)
-      .join(perWord, "word")
+      .join(broadcast(perWord), "word") // dictionary: vocab-bounded
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(length(col("word"))).cast("long").as("n_chars"),
@@ -235,7 +235,7 @@ object UnigramTrainer {
       .groupBy("word")
       .agg(sum("sc").as("wsc"), count(lit(1)).as("wnp"))
     val perDoc = tokens(s, dir)
-      .join(perWord, "word")
+      .join(broadcast(perWord), "word")
       .groupBy("doc_id")
       .agg(sum("wsc").as("ilog_sum"), sum("wnp").as("n_pieces"))
     Tables(s, dir, "documents").select(col("doc_id"))

@@ -177,4 +177,42 @@ class PlanAuditSpec extends SparkSpec {
     val (exact, approx) = (r.getLong(0), r.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
+
+  test("no broadcast build side carries a raw (un-aggregated) " +
+    "generate: token/piece STREAMS are never broadcast (round-9 " +
+    "find: Catalyst's post-explode size estimate flipped the pack " +
+    "dictionary join's build side onto the stream — a 3.6 GiB " +
+    "broadcast at 32×, linear growth)") {
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // A Generate (explode/posexplode) below a broadcast build side
+    // with NO aggregation in between means Spark is broadcasting a
+    // per-token/per-piece stream — row count proportional to the
+    // corpus, so the broadcast grows linearly and OOMs at scale. An
+    // intervening aggregate bounds the subtree (vocabulary /
+    // per-doc), which is the legitimate dictionary-broadcast shape.
+    def rawGenerate(p: SparkPlan): Boolean = p match {
+      case _: GenerateExec => true
+      case _: BaseAggregateExec => false
+      case other => other.children.exists(rawGenerate)
+    }
+    // The Generate-heavy text/pipeline surface (tokenize → explode →
+    // dictionary join → pack/score); the static plan is audited —
+    // the flip happened at static planning time.
+    val audited = Seq("ta_bpe_encode", "ta_bpe_pack", "ta_bpe_score",
+      "ta_bpe_bytes_encode", "ta_bpe_bytes_pack", "ta_bpe_sp_encode",
+      "ta_unigram_encode", "ta_unigram_score", "ta_nb_quality",
+      "ta_nb_eval", "ta_lm_score", "ta_line_dedup", "ta_tfidf",
+      "ta_tok_store_encode", "pipe_corpus")
+    audited.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val offenders = df.queryExecution.sparkPlan.collect {
+        case b: BroadcastExchangeExec if rawGenerate(b.child) => b
+      }
+      assert(offenders.isEmpty,
+        s"$name broadcasts a raw generate stream:\n" +
+          offenders.map(_.toString.take(800)).mkString("\n"))
+    }
+  }
 }
