@@ -58,6 +58,8 @@ object SparkEntry {
     (graft.streaming.RateIngest.queries, graft.streaming.RateIngest.oracles),
     (graft.streaming.DedupIngest.queries,
       graft.streaming.DedupIngest.oracles),
+    (graft.streaming.PipeIngest.queries,
+      graft.streaming.PipeIngest.oracles),
     (graft.streaming.IndexIngest.queries,
       graft.streaming.IndexIngest.oracles),
     (graft.core.ShardedSinkGate.queries, graft.core.ShardedSinkGate.oracles),

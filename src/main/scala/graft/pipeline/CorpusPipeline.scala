@@ -214,11 +214,17 @@ object CorpusPipeline {
 
   private def q(c: String): String = QualityClassifier.dQlog2(c)
 
-  private lazy val PipeCtes: String = {
-    val toks = "regexp_extract_all(lower(clean), '[a-z0-9]+')"
-    s"""${TextAnalysis.FilterCtes},
-       ${ByteBpe.TrainCtes},
-       mlab AS (SELECT doc_id, reason = 'keep' AS keep FROM r),
+  // The oracle CTE blocks below are FACTORED so the streaming corpus
+  // build's oracle ([[graft.streaming.PipeIngest]]) chains the same
+  // arithmetic verbatim — batch pipeline, streaming pipeline and
+  // their Spark twins can never drift apart stage-wise.
+
+  /** NB training block over the label chain's `d`/`r` CTEs (either
+    * [[TextAnalysis.FilterCtes]] or a `filterCtesOn` restriction):
+    * mlab → mmodel/mdtot, the trained-gate artifact.
+    */
+  private[graft] lazy val NbModelCtes: String =
+    s"""mlab AS (SELECT doc_id, reason = 'keep' AS keep FROM r),
        mtok AS (SELECT doc_id, unnest(toks) AS w FROM d),
        mcw AS (SELECT w,
            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS ck,
@@ -234,8 +240,13 @@ object CorpusPipeline {
        mmodel AS (SELECT w,
            ${q("ck + 1")} - ${q("nk + v")} AS w_keep,
            ${q("cd + 1")} - ${q("nd + v")} AS w_drop
-         FROM mcw CROSS JOIN mtots),
-       nt AS (SELECT doc_id, nfc_normalize(text) AS text
+         FROM mcw CROSS JOIN mtots)"""
+
+  /** Extraction block: NFC → mirrored page synthesis arithmetic →
+    * link-density keep → `cl (doc_id, clean)` over `documents`.
+    */
+  private[graft] lazy val ExtractCtes: String =
+    s"""nt AS (SELECT doc_id, nfc_normalize(text) AS text
          FROM documents),
        tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM nt),
        epar AS (SELECT doc_id, toks,
@@ -259,16 +270,29 @@ object CorpusPipeline {
              ' ' ORDER BY pi) AS clean
          FROM epstat GROUP BY doc_id),
        cl AS (SELECT nt.doc_id, COALESCE(ext.clean, '') AS clean
-         FROM nt LEFT JOIN ext USING (doc_id)),
-       qtok AS (SELECT doc_id, unnest($toks) AS w FROM cl),
+         FROM nt LEFT JOIN ext USING (doc_id))"""
+
+  private[graft] val CleanToks =
+    "regexp_extract_all(lower(clean), '[a-z0-9]+')"
+
+  /** Classifier-keep block: score `cl` under mmodel/mdtot →
+    * `qkeep (doc_id, clean)`.
+    */
+  private[graft] lazy val QualityCtes: String =
+    s"""qtok AS (SELECT doc_id, unnest($CleanToks) AS w FROM cl),
        qpd AS (SELECT doc_id, CAST(SUM(w_keep) AS BIGINT) AS lk,
            CAST(SUM(w_drop) AS BIGINT) AS ld
          FROM qtok JOIN mmodel USING (w) GROUP BY doc_id),
        qkeep AS (SELECT cl.doc_id, cl.clean
          FROM cl LEFT JOIN qpd USING (doc_id) CROSS JOIN mdtot
          WHERE (${q("dk")} - ${q("ndocs")} + coalesce(qpd.lk, 0))
-           >= (${q("dd")} - ${q("ndocs")} + coalesce(qpd.ld, 0))),
-       pdh AS (SELECT doc_id, list_transform($toks,
+           >= (${q("dd")} - ${q("ndocs")} + coalesce(qpd.ld, 0)))"""
+
+  /** Shingle block over `qkeep` → `psh (doc_id, shingles)` (docs
+    * with < 3 clean tokens have no shingles and auto-keep).
+    */
+  private[graft] lazy val ShingleCtes: String =
+    s"""pdh AS (SELECT doc_id, list_transform($CleanToks,
            w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $P)
              AS hs
          FROM qkeep),
@@ -276,7 +300,15 @@ object CorpusPipeline {
            list_distinct(list_transform(range(1, len(hs) - 1),
              i -> ((hs[i]*131 + hs[i+1]) % $P * 131 + hs[i+2]) % $P))
              AS shingles
-         FROM pdh WHERE len(hs) >= 3),
+         FROM pdh WHERE len(hs) >= 3)"""
+
+  private lazy val PipeCtes: String = {
+    s"""${TextAnalysis.FilterCtes},
+       ${ByteBpe.TrainCtes},
+       $NbModelCtes,
+       $ExtractCtes,
+       $QualityCtes,
+       $ShingleCtes,
        pmk AS (SELECT doc_id, shingles,
            COALESCE(list_min(shingles), -1) AS mk FROM psh),
        pcand AS (SELECT a.doc_id AS da, b.doc_id AS db

@@ -74,16 +74,24 @@ object ByteBpe {
   val SpPretokRegex: String =
     "[ ]*[A-Za-z]+|[ ]*[0-9]+|[ ]*[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
 
-  /** (doc_id, word): the corpus pretoken stream under `regex`, each
-    * pretoken keyed by the hex of its UTF-8 bytes (case preserved).
+  /** (doc_id, word) pretoken stream of an arbitrary (doc_id, text)
+    * frame under `regex`, each pretoken keyed by the hex of its
+    * UTF-8 bytes (case preserved) — the frame seam the streaming
+    * corpus build trains/encodes through.
     */
-  private def pretoksWith(regex: String)(s: SparkSession,
-      dir: String): DataFrame =
-    Tables(s, dir, "documents").repartition(col("doc_id"))
+  private[graft] def pretoksOf(docs: DataFrame,
+      regex: String): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit(regex), lit(0)))
           .as("t"))
       .select(col("doc_id"), hex(encode(col("t"), "UTF-8")).as("word"))
+
+  /** (doc_id, word): the corpus pretoken stream under `regex`. */
+  private def pretoksWith(regex: String)(s: SparkSession,
+      dir: String): DataFrame =
+    pretoksOf(
+      Tables(s, dir, "documents").repartition(col("doc_id")), regex)
 
   private def pretoks(s: SparkSession, dir: String): DataFrame =
     pretoksWith(PretokRegex)(s, dir)
@@ -140,11 +148,12 @@ object ByteBpe {
     }
 
   /** Byte seed: pos i ↦ hex pair (2i−1, 2i) of the pretoken's hex
-    * string, then the shared merge loop.
+    * string, then the shared merge loop — over an arbitrary
+    * (doc_id, text) frame (the snapshot-training seam).
     */
-  private def train(regex: String)(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val words = pretoksWith(regex)(s, dir)
+  private[graft] def trainOn(s: SparkSession, docs: DataFrame,
+      regex: String): (DataFrame, DataFrame) = {
+    val words = pretoksOf(docs, regex)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val seed = words
       .select(col("word"), col("freq"),
@@ -154,6 +163,11 @@ object ByteBpe {
         expr("substring(word, cast(2*pos - 1 as int), 2)").as("sym"))
     BpeCore.mergeLoop(s, seed, Merges)
   }
+
+  private def train(regex: String)(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    trainOn(s,
+      Tables(s, dir, "documents").repartition(col("doc_id")), regex)
 
   // -----------------------------------------------------------------
   // ta_bpe_bytes: the learned byte-level merge table. Symbols are

@@ -122,6 +122,38 @@ object QualityClassifier {
     t.crossJoin(d)
   }
 
+  /** Train the NB gate on an arbitrary (doc_id, text) SNAPSHOT frame
+    * (rule labels from [[TextAnalysis.filterPipelineOf]] over the
+    * same frame): returns (model (w, w_keep, w_drop),
+    * priors (dk, dd, ndocs)) — the artifact pair the streaming
+    * corpus build persists and every later micro-batch scores
+    * against ([[graft.streaming.PipeIngest]]). Identical arithmetic
+    * to [[nbModel]]/[[totals]], just frame-parameterized.
+    */
+  private[graft] def modelOn(s: SparkSession,
+      docs: DataFrame): (DataFrame, DataFrame) = {
+    val toked = docs.select(col("doc_id"),
+      graft.functions.TextHash.tokens(col("text")).as("toks"))
+    val lab = TextAnalysis.filterPipelineOf(toked)
+      .select("doc_id", "keep")
+    val tk = toked.select(col("doc_id"), explode(col("toks")).as("w"))
+    val cw = tk.join(lab, "doc_id")
+      .groupBy("w")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("ck"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("cd"))
+    val t = cw.agg(sum("ck").as("nk"), sum("cd").as("nd"),
+      count(lit(1)).as("v"))
+    val priors = lab
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("dk"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("dd"),
+        count(lit(1)).as("ndocs"))
+    val model = cw.crossJoin(broadcast(t))
+      .select(col("w").as("word"), // the nbModel artifact column name
+        (qlog2("ck + 1") - qlog2("nk + v")).as("w_keep"),
+        (qlog2("cd + 1") - qlog2("nd + v")).as("w_drop"))
+    (model, priors)
+  }
+
   // -----------------------------------------------------------------
   // ta_nb_model: the trained model — per-word class counts and the
   // quantized per-occurrence log-likelihood weights.

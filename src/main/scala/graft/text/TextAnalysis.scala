@@ -512,8 +512,16 @@ object TextAnalysis {
   // double ratio ever reaches a comparison. Single narrow scan pass;
   // the max-multiplicity reuses [[repetition]]'s O(n log n)
   // sort+longest-run fold rather than a per-token count scan.
-  def filterPipeline(s: SparkSession, dir: String): DataFrame = {
-    val base = tokenized(s, dir)
+  def filterPipeline(s: SparkSession, dir: String): DataFrame =
+    filterPipelineOf(tokenized(s, dir))
+
+  /** The rule chain over an arbitrary (doc_id, toks) frame — the
+    * seam the streaming corpus build labels its SNAPSHOT through
+    * ([[graft.streaming.PipeIngest]] trains the NB gate on history
+    * only, exactly as the shipped-classifier lifecycle demands).
+    */
+  private[graft] def filterPipelineOf(tokens: DataFrame): DataFrame = {
+    val base = tokens
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
@@ -697,8 +705,12 @@ object TextAnalysis {
     * classifier oracle ([[QualityClassifier]]) so the classifier's
     * training labels are THE filter's decisions in both engines.
     */
-  private[graft] lazy val FilterCtes: String =
-    s"""d AS (SELECT doc_id, $Toks AS toks FROM documents),
+  /** [[FilterCtes]] parameterized on the source relation — the
+    * streaming corpus build's oracle labels its HISTORY slice with
+    * the identical rule arithmetic.
+    */
+  private[graft] def filterCtesOn(src: String): String =
+    s"""d AS (SELECT doc_id, $Toks AS toks FROM $src),
        b AS (SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(list_sum(list_prepend(0, list_transform(toks,
@@ -715,6 +727,8 @@ object TextAnalysis {
               WHEN stop_hits * 20 < n_tokens THEN 'low_stopword'
               WHEN best_run * 5 > n_tokens THEN 'repetitive'
               ELSE 'keep' END AS reason FROM b)"""
+
+  private[graft] lazy val FilterCtes: String = filterCtesOn("documents")
 
   private def dHits(words: Seq[String]): String =
     s"len(list_filter(toks, w -> list_contains(${

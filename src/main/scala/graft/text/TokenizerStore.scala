@@ -78,6 +78,19 @@ object TokenizerStore {
     pieces.write.mode("overwrite").parquet(bytePiecesPath(path))
   }
 
+  /** Train the byte-level tokenizer on an arbitrary (doc_id, text)
+    * SNAPSHOT frame and persist it — the streaming corpus build's
+    * "train once on the historical snapshot, encode every later
+    * batch against the store" artifact ([[graft.streaming.PipeIngest]]).
+    */
+  def saveBytesOf(s: SparkSession, docs: DataFrame,
+      path: String): Unit = {
+    val (merges, pieces) =
+      ByteBpe.trainOn(s, docs, ByteBpe.PretokRegex)
+    merges.write.mode("overwrite").parquet(byteMergesPath(path))
+    pieces.write.mode("overwrite").parquet(bytePiecesPath(path))
+  }
+
   /** The stored byte-level merge table, rank order. */
   def loadBytesMerges(s: SparkSession, path: String): DataFrame =
     s.read.parquet(byteMergesPath(path)).orderBy("rank")

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The streaming corpus build's contracts the SQL oracle cannot
+  * express, driven over a CRAFTED corpus through the public
+  * build/ingest/publish APIs (the gate fixture cannot produce
+  * unseen-byte pretokens or a controlled dup topology):
+  *  - the store dup check (a streamed copy of a history keep is
+  *    dropped), the greedy same-batch rule (smaller id survives),
+  *    and the cross-batch rule (a copy of an EARLIER batch's
+  *    survivor is dropped);
+  *  - the trained NB gate drops a spam-shaped streamed doc it never
+  *    saw, from the history labels alone;
+  *  - a streamed doc with characters the history snapshot NEVER saw
+  *    (astral-plane emoji) encodes through the stored tokenizer's
+  *    merge replay with every pretoken segmented (zero OOV);
+  *  - publish is exactly-once: the sealed delta is reported once,
+  *    a second publish appends nothing, and the read set is
+  *    identical before and after sealing.
+  */
+class PipeIngestSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val histRows = Seq(
+    7L -> ("the alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron"),
+    17L -> ("the one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen"),
+    // rule-labelled DROPS (repetitive) — the NB gate's drop class.
+    27L -> "spam spam spam spam spam spam spam spam spam spam",
+    37L -> "junk junk junk junk junk junk junk junk junk junk junk")
+
+  private val doc22 = "the red green blue cyan magenta yellow black " +
+    "white orange purple pink brown silver gold bronze"
+  private val doc32 = "the wind rain snow cloud storm thunder light " +
+    "dark dawn dusk noon night morning evening sky"
+  private val emojiText = "the quick brown fox jumps over lazy dog " +
+    "near riverbank today 😀🚀 tokens flow"
+
+  private val wave0 = Seq(
+    21L -> histRows.head._2, // exact copy of history keep -> drop
+    22L -> doc22,            // unique -> survives
+    23L -> doc22,            // same-batch copy, larger id -> drop
+    24L -> emojiText,        // unseen bytes -> survives, replay path
+    25L -> ("spam spam spam spam spam spam spam spam spam spam spam " +
+      "spam")) // NB gate predicts drop (never seen, drop-class words)
+  private val wave1 = Seq(
+    31L -> doc22,            // copy of an EARLIER batch's survivor
+    32L -> doc32)            // unique -> survives
+
+  private def survivorIds(s: DataFrame): Set[Long] =
+    s.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("streamed pipeline: trained-gate drop, greedy dedup across " +
+    "store/batch/earlier-batch, zero-OOV replay encode, " +
+    "exactly-once publish") {
+    val path = Files.createTempDirectory("graft_pipe_spec").toString
+    PipeIngest.build(spark, docsDf(histRows), path)
+
+    val src = s"$path/src"
+    val ckpt = s"$path/ckpt"
+    def stream = spark.readStream
+      .schema(docsDf(wave0).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+
+    docsDf(wave0).coalesce(1).write.mode("append").parquet(src)
+    PipeIngest.ingest(spark, path, stream, ckpt)
+    val after0 = PipeIngest.docsAll(spark, path).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(after0.keySet === Set(22L, 24L),
+      "wave 0: unique + emoji survive; store-dup, batch-dup and " +
+        s"spam are dropped (got ${after0.keySet})")
+
+    // The emoji doc encoded through the STORED tokenizer: every
+    // pretoken segmented (>= 1 piece each — OOV would lose pieces
+    // to the inner dictionary join), non-empty content hash.
+    val em = after0(24L)
+    val np = em.getAs[Long]("n_pretokens")
+    val npc = em.getAs[Long]("n_pieces")
+    assert(np > 0 && npc >= np,
+      s"emoji doc: $npc pieces for $np pretokens — a pretoken went " +
+        "unsegmented (OOV must be impossible)")
+    assert(em.getAs[String]("pieces_md5") !=
+      "d41d8cd98f00b204e9800998ecf8427e")
+
+    docsDf(wave1).coalesce(1).write.mode("append").parquet(src)
+    PipeIngest.ingest(spark, path, stream, ckpt)
+    val after1 = survivorIds(PipeIngest.docsAll(spark, path))
+    assert(after1 === Set(22L, 24L, 32L),
+      s"wave 1: copy of wave-0 survivor must drop (got $after1)")
+
+    // Exactly-once publish: delta reported once, idempotent rerun,
+    // identical read set sealed vs staged.
+    val before = PipeIngest.docsAll(spark, path)
+      .collect().map(_.toSeq).toSet
+    assert(PipeIngest.publish(spark, path) === 3L)
+    assert(PipeIngest.publish(spark, path) === 0L)
+    val sealedRows = PipeIngest.docsAll(spark, path)
+      .collect().map(_.toSeq).toSet
+    assert(sealedRows === before)
+    // Staging roots are gone; the sealed store carries the rows.
+    assert(!new java.io.File(s"$path/staged_docs").exists())
+    assert(new java.io.File(s"$path/docs").exists())
+
+    // The sealed survivors' shingles joined keep_shingles: a THIRD
+    // ingest of another copy of doc22 still dedups against the now-
+    // SEALED survivor (the store grows with publishes).
+    docsDf(Seq(41L -> doc22)).coalesce(1).write.mode("append")
+      .parquet(src)
+    PipeIngest.ingest(spark, path, stream, ckpt)
+    assert(survivorIds(PipeIngest.docsAll(spark, path)) ===
+      Set(22L, 24L, 32L))
+  }
+}
