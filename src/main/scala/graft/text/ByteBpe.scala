@@ -267,12 +267,36 @@ object ByteBpe {
     BpeCore.packExamples(stream)
   }
 
+  // -----------------------------------------------------------------
+  // ta_tok_compare_bytes: the pretokenization-convention STUDY as one
+  // gated row — corpus totals and pieces-per-byte for the standalone
+  // and space-prefix conventions side by side (equal merge budget,
+  // equal byte denominator by the coverage theorem), so "the sp
+  // convention compresses better" is a hash-gated measurement, not a
+  // BASELINE.md footnote. Exact-integer totals; ONE final division
+  // per row.
+  def tokCompareBytes(s: SparkSession, dir: String): DataFrame = {
+    def tot(conv: String, census: DataFrame): DataFrame = census
+      .agg(sum("n_pretokens").as("n_pretokens"),
+        sum("n_bytes").as("n_bytes"),
+        sum("n_pieces").as("n_pieces"))
+      .select(lit(conv).as("convention"), col("n_pretokens"),
+        col("n_bytes"), col("n_pieces"),
+        when(col("n_bytes") === 0, lit(null).cast("double"))
+          .otherwise(col("n_pieces").cast("double") /
+            col("n_bytes").cast("double")).as("pieces_per_byte"))
+    tot("bytes", byteEncode(s, dir))
+      .unionByName(tot("sp", spEncode(s, dir)))
+      .orderBy("convention")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_bytes" -> byteTrain,
     "ta_bpe_bytes_encode" -> byteEncode,
     "ta_bpe_bytes_pack" -> bytePack,
     "ta_bpe_sp" -> spTrain,
     "ta_bpe_sp_encode" -> spEncode,
+    "ta_tok_compare_bytes" -> tokCompareBytes,
   )
 
   // ---------------------------------------------------------------
@@ -325,7 +349,29 @@ object ByteBpe {
        FROM documents d LEFT JOIN pd USING (doc_id)
        ORDER BY doc_id"""
 
+  /** One comparison arm: corpus totals over a full train+encode
+    * chain, as a nested-WITH derived table — DuckDB scopes each
+    * arm's CTEs to its subquery, so the two 20-round chains coexist
+    * without prefixing.
+    */
+  private def compareArm(conv: String, ctes: String): String =
+    s"""SELECT '$conv' AS convention,
+       CAST(SUM(n_pretokens) AS BIGINT) AS n_pretokens,
+       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       CASE WHEN SUM(n_bytes) = 0 THEN NULL
+         ELSE CAST(SUM(n_pieces) AS DOUBLE)
+           / CAST(SUM(n_bytes) AS DOUBLE)
+       END AS pieces_per_byte
+       FROM (${encodeSqlFor(ctes)})"""
+
   val oracles: Map[String, String] = Map(
+    "ta_tok_compare_bytes" ->
+      s"""SELECT * FROM (
+         (${compareArm("bytes", TrainCtes)})
+         UNION ALL
+         (${compareArm("sp", trainCtesFor(DSpPretok))})
+       ) ORDER BY convention""",
     "ta_bpe_bytes" ->
       s"""WITH $TrainCtes,
          ${BpeCore.mergeTableSql(Merges)}""",

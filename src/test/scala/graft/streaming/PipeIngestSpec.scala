@@ -121,4 +121,50 @@ class PipeIngestSpec extends SparkSpec {
     assert(survivorIds(PipeIngest.docsAll(spark, path)) ===
       Set(22L, 24L, 32L))
   }
+
+  test("greedy streaming dedup is a DOCUMENTED divergence from the " +
+    "batch pipeline's connected-components rule: arrival order can " +
+    "keep a non-minimal cluster member") {
+    // Chain a ~ b ~ c (a < b < c): b streams FIRST (wave 0) and
+    // survives; a and c arrive in wave 1 and both verify against the
+    // earlier survivor b — greedy keeps {b}. The batch rule
+    // (CorpusPipeline.dedupStage) on the same three docs keeps the
+    // cluster MINIMUM {a}. Both outcomes are deterministic; the
+    // divergence is the price of never re-deciding sealed docs, and
+    // compaction with the batch rule is the reconciliation path.
+    val base = ("the alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron").split(" ")
+    val bTxt = base.mkString(" ")
+    val aTxt = (base.dropRight(1) :+ "rho").mkString(" ")    // last≠
+    val cTxt = ("sigma" +: base.drop(1)).mkString(" ")       // first≠
+    val path = Files.createTempDirectory("graft_pipe_greedy").toString
+    // History: unrelated keep + drop docs so the NB gate has both
+    // classes and none of a/b/c matches the store.
+    PipeIngest.build(spark, docsDf(Seq(
+      17L -> ("the one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen"),
+      27L -> "spam spam spam spam spam spam spam spam spam spam")),
+      path)
+    val src = s"$path/src"
+    def stream = spark.readStream
+      .schema(docsDf(Nil).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    docsDf(Seq(102L -> bTxt)).coalesce(1).write.mode("append")
+      .parquet(src)
+    PipeIngest.ingest(spark, path, stream, s"$path/ckpt")
+    docsDf(Seq(101L -> aTxt, 103L -> cTxt)).coalesce(1).write
+      .mode("append").parquet(src)
+    PipeIngest.ingest(spark, path, stream, s"$path/ckpt")
+    assert(survivorIds(PipeIngest.docsAll(spark, path)) === Set(102L),
+      "greedy: the first-arrived chain member survives")
+
+    // The batch rule on the same cluster keeps the minimum id.
+    import graft.pipeline.CorpusPipeline
+    val clean = CorpusPipeline.extractStage(docsDf(Seq(
+      101L -> aTxt, 102L -> bTxt, 103L -> cTxt)))(spark)
+    val batchKeep = CorpusPipeline.dedupStage(clean)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKeep === Set(101L),
+      "batch CC: the cluster minimum survives")
+  }
 }

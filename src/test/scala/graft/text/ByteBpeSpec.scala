@@ -247,6 +247,18 @@ class ByteBpeSpec extends SparkSpec {
       .filter(col("n_bytes") =!= col("nb_sp")).count() == 0L)
   }
 
+  test("ta_tok_compare_bytes: equal byte denominators (coverage), " +
+    "and the space-prefix convention compresses better here") {
+    val rows = ByteBpe.tokCompareBytes(spark, sf).collect()
+      .map(r => r.getAs[String]("convention") -> r).toMap
+    val (b, sp) = (rows("bytes"), rows("sp"))
+    assert(b.getAs[Long]("n_bytes") === sp.getAs[Long]("n_bytes"))
+    assert(sp.getAs[Double]("pieces_per_byte") <
+      b.getAs[Double]("pieces_per_byte"),
+      "gluing the leading space onto the word must buy compression " +
+        "at equal merge budget on this corpus")
+  }
+
   test("ta_tok_store_encode: the declared row builds the store once " +
     "per session and matches the session-trained census exactly") {
     val first = TokenizerStore.storeEncode(spark, sf)
