@@ -222,6 +222,10 @@ object JpegCodec {
             val tq = b(p) & 0x0f
             if (pq > 1 || tq > 3) fail("bad DQT precision/id")
             p += 1
+            // A declared length shorter than the table payload must
+            // fail loudly, not silently misparse the following
+            // segment's bytes as table entries (ADVICE r9).
+            if (p + (1 + pq) * 64 > end) fail("DQT table overruns segment")
             val t = new Array[Int](64)
             var k = 0
             while (k < 64) {
@@ -241,6 +245,7 @@ object JpegCodec {
             val th = b(p) & 0x0f
             if (tc > 1 || th > 3) fail("bad DHT class/id")
             p += 1
+            if (p + 16 > end) fail("DHT BITS overrun segment")
             val bits = Array.tabulate(16)(i => b(p + i) & 0xff)
             p += 16
             val n = bits.sum

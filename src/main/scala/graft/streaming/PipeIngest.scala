@@ -232,7 +232,10 @@ object PipeIngest {
     }
     val batchIds =
       (idsIn(stDocs(path)) ++ idsIn(stShing(path))).toSeq.sorted
-    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Appended-doc reporting comes from the writes' own commit
+    // artifacts ([[Formats.appendCounted]], VERDICT r9 minor): the
+    // publish loop runs NO action beyond the appends themselves.
+    var appended = 0L
     batchIds.foreach { b =>
       def gone(root: String): Boolean =
         !fs.exists(new org.apache.hadoop.fs.Path(s"$root/batch_id=$b"))
@@ -250,8 +253,7 @@ object PipeIngest {
             d.join(s.read.parquet(docsP(path)).select("doc_id"),
               Seq("doc_id"), "left_anti").localCheckpoint()
           else d
-        deltas += miss
-        miss.write.mode("append").parquet(docsP(path))
+        appended += Formats.appendCounted(miss, docsP(path))
       }
       if (!gone(stShing(path))) {
         val sh = s.read.parquet(s"${stShing(path)}/batch_id=$b")
@@ -272,8 +274,7 @@ object PipeIngest {
           .exists(_.getPath.getName.startsWith("batch_id=")))
         fs.delete(rp, true)
     }
-    if (deltas.isEmpty) 0L
-    else deltas.reduce(_ unionByName _).count()
+    appended
   }
 
   // -----------------------------------------------------------------
@@ -312,8 +313,20 @@ object PipeIngest {
         .filter(col("doc_id") % 10 =!= HistMod &&
           col("doc_id") % Waves === w)
         .coalesce(1).write.mode("append").parquet(src)
-      writeWave(0); writeWave(1)
-      ingest(s, path, stream, ckpt)
+      // One ingest PER wave (ADVICE r9): with both files written up
+      // front, FileStreamSource orders them by modification time and
+      // a timestamp tie falls back to part-file names — swapping
+      // batches 0/1, and with them the batch_id column and the greedy
+      // earlier-batch-survivor keeps. Running ingest after each
+      // writeWave pins wave w to batch w (the checkpoint continues
+      // batch numbering across runs), making the mapping a contract
+      // instead of a filesystem race. (DedupIngest keeps the
+      // two-files-one-run shape: its PAIR set is provably invariant
+      // under a batch swap — either order discovers each cross-wave
+      // pair exactly once — so only this lifecycle, whose RESULT
+      // carries batch_id, needs the pinning.)
+      writeWave(0); ingest(s, path, stream, ckpt)
+      writeWave(1); ingest(s, path, stream, ckpt)
       publish(s, path)
       writeWave(2)
       ingest(s, path, stream, ckpt) // staged, deliberately unpublished
@@ -391,8 +404,11 @@ object PipeIngest {
          FROM (SELECT word, freq,
              unnest(range(1, len(word) // 2 + 1)) AS i
            FROM wfall)),
-       ${(1 to ByteBpe.Merges)
-        .map(graft.text.BpeCore.roundCtes).mkString(",\n")},
+       ${(1 to ByteBpe.Merges).map(k =>
+        // positiveOnly: the rider words carry freq 0; a rider-only
+        // pair must never win a merge round (BpeCore.roundCtes doc).
+        graft.text.BpeCore.roundCtes(k, positiveOnly = true))
+        .mkString(",\n")},
        enc AS (SELECT t.doc_id, t.ti, p.pos, p.sym
          FROM stokp t JOIN pc${ByteBpe.Merges} p ON p.word = t.word),
        ptd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np

@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object BpeCore {
 
+  /** Checkpointed per-doc count frames issued by [[packExamples]],
+    * released with the shared-lineage lifecycle (ADVICE r9: every
+    * pack invocation pinned its checkpoint's RDD blocks until the
+    * ContextCleaner happened to GC them — the same class the
+    * `rankedIds` layouts had, fixed with the same hook).
+    */
+  private val issuedCounts =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  graft.operators.Lineage.onClear(() => issuedCounts.synchronized {
+    import org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint
+    issuedCounts.foreach(releaseCheckpoint)
+    issuedCounts.clear()
+  })
+
   /** One greedy left-to-right non-overlapping merge application.
     *
     * `ld` is the pieces frame with the lookahead column already
@@ -127,6 +142,7 @@ private[graft] object BpeCore {
     val counts = pieceIds.groupBy("doc_id")
       .agg(count(lit(1)).as("npc"))
       .localCheckpoint() // shared by the EOS rows and the offsets
+    issuedCounts.synchronized { issuedCounts += counts }
     val pid = pieceIds.unionByName(counts
       .select(col("doc_id"), col("npc").as("pi"), lit(0L).as("vid")))
     val wOfs = Window.partitionBy("bucket").orderBy("doc_id")
@@ -158,15 +174,28 @@ private[graft] object BpeCore {
     * defines `ld$k` / `bs$k` / `cd$k` / `pc$k`. Shared verbatim by
     * the word-level and byte-level oracles (only `tok`/`pc0` differ).
     */
-  def roundCtes(k: Int): String = {
+  def roundCtes(k: Int): String = roundCtes(k, positiveOnly = false)
+
+  /** `positiveOnly = true` adds `HAVING SUM(freq) > 0` to the
+    * best-pair selection — for oracle chains that co-train
+    * ZERO-FREQUENCY rider words (the streaming-ingest oracle, ADVICE
+    * r9): if the real training pairs exhaust before the merge budget,
+    * a rider-only c=0 pair must NOT win a round the stored tokenizer
+    * never learned. With at least one positive-count pair present the
+    * guard is a no-op (c DESC already ranks it first); with none, the
+    * empty bs$k makes the round a provable no-op — exactly the
+    * engine's NULL-best exhaustion behavior.
+    */
+  def roundCtes(k: Int, positiveOnly: Boolean): String = {
     val p = s"pc${k - 1}"
+    val having = if (positiveOnly) "HAVING SUM(freq) > 0 " else ""
     s"""ld$k AS MATERIALIZED (SELECT word, freq, pos, sym,
          lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
        FROM $p),
        bs$k AS MATERIALIZED (SELECT sym AS a, nxt AS b,
            CAST(SUM(freq) AS BIGINT) AS c
          FROM ld$k WHERE nxt IS NOT NULL GROUP BY sym, nxt
-         ORDER BY c DESC, a, b LIMIT 1),
+         ${having}ORDER BY c DESC, a, b LIMIT 1),
        cd$k AS MATERIALIZED (SELECT word, freq, pos, sym, nxt, cand,
            SUM(CASE WHEN cand THEN 1 ELSE 0 END)
              OVER (PARTITION BY word, grp ORDER BY pos) AS rk
