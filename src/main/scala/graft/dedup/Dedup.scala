@@ -1110,23 +1110,19 @@ object Dedup {
   val ExpectedEvalShingles = 1L << 20
   val BloomFpp = 0.01
 
-  def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc overlap of `tr` (doc_id, shingles — shingles an already-
+    * materialized/checkpointed attribute, per the no-raw-explode
+    * rule) against the contamination set `ev` (sg), via the Bloom
+    * prefilter + exact verify — the dd_bloom_decontam machinery,
+    * frame-parameterized (round 10) so the composed pipeline's
+    * decontamination stage ([[graft.pipeline.CorpusPipeline
+    * .decontamStage]]) runs the identical probe. Returns (doc_id,
+    * n_overlap, n_shingles) for EVERY tr doc, zero-filled.
+    */
+  private[graft] def bloomOverlap(tr: DataFrame, ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
-
-    val sh = shingled(s, dir)
-    // The eval-distinct shingle set is the CONTAMINATION SET — the
-    // artifact a production pipeline materializes once (alongside the
-    // persisted stats the sizing Scaladoc cites) and reads from every
-    // decontamination pass. Unmaterialized it is derived three times
-    // per invocation: the sizing count, the Bloom build, and the
-    // exact-verify broadcast.
-    val ev = graft.operators.Lineage.materialized(s, dir, "dd_bloom_ev") {
-      sh.filter(col("doc_id") % 10 === BloomEvalMod)
-        .select(explode(col("shingles")).as("sg")).distinct()
-    }
-    val tr = sh.filter(col("doc_id") % 10 =!= BloomEvalMod)
 
     val bloom = ev.stat.bloomFilter("sg",
       math.max(ExpectedEvalShingles, ev.count()), BloomFpp)
@@ -1143,9 +1139,28 @@ object Dedup {
       .join(broadcast(ev), "sg")     // exact verify kills false positives
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
-    hits
-      .join(tr.select(col("doc_id"),
-        size(col("shingles")).cast("long").as("n_shingles")), "doc_id")
+    tr.select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .select("doc_id", "n_overlap", "n_shingles")
+  }
+
+  def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    // The eval-distinct shingle set is the CONTAMINATION SET — the
+    // artifact a production pipeline materializes once (alongside the
+    // persisted stats the sizing Scaladoc cites) and reads from every
+    // decontamination pass. Unmaterialized it is derived three times
+    // per invocation: the sizing count, the Bloom build, and the
+    // exact-verify broadcast.
+    val ev = graft.operators.Lineage.materialized(s, dir, "dd_bloom_ev") {
+      sh.filter(col("doc_id") % 10 === BloomEvalMod)
+        .select(explode(col("shingles")).as("sg")).distinct()
+    }
+    val tr = sh.filter(col("doc_id") % 10 =!= BloomEvalMod)
+    bloomOverlap(tr, ev)
+      .filter(col("n_overlap") > 0) // report overlapping docs only
       .orderBy("doc_id")
   }
 

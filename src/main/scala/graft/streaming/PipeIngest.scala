@@ -126,6 +126,41 @@ object PipeIngest {
     else None
   }
 
+  /** Encode a (doc_id, clean) frame against the STORED tokenizer —
+    * the micro-batch encode block, factored so [[compact]] admits
+    * previously-dropped docs through the identical chain. Returns
+    * (doc_id, batch_id, n_pretokens, n_pieces, pieces_md5).
+    */
+  private def encodeRows(s: SparkSession, path: String,
+      surv: DataFrame, batchId: Long): DataFrame = {
+    val tokp = surv
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("clean"),
+          lit(ByteBpe.PretokRegex), lit(0))).as(Seq("ti0", "t")))
+      .select(col("doc_id"),
+        (col("ti0") + 1).cast("long").as("ti"),
+        hex(encode(col("t"), "UTF-8")).as("word"))
+    val segs = TokenizerStore.segmentBytes(s, tokP(path),
+      tokp.select("word"))
+    val ptd = tokp.groupBy("doc_id")
+      .agg(count(lit(1)).as("np"))
+    val ped = tokp
+      .join(broadcast(segs), "word") // dictionary: vocab-bounded
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("npc"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("ti"), col("pos"),
+            col("sym")))),
+          x => x.getField("sym")))).as("pm"))
+    surv.select(col("doc_id"))
+      .join(ptd, Seq("doc_id"), "left")
+      .join(ped, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(batchId).as("batch_id"),
+        coalesce(col("np"), lit(0L)).as("n_pretokens"),
+        coalesce(col("npc"), lit(0L)).as("n_pieces"),
+        coalesce(col("pm"), md5(lit(""))).as("pieces_md5"))
+  }
+
   /** Run the raw-document stream through the pipeline against the
     * store. Per micro-batch: extract → score under the STORED model →
     * greedy near-dup check against store ∪ staged(<batch) ∪ smaller
@@ -156,33 +191,7 @@ object PipeIngest {
           .select(col("a.doc_id").as("doc_id"))
         val surv = keepB.join(dropPrior.union(dropSelf).distinct(),
           Seq("doc_id"), "left_anti").localCheckpoint()
-        // Encode survivors' clean text against the STORED tokenizer.
-        val tokp = surv
-          .select(col("doc_id"),
-            posexplode(regexp_extract_all(col("clean"),
-              lit(ByteBpe.PretokRegex), lit(0))).as(Seq("ti0", "t")))
-          .select(col("doc_id"),
-            (col("ti0") + 1).cast("long").as("ti"),
-            hex(encode(col("t"), "UTF-8")).as("word"))
-        val segs = TokenizerStore.segmentBytes(s, tokP(path),
-          tokp.select("word"))
-        val ptd = tokp.groupBy("doc_id")
-          .agg(count(lit(1)).as("np"))
-        val ped = tokp
-          .join(broadcast(segs), "word") // dictionary: vocab-bounded
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("npc"),
-            md5(concat_ws(",", transform(
-              array_sort(collect_list(struct(col("ti"), col("pos"),
-                col("sym")))),
-              x => x.getField("sym")))).as("pm"))
-        val encRows = surv.select(col("doc_id"))
-          .join(ptd, Seq("doc_id"), "left")
-          .join(ped, Seq("doc_id"), "left")
-          .select(col("doc_id"), lit(batchId).as("batch_id"),
-            coalesce(col("np"), lit(0L)).as("n_pretokens"),
-            coalesce(col("npc"), lit(0L)).as("n_pieces"),
-            coalesce(col("pm"), md5(lit(""))).as("pieces_md5"))
+        val encRows = encodeRows(s, path, surv, batchId)
         Formats.backfillPartitions(
           encRows.withColumn("batch_id", lit(batchId)),
           "batch_id", stDocs(path))
@@ -278,6 +287,137 @@ object PipeIngest {
   }
 
   // -----------------------------------------------------------------
+  // GREEDY → GLOBAL RECONCILIATION (VERDICT r9 item 2): the sealed
+  // store's keep set is the arrival-order-dependent GREEDY one;
+  // compact() re-decides it under the batch pipeline's
+  // connected-components rule (cluster-minimum keeps) — the
+  // reconciliation path the greedy-divergence contrast test names.
+
+  private def cTmp(path: String) = s"$path/compact_tmp"
+  private def cMark(path: String) = s"${cTmp(path)}/_COMMITTED"
+
+  /** Complete an interrupted compaction swap: once the `_COMMITTED`
+    * marker exists, the staged tables are the truth — each table is
+    * swapped iff its staged copy is still present (a crash between
+    * the two swaps leaves exactly one staged), then the staging root
+    * is dropped. Idempotent; called at every [[compact]] entry and
+    * usable standalone as crash recovery.
+    */
+  private def completeSwap(s: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(cMark(path)))) return
+    Seq("docs", "keep_shingles").foreach { t =>
+      val staged = new org.apache.hadoop.fs.Path(s"${cTmp(path)}/$t")
+      if (fs.exists(staged)) {
+        val live = new org.apache.hadoop.fs.Path(s"$path/$t")
+        fs.delete(live, true)
+        fs.rename(staged, live)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(cTmp(path)), true)
+  }
+
+  /** Re-decide the SEALED store under the batch CC rule over the full
+    * `corpus` (history ∪ every streamed doc, raw (doc_id, text)):
+    *
+    *  1. recompute the quality keep set with the STORED artifacts
+    *     (extraction + NB gate — never retrained: compaction
+    *     reconciles the dedup DECISION, not the models);
+    *  2. batch keeplist = connected-component minima of the verified
+    *     near-dup pair graph (exactly [[CorpusPipeline.dedupStage]]'s
+    *     rule, on the same mk-candidate + Jaccard-verify predicate
+    *     the greedy rule used);
+    *  3. DEMOTE store docs outside the keeplist (greedy-kept
+    *     non-minimal chain members; also history-internal near-dups
+    *     the build never deduped); ADMIT keeplist docs the greedy
+    *     rule dropped (a late-arriving cluster minimum) — encoded
+    *     through the stored tokenizer with batch_id = −1, the
+    *     compaction-admitted marker (their arrival batch was never
+    *     recorded — they were dropped).
+    *
+    * Exactly-once: admissions are anti-join appends (idempotent, the
+    * publish discipline). Demotions rewrite the two tables via a
+    * staged copy + `_COMMITTED` marker + swap ([[completeSwap]] —
+    * the VersionedIndex single-marker atomic-visibility shape): a
+    * crash before the marker leaves the live tables untouched, after
+    * it the swap completes on the next call. With nothing to demote
+    * the rewrite is skipped entirely — an admit-only compaction
+    * touches no existing file.
+    *
+    * 100 TB shape: the DECISION work is one extraction/scoring pass
+    * plus the mk-bucketed candidate join and the pair-bounded CC
+    * fixpoint — the batch pipeline's own cost, run at compaction
+    * cadence, never per batch. Only affected docs are re-encoded
+    * (admissions) — demotions are row drops. At scale the store
+    * tables are partitioned (batch_id / doc-id buckets) and the
+    * demote rewrite is a dynamic partition overwrite of the affected
+    * partitions only (the backfillPartitions discipline); this
+    * flat-directory store swaps whole tables behind the same marker.
+    */
+  def compact(s: SparkSession, path: String, corpus: DataFrame): Long = {
+    completeSwap(s, path) // finish any interrupted predecessor first
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    val clean = CorpusPipeline.extractStage(corpus)(s).localCheckpoint()
+    val keep = CorpusPipeline.qualityStage(clean,
+        s.read.parquet(modelP(path)), s.read.parquet(priorsP(path)))
+      .localCheckpoint()
+    val sh = keyedShingles(keep).localCheckpoint()
+    val pairs = sh.as("a")
+      .join(sh.as("b"), verified && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    val bkeep = keep
+      .join(labels.select(col("node").as("doc_id"), col("c").as("cid")),
+        Seq("doc_id"), "left")
+      .filter(col("doc_id") === coalesce(col("cid"), col("doc_id")))
+      .select("doc_id", "clean").localCheckpoint()
+
+    val storeKeep = s.read.parquet(keepShing(path)).select("doc_id")
+    val demote = storeKeep
+      .join(bkeep.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val admit = bkeep
+      .join(storeKeep, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // ⊆ streamed: build() sealed every history keep
+
+    // ADMIT first (idempotent appends): encode rows + keep shingles,
+    // each anti-joined against the live table — a rerun after a crash
+    // appends only what is missing.
+    var admitted = 0L
+    if (!admit.isEmpty) {
+      val docsRoot = new org.apache.hadoop.fs.Path(docsP(path))
+      val enc = encodeRows(s, path, admit, -1L).localCheckpoint()
+      val missDocs =
+        if (fs.exists(docsRoot))
+          enc.join(s.read.parquet(docsP(path)).select("doc_id"),
+            Seq("doc_id"), "left_anti").localCheckpoint()
+        else enc
+      admitted += Formats.appendCounted(missDocs, docsP(path))
+      val missSh = keyedShingles(admit)
+        .join(s.read.parquet(keepShing(path)).select("doc_id"),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+      missSh.write.mode("append").parquet(keepShing(path))
+    }
+
+    // DEMOTE via staged rewrite + marker + swap (skipped when empty).
+    if (!demote.isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(cTmp(path)), true)
+      s.read.parquet(docsP(path))
+        .join(demote, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"${cTmp(path)}/docs")
+      s.read.parquet(keepShing(path))
+        .join(demote, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"${cTmp(path)}/keep_shingles")
+      fs.create(new org.apache.hadoop.fs.Path(cMark(path)), true).close()
+      completeSwap(s, path)
+    }
+    admitted
+  }
+
+  // -----------------------------------------------------------------
   // pipe_stream_ingest: the oracle-gated lifecycle — history =
   // doc_id % 10 == HistMod (the dd_stream_dedup convention), the rest
   // streams in three waves by doc_id % 3 (one file per wave,
@@ -288,16 +428,17 @@ object PipeIngest {
   private[graft] val HistMod = DedupIngest.HistMod
   private[graft] val Waves = DedupIngest.Waves
 
-  private def gatePath(s: SparkSession, dir: String): String = {
+  private def gatePath(s: SparkSession, dir: String,
+      family: String): String = {
     graft.operators.GateSweep.sweepStale()
-    "/tmp/graft_pipe_ingest_" +
+    s"/tmp/graft_${family}_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
       s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
   }
 
   def pipeStreamIngest(s: SparkSession, dir: String): DataFrame = {
-    val path = gatePath(s, dir)
+    val path = gatePath(s, dir, "pipe_ingest")
     graft.operators.Lineage.ensure(s, dir, "pipe_stream_store") {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -335,8 +476,43 @@ object PipeIngest {
     docsAll(s, path).orderBy("doc_id")
   }
 
+  // pipe_compact: the full lifecycle PLUS reconciliation — all three
+  // waves ingested AND published (the long-lived sealed store), then
+  // compact() re-decides it under the batch CC rule. The gated result
+  // is the compacted encoded-docs table: greedy-kept non-minimal
+  // chain members demoted, late-arriving cluster minima admitted with
+  // batch_id = −1 through the stored-tokenizer encode, everything
+  // else bit-identical to its sealed row.
+  def pipeCompact(s: SparkSession, dir: String): DataFrame = {
+    val path = gatePath(s, dir, "pipe_compact")
+    graft.operators.Lineage.ensure(s, dir, "pipe_compact_store") {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      val docsAllT = graft.Tables(s, dir, "documents")
+        .select("doc_id", "text").localCheckpoint()
+      build(s, docsAllT.filter(col("doc_id") % 10 === HistMod), path)
+      val src = s"$path/src"
+      val ckpt = s"$path/ckpt"
+      def stream = s.readStream.schema(docsAllT.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      def writeWave(w: Int): Unit = docsAllT
+        .filter(col("doc_id") % 10 =!= HistMod &&
+          col("doc_id") % Waves === w)
+        .coalesce(1).write.mode("append").parquet(src)
+      (0 until Waves).foreach { w =>
+        writeWave(w); ingest(s, path, stream, ckpt)
+      }
+      publish(s, path)
+      compact(s, path, docsAllT)
+      ()
+    }
+    docsAll(s, path).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_stream_ingest" -> pipeStreamIngest,
+    "pipe_compact" -> pipeCompact,
   )
 
   // ---------------------------------------------------------------
@@ -347,7 +523,15 @@ object PipeIngest {
   // zero-frequency RIDER words (survivors' clean pretokens ride the
   // merge replay without perturbing the training counts — exactly
   // the stored-merge replay contract of TokenizerStore.segmentBytes).
-  private lazy val StreamCtes: String = {
+  private lazy val StreamCtes: String = streamCtesFor("", "surv")
+
+  /** The shared chain, parameterized for the compaction twin:
+    * `extra` CTEs are inserted after `surv` (the greedy survivor
+    * set), and the byte-encode chain runs over `encSrc` (doc_id,
+    * batch_id) instead of `surv` — the rider-word replay covers
+    * whatever doc set the caller encodes.
+    */
+  private def streamCtesFor(extra: String, encSrc: String): String = {
     import graft.text.TextAnalysis
     val jacc =
       """len(list_intersect(a.shingles, b.shingles)) * 10 >=
@@ -384,6 +568,7 @@ object PipeIngest {
        surv AS (${(0 until Waves).map(w =>
         s"SELECT doc_id, CAST($w AS BIGINT) AS batch_id FROM s$w")
         .mkString(" UNION ALL ")}),
+       $extra
        btok AS (SELECT hex(encode(w)) AS word FROM (
          SELECT unnest(regexp_extract_all(text,
            '${ByteBpe.DPretok}')) AS w FROM hdocs)),
@@ -394,7 +579,7 @@ object PipeIngest {
              unnest(ws) AS w
            FROM (SELECT qkeep.doc_id,
                regexp_extract_all(clean, '${ByteBpe.DPretok}') AS ws
-             FROM qkeep JOIN surv USING (doc_id)))),
+             FROM qkeep JOIN $encSrc USING (doc_id)))),
        wfall AS (SELECT w.word, COALESCE(bwf.freq, 0) AS freq
          FROM (SELECT word FROM bwf
            UNION SELECT DISTINCT word FROM stokp) w
@@ -418,6 +603,27 @@ object PipeIngest {
          FROM enc GROUP BY doc_id)"""
   }
 
+  // The compaction oracle's extra CTEs (inserted after `surv`): the
+  // batch CC rule over the SAME verified-pair graph `vp` (which spans
+  // history AND streamed quality keeps), cluster-minimum keeps, then
+  // the compacted streamed set with the original batch_id where the
+  // greedy rule also kept the doc and −1 where compaction admitted it.
+  // Ends with a comma — the chain continues into the encode CTEs.
+  private lazy val CompactExtra: String =
+    s"""breach AS (SELECT x AS node, y AS r FROM vp
+         UNION
+         SELECT breach.node, e.y FROM breach
+         JOIN vp e ON breach.r = e.x),
+       blab AS (SELECT node, LEAST(node, MIN(r)) AS cid
+         FROM breach GROUP BY node),
+       bkeep AS (SELECT qk.doc_id FROM qk
+         LEFT JOIN blab ON blab.node = qk.doc_id
+         WHERE qk.doc_id = COALESCE(blab.cid, qk.doc_id)),
+       ckeep AS (SELECT b.doc_id,
+           COALESCE(surv.batch_id, CAST(-1 AS BIGINT)) AS batch_id
+         FROM bkeep b LEFT JOIN surv USING (doc_id)
+         WHERE b.doc_id % 10 <> $HistMod),"""
+
   val oracles: Map[String, String] = Map(
     "pipe_stream_ingest" ->
       s"""WITH $StreamCtes
@@ -426,6 +632,20 @@ object PipeIngest {
            COALESCE(ped.npc, 0) AS n_pieces,
            COALESCE(ped.pm, md5('')) AS pieces_md5
          FROM surv LEFT JOIN ptd USING (doc_id)
+           LEFT JOIN ped USING (doc_id)
+         ORDER BY doc_id""",
+    // The reconciliation equivalence: the compacted store's encoded
+    // docs ≡ the batch CC keeplist over the same corpus (restricted
+    // to streamed docs), proven through the full greedy lifecycle +
+    // compact() instead of a single batch — RECURSIVE for the CC
+    // reach closure.
+    "pipe_compact" ->
+      s"""WITH RECURSIVE ${streamCtesFor(CompactExtra, "ckeep")}
+         SELECT ckeep.doc_id, ckeep.batch_id,
+           COALESCE(ptd.np, 0) AS n_pretokens,
+           COALESCE(ped.npc, 0) AS n_pieces,
+           COALESCE(ped.pm, md5('')) AS pieces_md5
+         FROM ckeep LEFT JOIN ptd USING (doc_id)
            LEFT JOIN ped USING (doc_id)
          ORDER BY doc_id""",
   )

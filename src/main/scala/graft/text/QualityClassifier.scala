@@ -350,62 +350,15 @@ object QualityClassifier {
          FROM lab LEFT JOIN pd USING (doc_id) CROSS JOIN dtot
          ORDER BY doc_id""",
     // Held-out eval: the SAME label chain + the ta_split bucket
-    // arithmetic; the model CTEs are retrained over the train slice
-    // (tr* names), then every doc is scored and confusion counts
-    // aggregate per split. `prec`/`rec` (PRECISION is a DuckDB type
-    // keyword) are single final divisions of exact integers.
+    // arithmetic; the model CTEs are retrained over the train slice,
+    // then every doc is scored and confusion counts aggregate per
+    // split ([[EvalCtes]] — factored round 10 so the composed
+    // pipeline's funnel carries the same held-out confusion row).
+    // `prec`/`rec` (PRECISION is a DuckDB type keyword) are single
+    // final divisions of exact integers.
     "ta_nb_eval" ->
       s"""WITH ${TextAnalysis.FilterCtes},
-         lab AS (SELECT doc_id, reason = 'keep' AS keep FROM r),
-         spl AS (SELECT doc_id,
-             CASE WHEN bucket < 80 THEN 'train'
-                  WHEN bucket < 90 THEN 'validation'
-                  ELSE 'test' END AS split
-           FROM (SELECT doc_id,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
-                 15)) AS BIGINT) % 100 AS bucket FROM documents)),
-         tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
-         trlab AS (SELECT lab.doc_id, lab.keep FROM lab
-           JOIN spl USING (doc_id) WHERE spl.split = 'train'),
-         cw AS (SELECT w,
-             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-               AS ck,
-             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
-               AS cd
-           FROM tok JOIN trlab USING (doc_id) GROUP BY w),
-         tots AS (SELECT CAST(SUM(ck) AS BIGINT) AS nk,
-             CAST(SUM(cd) AS BIGINT) AS nd,
-             CAST(COUNT(*) AS BIGINT) AS v FROM cw),
-         dtot AS (SELECT
-             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-               AS dk,
-             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
-               AS dd,
-             CAST(COUNT(*) AS BIGINT) AS ndocs FROM trlab),
-         model AS (SELECT w,
-             ${dQlog2("ck + 1")} - ${dQlog2("nk + v")} AS w_keep,
-             ${dQlog2("cd + 1")} - ${dQlog2("nd + v")} AS w_drop
-           FROM cw CROSS JOIN tots),
-         pd AS (SELECT doc_id,
-             CAST(SUM(w_keep) AS BIGINT) AS lk,
-             CAST(SUM(w_drop) AS BIGINT) AS ld
-           FROM tok JOIN model USING (w) GROUP BY doc_id),
-         sc AS (SELECT spl.split, lab.keep AS rule_keep,
-             (${dQlog2("dk")} - ${dQlog2("ndocs")} + coalesce(pd.lk, 0))
-               >= (${dQlog2("dd")} - ${dQlog2("ndocs")}
-                 + coalesce(pd.ld, 0)) AS pred_keep
-           FROM lab JOIN spl USING (doc_id)
-             LEFT JOIN pd USING (doc_id) CROSS JOIN dtot),
-         ag AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(CASE WHEN pred_keep AND rule_keep THEN 1
-               ELSE 0 END) AS BIGINT) AS tp,
-             CAST(SUM(CASE WHEN pred_keep AND NOT rule_keep THEN 1
-               ELSE 0 END) AS BIGINT) AS fp,
-             CAST(SUM(CASE WHEN NOT pred_keep AND rule_keep THEN 1
-               ELSE 0 END) AS BIGINT) AS fn,
-             CAST(SUM(CASE WHEN NOT pred_keep AND NOT rule_keep THEN 1
-               ELSE 0 END) AS BIGINT) AS tn
-           FROM sc GROUP BY split)
+         $EvalCtes
          SELECT split, n_docs, tp, fp, fn, tn,
            CASE WHEN tp + fp = 0 THEN NULL
              ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
@@ -413,6 +366,67 @@ object QualityClassifier {
            CASE WHEN tp + fn = 0 THEN NULL
              ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
            END AS rec
-         FROM ag ORDER BY split""",
+         FROM neag ORDER BY split""",
   )
+
+  /** Held-out eval CTE chain over [[TextAnalysis.FilterCtes]]'s
+    * `d`/`r` (ne-prefixed, self-contained — clash-free inside the
+    * composed pipeline's oracle): train-slice NB retrain + per-split
+    * confusion counts, ending at `neag (split, n_docs, tp, fp, fn,
+    * tn)`. Shared verbatim by `ta_nb_eval` and the pipeline funnel
+    * (`pipe_stages`), so the funnel's classifier-health columns can
+    * never drift from the eval row's.
+    */
+  private[graft] lazy val EvalCtes: String =
+    s"""nelab AS (SELECT doc_id, reason = 'keep' AS keep FROM r),
+       nespl AS (SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+               15)) AS BIGINT) % 100 AS bucket FROM documents)),
+       netok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+       netrlab AS (SELECT nelab.doc_id, nelab.keep FROM nelab
+         JOIN nespl USING (doc_id) WHERE nespl.split = 'train'),
+       necw AS (SELECT w,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS ck,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS cd
+         FROM netok JOIN netrlab USING (doc_id) GROUP BY w),
+       netots AS (SELECT CAST(SUM(ck) AS BIGINT) AS nk,
+           CAST(SUM(cd) AS BIGINT) AS nd,
+           CAST(COUNT(*) AS BIGINT) AS v FROM necw),
+       nedtot AS (SELECT
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS dk,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS dd,
+           CAST(COUNT(*) AS BIGINT) AS ndocs FROM netrlab),
+       nemodel AS (SELECT w,
+           ${dQlog2("ck + 1")} - ${dQlog2("nk + v")} AS w_keep,
+           ${dQlog2("cd + 1")} - ${dQlog2("nd + v")} AS w_drop
+         FROM necw CROSS JOIN netots),
+       nepd AS (SELECT doc_id,
+           CAST(SUM(w_keep) AS BIGINT) AS lk,
+           CAST(SUM(w_drop) AS BIGINT) AS ld
+         FROM netok JOIN nemodel USING (w) GROUP BY doc_id),
+       nesc AS (SELECT nespl.split, nelab.keep AS rule_keep,
+           (${dQlog2("dk")} - ${dQlog2("ndocs")}
+             + coalesce(nepd.lk, 0))
+             >= (${dQlog2("dd")} - ${dQlog2("ndocs")}
+               + coalesce(nepd.ld, 0)) AS pred_keep
+         FROM nelab JOIN nespl USING (doc_id)
+           LEFT JOIN nepd USING (doc_id) CROSS JOIN nedtot),
+       neag AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pred_keep AND rule_keep THEN 1
+             ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN pred_keep AND NOT rule_keep THEN 1
+             ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN NOT pred_keep AND rule_keep THEN 1
+             ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN NOT pred_keep AND NOT rule_keep THEN 1
+             ELSE 0 END) AS BIGINT) AS tn
+         FROM nesc GROUP BY split)"""
 }

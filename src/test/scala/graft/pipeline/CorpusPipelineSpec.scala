@@ -99,14 +99,64 @@ class CorpusPipelineSpec extends SparkSpec {
       out.forall(_.getAs[Long]("n_docs") == 1L))
   }
 
+  test("decontamStage drops its INPUT's benchmark-overlapping docs, " +
+    "keeps clean and unassessable ones") {
+    // Benchmark: one doc. Training input: a doc CONTAINING the
+    // benchmark text (full shingle overlap → dropped), a doc sharing
+    // nothing (kept), and a 2-token doc (no shingles → keeps).
+    val benchTxt = "alpha beta gamma delta epsilon zeta"
+    val bench = Seq((3L, benchTxt)).toDF("doc_id", "clean")
+    val surv = Seq(
+      (10L, s"prefix words $benchTxt suffix tail"), // contaminated
+      (20L, "totally unrelated content goes right here"),
+      (30L, "two tokens"))
+      .toDF("doc_id", "clean")
+    val kept = CorpusPipeline.decontamStage(surv, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(20L, 30L),
+      s"benchmark-containing doc must drop, short doc must keep: $kept")
+  }
+
+  test("scrubStage cuts every occurrence of a cross-doc duplicated " +
+    "span from its INPUT and leaves short docs untouched") {
+    val K = CorpusPipeline.PipeSpanK // 5
+    val shared = (1 to K).map(i => s"s$i").mkString(" ") // one span
+    val docs = Seq(
+      (1L, s"a1 a2 $shared z1 z2"),   // span at positions 3..10
+      (2L, s"$shared y1 y2 y3"),      // span at positions 1..8
+      (3L, "short doc under k tokens"))
+      .toDF("doc_id", "clean")
+    val out = CorpusPipeline.scrubStage(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a1 a2 z1 z2",
+      s"covered tokens must be cut, order preserved: ${out(1L)}")
+    assert(out(2L) == "y1 y2 y3", s"got ${out(2L)}")
+    assert(out(3L) == "short doc under k tokens",
+      "docs shorter than PipeSpanK must pass unchanged")
+    // Non-duplicated long docs pass with their token stream intact.
+    val solo = (1 to K + 2).map(i => s"u$i").mkString(" ")
+    val out2 = CorpusPipeline.scrubStage(
+      Seq((9L, solo)).toDF("doc_id", "clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(9L) == solo)
+  }
+
   test("fixture: the composed funnel strictly narrows and the " +
     "packed corpus is the SURVIVORS' clean text, not the raw table") {
     val st = CorpusPipeline.pipeStages(spark, sf).first()
     val nd = st.getAs[Long]("n_docs")
     val nq = st.getAs[Long]("n_quality_kept")
     val nk = st.getAs[Long]("n_dedup_kept")
-    assert(nd > nq && nq > nk && nk > 0,
-      s"funnel must narrow at every stage: $nd -> $nq -> $nk")
+    val nc = st.getAs[Long]("n_decontam_kept")
+    val cut = st.getAs[Long]("n_tokens_cut")
+    assert(nd > nq && nq > nk && nk > nc && nc > 0,
+      s"funnel must narrow at every stage: $nd -> $nq -> $nk -> $nc")
+    assert(cut > 0, "the scrub stage must be non-vacuous on the fixture")
+    // Classifier-health carry: the validation confusion must cover
+    // the whole validation split (tp+fp+fn+tn == its doc count) so a
+    // silently-degenerate eval can't ride along unnoticed.
+    assert(st.getAs[Long]("nb_val_tp") + st.getAs[Long]("nb_val_fp") +
+      st.getAs[Long]("nb_val_fn") + st.getAs[Long]("nb_val_tn") > 0)
     // The pipeline's piece total differs from the raw-corpus pack
     // (ta_bpe_bytes_pack): extraction + the two keep stages removed
     // text, so packing raw instead of stage output would be visible.

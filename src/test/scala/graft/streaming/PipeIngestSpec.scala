@@ -140,11 +140,11 @@ class PipeIngestSpec extends SparkSpec {
     val path = Files.createTempDirectory("graft_pipe_greedy").toString
     // History: unrelated keep + drop docs so the NB gate has both
     // classes and none of a/b/c matches the store.
-    PipeIngest.build(spark, docsDf(Seq(
+    val hist = Seq(
       17L -> ("the one two three four five six seven eight nine ten " +
         "eleven twelve thirteen fourteen fifteen"),
-      27L -> "spam spam spam spam spam spam spam spam spam spam")),
-      path)
+      27L -> "spam spam spam spam spam spam spam spam spam spam")
+    PipeIngest.build(spark, docsDf(hist), path)
     val src = s"$path/src"
     def stream = spark.readStream
       .schema(docsDf(Nil).schema)
@@ -166,5 +166,87 @@ class PipeIngestSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batchKeep === Set(101L),
       "batch CC: the cluster minimum survives")
+
+    // RECONCILIATION (VERDICT r9 item 2): an unrelated singleton
+    // streams in, everything is sealed, then compact() re-decides
+    // the store under the batch rule — the greedy-kept non-minimal
+    // member 102 is demoted, the cluster minimum 101 admitted with
+    // batch_id = -1 through the stored-tokenizer encode, and the
+    // untouched singleton's sealed row is bit-identical.
+    val doc104 = "the wind rain snow cloud storm thunder light " +
+      "dark dawn dusk noon night morning evening sky"
+    docsDf(Seq(104L -> doc104)).coalesce(1).write.mode("append")
+      .parquet(src)
+    PipeIngest.ingest(spark, path, stream, s"$path/ckpt")
+    PipeIngest.publish(spark, path)
+    val sealedRows = PipeIngest.docsAll(spark, path).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(sealedRows.keySet === Set(102L, 104L))
+
+    val corpus = docsDf(hist ++ Seq(
+      101L -> aTxt, 102L -> bTxt, 103L -> cTxt, 104L -> doc104))
+    PipeIngest.compact(spark, path, corpus)
+    val after = PipeIngest.docsAll(spark, path).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(after.keySet === Set(101L, 104L),
+      s"compaction must demote 102 and admit 101 (got ${after.keySet})")
+    assert(after(104L) === sealedRows(104L),
+      "the unaffected doc's sealed row must be untouched")
+    assert(after(101L)(1) === -1L,
+      "admitted docs carry the compaction batch_id -1")
+    assert(after(101L)(2).asInstanceOf[Long] > 0L &&
+      after(101L)(3).asInstanceOf[Long] >=
+        after(101L)(2).asInstanceOf[Long],
+      "admitted doc must be encoded through the stored tokenizer")
+    // keep_shingles carries the same reconciled keep set (history
+    // keeps + compacted streamed keeps), so future batches dedup
+    // against the batch-rule store.
+    val ks = spark.read.parquet(s"$path/keep_shingles")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ks === Set(17L, 101L, 104L),
+      s"keep_shingles must hold history keep + reconciled keeps: $ks")
+
+    // Exactly-once: a second compact over the same corpus changes
+    // nothing — no demotions, no admissions, rows identical.
+    assert(PipeIngest.compact(spark, path, corpus) === 0L)
+    val again = PipeIngest.docsAll(spark, path).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(again === after)
+  }
+
+  test("compact crash recovery: an interrupted swap (marker present, " +
+    "live tables stale) completes at the next compact entry") {
+    val path = Files.createTempDirectory("graft_pipe_cswap").toString
+    PipeIngest.build(spark, docsDf(histRows), path)
+    docsDf(Seq(22L -> doc22)).coalesce(1).write.mode("append")
+      .parquet(s"$path/src")
+    def stream = spark.readStream.schema(docsDf(Nil).schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$path/src")
+    PipeIngest.ingest(spark, path, stream, s"$path/ckpt")
+    PipeIngest.publish(spark, path)
+    // Simulate the crash window: staged tables + marker exist, live
+    // tables still the pre-compaction state. Stage = live minus 22.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$path/docs").filter(col("doc_id") =!= 22L)
+      .write.parquet(s"$path/compact_tmp/docs")
+    spark.read.parquet(s"$path/keep_shingles")
+      .filter(col("doc_id") =!= 22L)
+      .write.parquet(s"$path/compact_tmp/keep_shingles")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/compact_tmp/_COMMITTED"), true).close()
+    // The next compact first completes the staged swap, THEN
+    // re-decides: 22 is gone from the live store before the batch
+    // rule runs, and (being a keeplist member) is re-admitted.
+    PipeIngest.compact(spark, path,
+      docsDf(histRows ++ Seq(22L -> doc22)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/compact_tmp")), "staging root must be gone")
+    val ids = PipeIngest.docsAll(spark, path).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(22L),
+      s"the swapped-out doc must be re-admitted by the re-decide: $ids")
+    assert(PipeIngest.docsAll(spark, path).first()
+      .getAs[Long]("batch_id") === -1L)
   }
 }
