@@ -52,6 +52,7 @@ object SparkEntry {
     (graft.sim.VersionedIndex.queries, graft.sim.VersionedIndex.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (graft.multimodal.PixelPng.queries, graft.multimodal.PixelPng.oracles),
+    (graft.multimodal.PHash.queries, graft.multimodal.PHash.oracles),
     (EventOps.queries, EventOps.oracles),
     (Stateful.queries, Stateful.oracles),
     (graft.streaming.Resume.queries, graft.streaming.Resume.oracles),

@@ -70,8 +70,13 @@ object PixelPng {
     * height 0 is illegal PNG, so the floor keeps the construction
     * total over any input (fixture docs are never empty; spec-gated).
     */
-  private[multimodal] def encodePng(text: String): String = {
-    val bytes = text.getBytes("UTF-8")
+  private[multimodal] def encodePng(text: String): String =
+    encodePngBytes(text.getBytes("UTF-8").map(_ & 0xff))
+
+  /** The page from raw pixel byte values (round 10: the pHash tier
+    * plants DC-shifted twin IMAGES, which are not valid UTF-8 text).
+    */
+  private[multimodal] def encodePngBytes(bytes: Array[Int]): String = {
     val nb = bytes.length
     val h = math.max(1, (nb + PixW - 1) / PixW)
     val px = new Array[Int](h * PixW)
