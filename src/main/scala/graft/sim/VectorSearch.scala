@@ -119,7 +119,7 @@ object VectorSearch {
   /** Quantize a double array to exact BIGINTs (floor — both engines
     * share one rounding convention; see ss_centroid).
     */
-  private def quantize(v: Column): Column =
+  private[graft] def quantize(v: Column): Column =
     transform(v, x => floor(x * lit(QScale)).cast("long"))
 
   /** One Lloyd's round for the IVF centroids: assign every vector to
@@ -663,12 +663,12 @@ object VectorSearch {
   /** Quantize a DOUBLE list to exact BIGINTs — mirror of
     * [[quantize]].
     */
-  private def dQuant(v: String) =
+  private[graft] def dQuant(v: String) =
     s"""list_transform($v, x ->
        CAST(floor(x * 1000000.0) AS BIGINT))"""
 
   /** Norm of a built DOUBLE list — the exact DVecs fold. */
-  private def dNorm(v: String) =
+  private[graft] def dNorm(v: String) =
     s"""sqrt(list_sum(list_prepend(CAST(0 AS DOUBLE),
        list_transform($v, x -> x*x))))"""
 

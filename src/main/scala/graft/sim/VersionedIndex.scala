@@ -66,9 +66,16 @@ object VersionedIndex {
 
   import VectorSearch._
 
-  /** One resolved snapshot: which publishes compose each table. */
+  /** One resolved snapshot: which publishes compose each table, plus
+    * the cids retired by cell splits ([[publishSplit]]) — rows with a
+    * retired cid in any referenced list pub are NOT part of the
+    * snapshot (their re-assigned twins live in the split's own pub).
+    * Because `cid` is a partition column, the exclusion costs
+    * directory pruning, zero data — the manifest granularity stays
+    * pub-level while splits stay surgical.
+    */
   final case class Manifest(version: Long, quantPub: String,
-      listPubs: Seq[String])
+      listPubs: Seq[String], dropCids: Seq[Long] = Nil)
 
   private def centDir(root: String) = s"$root/centroids"
   private def cbDir(root: String) = s"$root/codebooks"
@@ -105,13 +112,16 @@ object VersionedIndex {
   // the grammar is closed: one object, three fixed keys.
   private def renderManifest(m: Manifest): String = {
     val pubs = m.listPubs.map(p => s""""$p"""").mkString(",")
+    val drops = m.dropCids.mkString(",")
     s"""{"version":${m.version},"quant_pub":"${m.quantPub}",""" +
-      s""""list_pubs":[$pubs]}"""
+      s""""list_pubs":[$pubs],"drop_cids":[$drops]}"""
   }
 
   private val VerR = """"version":([0-9]+)""".r
   private val QuantR = """"quant_pub":"([^"]+)"""".r
   private val PubsR = """"list_pubs":\[([^\]]*)\]""".r
+  // Optional (absent in pre-split manifests → no retired cids).
+  private val DropsR = """"drop_cids":\[([^\]]*)\]""".r
 
   /** Read + parse one version's manifest (driver-side metadata I/O,
     * the same class of call as split planning's directory listing).
@@ -132,8 +142,11 @@ object VersionedIndex {
       .getOrElse(sys.error(s"manifest $p: no list_pubs"))
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       .map(_.stripPrefix("\"").stripSuffix("\""))
+    val drops = DropsR.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse("")
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
     require(ver == v, s"manifest $p claims version $ver, dir says $v")
-    Manifest(ver, quant, pubs)
+    Manifest(ver, quant, pubs, drops)
   }
 
   /** The newest committed snapshot, if any publish ever completed. */
@@ -169,10 +182,16 @@ object VersionedIndex {
       .filter(col("pub") === m.quantPub).drop("pub")
 
   private[graft] def listsOf(s: SparkSession, root: String,
-      m: Manifest): DataFrame =
-    s.read.parquet(listsDir(root))
+      m: Manifest): DataFrame = {
+    val base = s.read.parquet(listsDir(root))
       .filter(col("pub").isin(m.listPubs: _*)).drop("pub")
       .withColumn("cid", col("cid").cast("long"))
+    // Retired cids (cell splits) are excluded snapshot-wide: split
+    // pubs assign fresh child cids, so the filter can never touch a
+    // live row, and cid is a partition column — pure pruning.
+    if (m.dropCids.isEmpty) base
+    else base.filter(!col("cid").isin(m.dropCids: _*))
+  }
 
   /** New quantizer generation: train on `base`, encode it, commit.
     * Returns the committed version number.
@@ -237,6 +256,103 @@ object VersionedIndex {
     v
   }
 
+  /** CELL-SPLIT REBALANCING (VERDICT r9 item 4): as the corpus
+    * drifts, hot cells grow unbounded under the base generation's
+    * centroids — probe cost rises linearly with the hottest cell and
+    * nothing re-trains. This publish detects the hottest cell from
+    * list metadata, splits it with a BOUNDED 2-means over only that
+    * cell's vectors, and commits a new snapshot:
+    *
+    *  - occupancy = per-cid counts of the current snapshot's lists
+    *    (a [[VectorSearch.NumCentroids]]-row aggregate; the two
+    *    driver reads on it are metadata-scale, the [[VectorIndex
+    *    .compact]] directory-listing class);
+    *  - split runs only if hottest > `minRatio` × mean occupancy
+    *    (None = balanced store untouched — re-running is a no-op);
+    *  - 2-means: seeds = the cell's min-vec_id member and the member
+    *    least-cosine-similar to it (ties by vec_id), then
+    *    [[VectorSearch.KmIters]] rounds of the SAME exact-integer
+    *    Lloyd step the base training uses ([[VectorSearch
+    *    .kmeansRound]] with K = 2);
+    *  - the new pub carries a full centroid generation (prior
+    *    centroids minus the hot one, plus children at fresh cids
+    *    maxCid+1+child), a copy of the unchanged PQ codebooks (both
+    *    quantizer tables are centroid-count-bounded — copying them
+    *    keeps the manifest's single quant_pub), and ONLY the split
+    *    cell's list rows re-assigned to the child cids — PQ codes are
+    *    cid-independent, so no re-encoding happens;
+    *  - the manifest references the prior list pubs UNSPLIT plus the
+    *    new pub, and retires the hot cid via `drop_cids`
+    *    ([[Manifest.dropCids]]) — only the split cell's partitions
+    *    are ever rewritten, old versions still resolve their pubs
+    *    bit-for-bit.
+    *
+    * `corpus` supplies the member vectors (vec_id, v, nrm) — the
+    * stored rows hold codes, not vectors, exactly like production
+    * (the raw corpus is the durable table; the index stores codes).
+    */
+  def publishSplit(s: SparkSession, root: String, corpus: DataFrame,
+      minRatio: Double = 2.0): Option[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val prev = currentManifest(s, root)
+      .getOrElse(sys.error(s"$root: nothing committed to split"))
+    val lists = listsOf(s, root, prev)
+    val occ = lists.groupBy("cid").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val hotRow = occ.orderBy(desc("n"), asc("cid")).first()
+    val meanN = occ.agg(avg("n")).first().getDouble(0)
+    if (hotRow.getAs[Long]("n") < minRatio * meanN) return None
+
+    val hot = hotRow.getAs[Long]("cid")
+    val maxCid = centOf(s, root, prev).agg(max("cid")).first().getLong(0)
+    val members = lists.filter(col("cid") === hot)
+      .select("vec_id", "codes").localCheckpoint()
+    val mv = members.select("vec_id")
+      .join(corpus, "vec_id").select("vec_id", "v", "nrm")
+      .localCheckpoint()
+    val eq = mv.select(col("vec_id"), quantize(col("v")).as("qv"))
+      .localCheckpoint()
+    val seedA = mv.orderBy("vec_id").limit(1)
+    val seedB = mv
+      .crossJoin(broadcast(seedA.select(col("v").as("av"),
+        col("nrm").as("an"))))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        cosine(col("v"), col("av"), col("nrm"), col("an")).as("ca"))
+      .orderBy(asc("ca"), asc("vec_id")).limit(1)
+    var kids = seedA
+      .select(lit(0L).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      .unionByName(seedB
+        .select(lit(1L).as("cid"), col("v").as("cv"),
+          col("nrm").as("cn")))
+      .localCheckpoint()
+    for (_ <- 1 to KmIters)
+      kids = kmeansRound(mv, eq, kids).localCheckpoint()
+
+    val wa = Window.partitionBy("vec_id").orderBy(desc("cc"), asc("cid"))
+    val fas = mv.join(broadcast(kids))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("cc"))
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), (lit(maxCid + 1L) + col("cid")).as("cid"))
+
+    val v = nextVersion(s, root)
+    val pub = s"p$v"
+    centOf(s, root, prev).filter(col("cid") =!= hot)
+      .unionByName(kids.select((lit(maxCid + 1L) + col("cid")).as("cid"),
+        col("cv"), col("cn")))
+      .withColumn("pub", lit(pub)).write.mode("append")
+      .partitionBy("pub").parquet(centDir(root))
+    cbOf(s, root, prev).withColumn("pub", lit(pub)).write.mode("append")
+      .partitionBy("pub").parquet(cbDir(root))
+    members.join(fas, "vec_id").select("vec_id", "codes", "cid")
+      .withColumn("pub", lit(pub)).write.mode("append")
+      .partitionBy("pub", "cid").parquet(listsDir(root))
+    commit(s, root, Manifest(v, pub, prev.listPubs :+ pub,
+      prev.dropCids :+ hot))
+    Some(v)
+  }
+
   /** IVFADC search over one committed snapshot (default: newest).
     * Resolution happens HERE, at plan time — a publish that commits
     * after this call changes nothing the returned plan reads.
@@ -294,9 +410,10 @@ object VersionedIndex {
   // express — that v1 still answers with the BASE-ONLY result after
   // v2 commits (snapshot isolation), the crash-window and gc
   // behaviors.
-  private def gatePath(s: SparkSession, dir: String): String = {
+  private def gatePath(s: SparkSession, dir: String,
+      family: String = "vindex"): String = {
     graft.operators.GateSweep.sweepStale()
-    "/tmp/graft_vindex_" +
+    s"/tmp/graft_${family}_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
       s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
@@ -321,13 +438,151 @@ object VersionedIndex {
     search(s, root, q, e)
   }
 
+  // ss_split_search: the versioned lifecycle PLUS a cell split —
+  // v1 = publishBuild(base), v2 = publishAppend(increment), v3 =
+  // publishSplit (minRatio 0: always split the hottest cell, so the
+  // gate exercises the split on every fixture). Own store root
+  // (family "vsplit") — the split must never mutate the snapshot
+  // ss_version_search's newest-version search resolves.
+  def splitSearch(s: SparkSession, dir: String): DataFrame = {
+    val root = gatePath(s, dir, "vsplit")
+    graft.operators.Lineage.ensure(s, dir, "ss_split_store") {
+      val fs = hfs(s, root)
+      fs.delete(new HPath(root), true)
+      val et = VectorIndex.withThreshold(vecs(s, dir)).localCheckpoint()
+      publishBuild(s, root,
+        et.filter(col("vec_id") < col("thr")).drop("thr"))
+      publishAppend(s, root,
+        et.filter(col("vec_id") >= col("thr")).drop("thr"))
+      publishSplit(s, root, vecs(s, dir), minRatio = 0.0)
+      ()
+    }
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    search(s, root, q, e)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_version_search" -> versionSearch,
+    "ss_split_search" -> splitSearch,
   )
 
-  // Verbatim oracle reuse (the ss_ingest_search precedent): the
-  // newest snapshot must equal the incremental store's contents.
+  // The split oracle: the ss_ivfpq_incr chain (base-trained
+  // quantizers, full-corpus assignment `asg`), THEN the rebalance
+  // twin — hottest cell by (count DESC, cid ASC), the same seeded
+  // exact-integer 2-means unrolled KmIters rounds, centroid table
+  // with the hot cell replaced by children at maxCid+1+child, the
+  // hot members re-assigned — and the IVFADC tail over the
+  // rebalanced (cent2, asg2). PQ codes are cid-independent, so the
+  // codes/dt CTEs carry over unchanged.
+  private lazy val SplitCtes: String = {
+    val rounds = (1 to KmIters).map { r =>
+      s"""sas$r AS MATERIALIZED (SELECT vec_id, cid FROM (
+           SELECT h.vec_id, c.cid,
+             row_number() OVER (PARTITION BY h.vec_id ORDER BY
+               ${VectorSearch.dCos("h.v", "c.cv", "h.nrm", "c.cn")}
+               DESC, c.cid) AS rn
+           FROM hotv h CROSS JOIN sct${r - 1} c) WHERE rn = 1),
+         sct$r AS MATERIALIZED (SELECT cid, cv,
+             ${VectorSearch.dNorm("cv")} AS cn
+           FROM (SELECT cid, list(cd ORDER BY idx) AS cv FROM (
+               SELECT cid, idx,
+                 (CAST(qs AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+                   AS cd
+               FROM (SELECT cid, idx, CAST(SUM(q) AS BIGINT) AS qs,
+                   COUNT(*) AS n
+                 FROM (SELECT a.cid, unnest(range(0, len(hq.qv)))
+                       AS idx,
+                     unnest(hq.qv) AS q
+                   FROM sas$r a JOIN hq ON hq.vec_id = a.vec_id)
+                 GROUP BY cid, idx))
+             GROUP BY cid))"""
+    }.mkString(",\n")
+    s"""occ AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+         FROM asg GROUP BY cid),
+       hot AS (SELECT cid FROM occ ORDER BY n DESC, cid LIMIT 1),
+       mx AS (SELECT MAX(cid) AS mc FROM cent),
+       hotv AS MATERIALIZED (SELECT e.vec_id, e.v, e.nrm
+         FROM asg JOIN e USING (vec_id)
+         WHERE asg.cid = (SELECT cid FROM hot)),
+       hq AS MATERIALIZED (SELECT vec_id,
+           ${VectorSearch.dQuant("v")} AS qv FROM hotv),
+       sct0 AS (
+         SELECT CAST(0 AS BIGINT) AS cid, cv, cn FROM (
+           SELECT v AS cv, nrm AS cn FROM hotv ORDER BY vec_id LIMIT 1)
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), cv, cn FROM (
+           SELECT h.v AS cv, h.nrm AS cn FROM hotv h
+           CROSS JOIN (SELECT v AS av, nrm AS an FROM hotv
+             ORDER BY vec_id LIMIT 1) a
+           ORDER BY ${VectorSearch.dCos("h.v", "a.av", "h.nrm", "a.an")}
+             ASC, h.vec_id LIMIT 1)),
+       $rounds,
+       fas AS (SELECT vec_id,
+           (SELECT mc FROM mx) + 1 + cid AS cid
+         FROM (SELECT h.vec_id, c.cid,
+             row_number() OVER (PARTITION BY h.vec_id ORDER BY
+               ${VectorSearch.dCos("h.v", "c.cv", "h.nrm", "c.cn")}
+               DESC, c.cid) AS rn
+           FROM hotv h CROSS JOIN sct$KmIters c) WHERE rn = 1),
+       cent2 AS (SELECT cid, cv, cn FROM cent
+           WHERE cid <> (SELECT cid FROM hot)
+         UNION ALL
+         SELECT (SELECT mc FROM mx) + 1 + cid, cv, cn
+         FROM sct$KmIters),
+       asg2 AS (SELECT vec_id, cid FROM asg
+           WHERE cid <> (SELECT cid FROM hot)
+         UNION ALL
+         SELECT vec_id, cid FROM fas)"""
+  }
+
+  import VectorSearch.{dCos => dc}
+
   val oracles: Map[String, String] = Map(
+    // Verbatim oracle reuse (the ss_ingest_search precedent): the
+    // newest snapshot must equal the incremental store's contents.
     "ss_version_search" -> VectorIndex.oracles("ss_ivfpq_incr"),
+    "ss_split_search" ->
+      s"""WITH e AS (${VectorSearch.DVecs}),
+         eb AS MATERIALIZED (SELECT * FROM e WHERE vec_id <
+           (SELECT CAST(floor(COUNT(*) * ${VectorIndex.BaseFrac})
+             AS BIGINT) FROM e)),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+           WHERE vec_id < $NumQueries),
+         ${VectorSearch.kmCtes("eb")},
+         asg AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${dc("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         ${VectorSearch.pqCtes("eb")},
+         $SplitCtes,
+         pr AS (SELECT query_id, cid FROM (
+             SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 ${dc("qv", "c.cv", "qn", "c.cn")} DESC, c.cid) AS rn
+             FROM q CROSS JOIN cent2 c) WHERE rn <= $NProbe),
+         est AS (SELECT pr.query_id, asg2.vec_id AS neighbor_id,
+             ${VectorSearch.DAdcEst} AS est
+           FROM pr JOIN asg2 USING (cid)
+             JOIN codes ON codes.vec_id = asg2.vec_id
+             JOIN dt ON dt.query_id = pr.query_id
+           WHERE asg2.vec_id <> pr.query_id),
+         cand AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY est, neighbor_id) AS rn
+             FROM est) WHERE rn <= ${VectorSearch.PqRerank}),
+         sc AS (SELECT cand.query_id, cand.neighbor_id,
+             ${dc("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+           FROM cand JOIN q USING (query_id)
+             JOIN e ON e.vec_id = cand.neighbor_id),
+         rk AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM sc)
+         SELECT query_id, neighbor_id, rank, cos FROM rk
+         WHERE rank <= $TopK ORDER BY query_id, rank""",
   )
 }

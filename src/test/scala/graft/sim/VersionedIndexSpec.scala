@@ -153,4 +153,94 @@ class VersionedIndexSpec extends SparkSpec {
     assert(VersionedIndex.committedVersions(spark, root) === Seq(3L))
     assert(rows(VersionedIndex.search(spark, root, q, e)) === v2Ans)
   }
+
+  test("publishSplit rewrites ONLY the hot cell, keeps old versions " +
+      "resolving, loses no vector, and preserves recall") {
+    import org.apache.spark.sql.expressions.Window
+    val root = freshRoot()
+    val (e, base, inc) = split()
+    val q = queriesOf(e)
+    VersionedIndex.publishBuild(spark, root, base)   // v1: p1
+    VersionedIndex.publishAppend(spark, root, inc)   // v2: p1+p2
+    val preAns = rows(VersionedIndex.search(spark, root, q, e))
+
+    // Exact ground truth for recall (brute-force top-k).
+    val wr = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("vec_id"))
+    val truth = q.crossJoin(e)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorSearch.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
+          .as("cos"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= VectorSearch.TopK)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(ans: Seq[(Long, Long, Long)]): Double =
+      ans.map(t => (t._1, t._2)).toSet.intersect(truth).size.toDouble /
+        truth.size
+
+    // Pre-split state for the only-affected-partitions assertion.
+    def listFiles(pub: String): Map[String, Long] = {
+      val d = new java.io.File(s"$root/lists/pub=$pub")
+      Option(d.listFiles()).getOrElse(Array.empty).flatMap { cd =>
+        Option(cd.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.length())
+      }.toMap
+    }
+    val p1Before = listFiles("p1")
+    val p2Before = listFiles("p2")
+    val m2 = VersionedIndex.manifest(spark, root, 2L)
+    val hotExpected = VersionedIndex.listsOf(spark, root, m2)
+      .groupBy("cid").count()
+      .orderBy(desc("count"), asc("cid")).first().getLong(0)
+    val maxCid = VersionedIndex.centOf(spark, root, m2)
+      .agg(max("cid")).first().getLong(0)
+    val v2Ids = VersionedIndex.listsOf(spark, root, m2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // Below threshold: balanced-enough store is untouched.
+    assert(VersionedIndex.publishSplit(spark, root, e,
+      minRatio = 1e9) === None)
+    assert(VersionedIndex.committedVersions(spark, root) === Seq(1L, 2L))
+
+    val v3 = VersionedIndex.publishSplit(spark, root, e, minRatio = 0.0)
+    assert(v3 === Some(3L))
+    val m3 = VersionedIndex.manifest(spark, root, 3L)
+    assert(m3.quantPub === "p3" &&
+      m3.listPubs === Seq("p1", "p2", "p3") &&
+      m3.dropCids === Seq(hotExpected))
+
+    // Only the split cell's partitions were written: prior pubs are
+    // bit-identical, the new pub holds only child cids past maxCid.
+    assert(listFiles("p1") === p1Before)
+    assert(listFiles("p2") === p2Before)
+    val p3Cids = Option(new java.io.File(s"$root/lists/pub=p3")
+        .listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName.stripPrefix("cid=").toLong)
+      .toSet
+    assert(p3Cids.nonEmpty && p3Cids.forall(_ > maxCid),
+      s"children must take fresh cids past $maxCid: $p3Cids")
+
+    // The centroid generation replaced the hot cell with the children.
+    val cids3 = VersionedIndex.centOf(spark, root, m3)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(!cids3.contains(hotExpected) && p3Cids.subsetOf(cids3))
+
+    // No vector lost or duplicated across the split.
+    val ids3 = VersionedIndex.listsOf(spark, root, m3)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ids3.length === ids3.distinct.length)
+    assert(ids3.toSet === v2Ids)
+
+    // Old versions still resolve to their exact pre-split answer.
+    assert(rows(VersionedIndex.search(spark, root, q, e, Some(2L)))
+      === preAns)
+
+    // Recall is preserved through the rebalance.
+    val postAns = rows(VersionedIndex.search(spark, root, q, e))
+    assert(recallOf(postAns) >= recallOf(preAns),
+      s"recall ${recallOf(postAns)} fell below ${recallOf(preAns)}")
+  }
 }
