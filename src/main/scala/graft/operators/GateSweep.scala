@@ -20,7 +20,7 @@ object GateSweep {
     * vindex | vsplit | pipe_ingest | pipe_compact}_<md5>_<pid>_<hash>.
     */
   private val Pat =
-    "^graft_(?:dedup_ingest|ingest_gate|ivfpq_index|tok_store|vindex|vsplit|pipe_ingest|pipe_compact)_[0-9a-f]{32}_([0-9]+)_(-?[0-9]+)$".r
+    "^graft_(?:dedup_ingest|ingest_gate|ivfpq_index|tok_store|uni_store|vindex|vsplit|pipe_ingest|pipe_compact)_[0-9a-f]{32}_([0-9]+)_(-?[0-9]+)$".r
 
   private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
 

@@ -195,9 +195,10 @@ object TokenizerStore {
     * the [[graft.sim.VectorIndex]] gatePath discipline; production
     * callers pass their own path to [[saveBytes]]).
     */
-  private def gatePath(s: SparkSession, dir: String): String = {
+  private def gatePath(s: SparkSession, dir: String,
+      family: String = "tok_store"): String = {
     graft.operators.GateSweep.sweepStale()
-    "/tmp/graft_tok_store_" +
+    s"/tmp/graft_${family}_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
       s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
@@ -215,8 +216,29 @@ object TokenizerStore {
       graft.Tables(s, dir, "documents").select("doc_id", "text"))
   }
 
+  // ta_unigram_store_encode: the unigram-store lifecycle as a
+  // declared row (the ta_tok_store_encode shape) — train once,
+  // persist census + segmentations, read back from disk, encode the
+  // corpus against the STORED tables; the DuckDB twin retrains
+  // in-query. Matching hashes prove the selection-trained tokenizer
+  // round-trips losslessly; `oov_tokens` is derived (left-join
+  // miss), structurally zero here because the batch is the training
+  // corpus and the fixture has no oversized words.
+  def uniStoreEncode(s: SparkSession, dir: String): DataFrame = {
+    val path = gatePath(s, dir, "uni_store")
+    graft.operators.Lineage.ensure(s, dir, "ta_tok_store_uni") {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      saveUnigram(s, dir, path)
+    }
+    encodeBatchUnigram(s, path,
+      graft.Tables(s, dir, "documents").select("doc_id", "text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tok_store_encode" -> storeEncode,
+    "ta_unigram_store_encode" -> uniStoreEncode,
   )
 
   // The oracle retrains in-query (ByteBpe.TrainCtes) and derives the
@@ -241,7 +263,91 @@ object TokenizerStore {
            coalesce(pd.n_pieces, 0) AS n_pieces
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY doc_id""",
+    // The unigram twin: retrain in-query (UnigramTrainer.TrainCtes →
+    // vbb = the final segmentations), derive the same census.
+    "ta_unigram_store_encode" ->
+      s"""WITH ${UnigramTrainer.TrainCtes},
+         pw AS (SELECT word, np FROM vbb),
+         pd AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN pw.word IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS oov_tokens,
+             CAST(SUM(len(t.word)) AS BIGINT) AS n_chars,
+             CAST(COALESCE(SUM(np), 0) AS BIGINT) AS n_pieces
+           FROM tok t LEFT JOIN pw USING (word) GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(pd.n_tokens, 0) AS n_tokens,
+           coalesce(pd.oov_tokens, 0) AS oov_tokens,
+           coalesce(pd.n_chars, 0) AS n_chars,
+           coalesce(pd.n_pieces, 0) AS n_pieces
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id""",
   )
+
+  // -----------------------------------------------------------------
+  // Unigram store (VERDICT r9 item 6): the SELECTION-trained
+  // tokenizer ([[UnigramTrainer]]) gets the same ship-it lifecycle
+  // as the merge-trained ones. Layout:
+  //  - `uni_census` — the final usage census (piece, cnt): piece
+  //    scores are ilog2(cnt) − ilog2(Σcnt), derivable from the table
+  //    alone, so the census IS the model.
+  //  - `uni_segs`   — (word, freq, sc, np, path): the trained
+  //    Viterbi segmentation of every vocabulary word — applying the
+  //    tokenizer to a batch is one dictionary hash join, no Viterbi
+  //    replay, |batch| work.
+  // The oversized-word rule travels with the artifact: words over
+  // [[UnigramTrainer.MaxWordLen]] chars were excluded from training
+  // (the standard max-sentence truncation), so they surface in the
+  // encode's OOV census exactly like any other unseen word — the
+  // retrain trigger, never a silent drop.
+
+  private def uniCensusPath(path: String) = s"$path/uni_census"
+  private def uniSegsPath(path: String) = s"$path/uni_segs"
+
+  /** Train on the corpus at `dir` (via the session-shared
+    * [[UnigramTrainer]] artifacts) and persist both tables.
+    */
+  def saveUnigram(s: SparkSession, dir: String, path: String): Unit = {
+    val (vocab, vb2) = UnigramTrainer.artifacts(s, dir)
+    vocab.write.mode("overwrite").parquet(uniCensusPath(path))
+    vb2.select("word", "freq", "sc", "np", "path")
+      .write.mode("overwrite").parquet(uniSegsPath(path))
+  }
+
+  /** The stored census, score order (cnt DESC, piece ASC). */
+  def loadUnigramCensus(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(uniCensusPath(path)).orderBy(desc("cnt"), asc("piece"))
+
+  /** Encode an arbitrary (doc_id, text) batch against the STORED
+    * unigram tokenizer: reference tokenization, one dictionary hash
+    * join against the segmentation table, per-doc aggregate with the
+    * OOV census derived from the left-join miss (oversized or unseen
+    * words — the retrain signal).
+    */
+  def encodeBatchUnigram(s: SparkSession, path: String,
+      batch: DataFrame): DataFrame = {
+    val toks = batch.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"),
+          lit(WordCount.WordRegex), lit(0))).as("t"))
+      .select(col("doc_id"), upper(col("t")).as("word"))
+    val perWord = s.read.parquet(uniSegsPath(path))
+      .select(col("word"), col("np"))
+    val perDoc = toks
+      .join(broadcast(perWord), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("np").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        coalesce(sum("np"), lit(0L)).as("n_pieces"))
+    batch.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+      .orderBy("doc_id")
+  }
 
   /** Encode an arbitrary (doc_id, text) batch against the STORED
     * tokenizer: reference tokenization, one hash join against the
