@@ -181,6 +181,144 @@ object JpegCodec {
     len
   }
 
+  /** Marker-walk metadata (round 10, `mm_jpeg_meta`): everything the
+    * stream declares BEFORE entropy decoding — dimensions, component
+    * configuration, restart interval, table counts — plus the scan
+    * segment's raw byte length, measured by the §B.1.1.5 rule (the
+    * entropy segment ends at the first 0xFF followed by anything
+    * other than a stuffed 0x00 or an RSTn marker). The walk applies
+    * the same bounds discipline as [[decode]] — truncated or
+    * malformed streams fail loudly — and validates DHT payloads by
+    * constructing the canonical table. Pixels stay with [[decode]]'s
+    * spec-differential gate; these fields are the SQL-expressible
+    * part of the format.
+    */
+  final case class JpegMetaInfo(width: Int, height: Int, nComp: Int,
+      hMax: Int, vMax: Int, restart: Int, nQt: Int, nDht: Int,
+      scanLen: Long)
+
+  def parseMeta(b: Array[Byte]): JpegMetaInfo = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      fail("not a JPEG SOI")
+    var restart = 0
+    var w = -1
+    var h = -1
+    var nc = 0
+    var hmax = 1
+    var vmax = 1
+    var nQt = 0
+    var nDht = 0
+    var scanLen = 0L
+    var sawScan = false
+    var off = 2
+    var done = false
+    while (!done) {
+      if (off + 2 > b.length) fail("truncated marker stream")
+      if ((b(off) & 0xff) != 0xff) fail("expected marker 0xFF")
+      var m = b(off + 1) & 0xff
+      off += 2
+      while (m == 0xff) {
+        if (off >= b.length) fail("truncated fill bytes")
+        m = b(off) & 0xff
+        off += 1
+      }
+      m match {
+        case 0xd9 => done = true
+        case 0xdb =>
+          val len = segLen(b, off)
+          var p = off + 2
+          val end = off + len
+          while (p < end) {
+            val pq = (b(p) & 0xff) >> 4
+            val tq = b(p) & 0x0f
+            if (pq > 1 || tq > 3) fail("bad DQT precision/id")
+            p += 1
+            if (p + (1 + pq) * 64 > end) fail("DQT table overruns segment")
+            p += (1 + pq) * 64
+            nQt += 1
+          }
+          off = end
+        case 0xc4 =>
+          val len = segLen(b, off)
+          var p = off + 2
+          val end = off + len
+          while (p < end) {
+            val tc = (b(p) & 0xff) >> 4
+            val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) fail("bad DHT class/id")
+            p += 1
+            if (p + 16 > end) fail("DHT BITS overrun segment")
+            val bits = Array.tabulate(16)(i => b(p + i) & 0xff)
+            p += 16
+            val n = bits.sum
+            if (p + n > end) fail("DHT values overrun segment")
+            val vals = Array.tabulate(n)(i => b(p + i) & 0xff)
+            p += n
+            new Huff(bits, vals) // canonical-table validity check
+            nDht += 1
+          }
+          off = end
+        case 0xc0 | 0xc1 =>
+          val len = segLen(b, off)
+          if (len < 8) fail("SOF too short")
+          if ((b(off + 2) & 0xff) != 8) fail("only 8-bit precision")
+          h = be16(b, off + 3)
+          w = be16(b, off + 5)
+          if (w < 1 || h < 1) fail("bad dimensions")
+          nc = b(off + 7) & 0xff
+          if (nc != 1 && nc != 3) fail(s"unsupported component count $nc")
+          if (len < 8 + 3 * nc) fail("SOF components overrun segment")
+          var i = 0
+          while (i < nc) {
+            val hv = b(off + 9 + 3 * i) & 0xff
+            val ch = hv >> 4
+            val cv = hv & 0x0f
+            if (ch < 1 || ch > 2 || cv < 1 || cv > 2)
+              fail(s"unsupported sampling ${ch}x$cv")
+            if (ch > hmax) hmax = ch
+            if (cv > vmax) vmax = cv
+            i += 1
+          }
+          off += len
+        case 0xc2 => fail("progressive JPEG unsupported")
+        case n if n >= 0xc3 && n <= 0xcf && n != 0xc4 && n != 0xc8 =>
+          fail(f"unsupported SOF marker 0xFF$n%02X")
+        case 0xdd =>
+          val len = segLen(b, off)
+          if (len != 4) fail("bad DRI length")
+          restart = be16(b, off + 2)
+          off += len
+        case 0xda =>
+          if (w < 0) fail("SOS before SOF")
+          val len = segLen(b, off)
+          if (len < 6) fail("SOS too short")
+          val ns = b(off + 2) & 0xff
+          if (len < 6 + 2 * ns) fail("SOS header overruns segment")
+          if (ns != nc) fail("only single interleaved scan supported")
+          off += len
+          val start = off
+          var p = off
+          var ended = false
+          while (!ended) {
+            if (p >= b.length) fail("truncated entropy segment")
+            if ((b(p) & 0xff) != 0xff) p += 1
+            else {
+              if (p + 1 >= b.length) fail("truncated entropy segment")
+              val m2 = b(p + 1) & 0xff
+              if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7)) p += 2
+              else ended = true
+            }
+          }
+          scanLen = (p - start).toLong
+          off = p
+          sawScan = true
+        case _ => off += segLen(b, off) // APPn / COM / unknown
+      }
+    }
+    if (w < 0 || !sawScan) fail("stream has no frame or no scan")
+    JpegMetaInfo(w, h, nc, hmax, vmax, restart, nQt, nDht, scanLen)
+  }
+
   /** Decode a baseline sequential JPEG stream. */
   def decode(b: Array[Byte]): JpegImage = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)

@@ -299,4 +299,42 @@ class JpegCodecSpec extends AnyFunSuite {
     z(sof + 5) = 0; z(sof + 6) = 0 // height := 0
     intercept[IllegalArgumentException](JpegCodec.decode(z))
   }
+
+  test("parseMeta reads the declared fields from a decodable stream, " +
+    "measures the stuffed scan length, and fails loudly on the same " +
+    "malformed shapes as decode (round 10)") {
+    // A real DC-only restart stream: the metadata walk must agree
+    // with what decode consumed.
+    val bytes = buildGray(32, 16, dri = 3, (tx, ty) => 100 + tx + ty)
+    val m = JpegCodec.parseMeta(bytes)
+    assert(m.width == 32 && m.height == 16 && m.nComp == 1 &&
+      m.hMax == 1 && m.vMax == 1 && m.restart == 3)
+    assert(m.nQt == 1 && m.nDht == 2, // buildGray: one DQT, DC+AC DHTs
+      s"table counts ${m.nQt}/${m.nDht}")
+    // Scan length: the entropy segment measured by the stuffing rule
+    // equals the distance from the SOS payload to the EOI marker.
+    def find(seq: Array[Byte], a: Int, b: Int): Int =
+      seq.indices.find(i => i + 1 < seq.length &&
+        (seq(i) & 0xff) == a && (seq(i + 1) & 0xff) == b).get
+    val sosAt = find(bytes, 0xff, 0xda)
+    val sosLen = ((bytes(sosAt + 2) & 0xff) << 8) | (bytes(sosAt + 3) & 0xff)
+    val eoiAt = bytes.length - 2
+    assert(m.scanLen == eoiAt - (sosAt + 2 + sosLen),
+      s"scanLen ${m.scanLen}")
+    // The JpegMeta mirrored construction parses to its own formulae.
+    val jm = JpegMeta.buildJpeg(42L,
+      "some document words".getBytes("UTF-8").map(_ & 0xff))
+    val pm = JpegCodec.parseMeta(java.util.HexFormat.of().parseHex(jm))
+    assert(pm.width == 8 * (1 + 42 % 3) && pm.height == 8 * (1 + (42 / 3) % 4))
+    assert(pm.nComp == 3 && pm.nQt == 2 && pm.nDht == 1 &&
+      pm.restart == 42 % 7 && pm.scanLen >= JpegMeta.EntN)
+    // Loud on truncation inside the entropy segment and on a DQT
+    // whose declared length undercuts its payload.
+    intercept[IllegalArgumentException](
+      JpegCodec.parseMeta(bytes.dropRight(3)))
+    val bad = bytes.clone()
+    val dqtAt = find(bad, 0xff, 0xdb)
+    bad(dqtAt + 3) = 0x10 // declared length 16 < 1 + 64 payload
+    intercept[IllegalArgumentException](JpegCodec.parseMeta(bad))
+  }
 }
