@@ -27,10 +27,13 @@ import graft.Tables
   * which is exactly what makes the hash perceptual.
   *
   * Mirrored construction (the mm_pixel_stats discipline): the image
-  * corpus is every document's byte-grid page PLUS, for even doc_ids,
-  * a planted DC-SHIFTED twin (img_id = doc_id + [[TwinOffset]],
-  * pixels min(255, b + [[TwinShift]]) — a brightness edit, the
-  * classic perceptual-dup transform). The ENGINE builds real PNGs
+  * corpus is every document's byte-grid page (img_id = 2·doc_id)
+  * PLUS, for even doc_ids, a planted DC-SHIFTED twin (img_id =
+  * 2·doc_id + 1, pixels min(255, b + [[TwinShift]]) — a brightness
+  * edit, the classic perceptual-dup transform). The even/odd id
+  * encoding is collision-proof at ANY corpus scale — an additive
+  * offset would collide with the octave fixtures' per-shard doc_id
+  * blocks (make_scale shifts doc ids by 100k per shard). The ENGINE builds real PNGs
   * and hashes what [[ImageCodec.decodePng]] returns; the ORACLE
   * computes the same hash from the construction arithmetic — pixel
   * disagreement anywhere surfaces as a pair-set hash mismatch.
@@ -57,7 +60,6 @@ import graft.Tables
   */
 object PHash {
 
-  val TwinOffset = 100000L
   val TwinShift = 8
   val MaxHam = 4
   val Chunks = 5
@@ -126,9 +128,9 @@ object PHash {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, tx) =>
         val bytes = tx.getBytes("UTF-8").map(_ & 0xff)
-        val base = (id, PixelPng.encodePngBytes(bytes))
+        val base = (2 * id, PixelPng.encodePngBytes(bytes))
         if (id % 2 == 0)
-          Iterator(base, (id + TwinOffset, PixelPng.encodePngBytes(
+          Iterator(base, (2 * id + 1, PixelPng.encodePngBytes(
             bytes.map(b => math.min(255, b + TwinShift)))))
         else Iterator(base)
       })
@@ -196,9 +198,9 @@ object PHash {
                CAST(('0x' || substr(hx, CAST(i*2 + 1 AS INTEGER), 2))
                  AS BIGINT)) AS bs
            FROM t),
-         imgs AS (SELECT doc_id AS img_id, bs FROM b0
+         imgs AS (SELECT doc_id * 2 AS img_id, bs FROM b0
            UNION ALL
-           SELECT doc_id + $TwinOffset,
+           SELECT doc_id * 2 + 1,
              list_transform(bs, b -> least(255, b + $TwinShift))
            FROM b0 WHERE doc_id % 2 = 0),
          g AS (SELECT img_id, bs,

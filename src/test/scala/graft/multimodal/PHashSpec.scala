@@ -72,7 +72,7 @@ class PHashSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0))
     assert(evens.nonEmpty)
     val missing = evens.filterNot(d =>
-      pairs.contains((d, d + PHash.TwinOffset)))
+      pairs.contains((2 * d, 2 * d + 1)))
     assert(missing.isEmpty,
       s"planted twins not recovered: ${missing.take(5).toSeq}")
   }
