@@ -65,6 +65,26 @@ object PHash {
   val Chunks = 5
   val ChunkBits = 13
 
+  /** VERIFY-TIER CONTRACT (the [[graft.dedup.Dedup.VerifyCap]]
+    * discipline): up to PairCap images the pair report is the exact
+    * answer — every driver gate runs in this regime (sf0.01: 750
+    * images, all 250 planted twins on the gate path). Above the cap
+    * the tier reports the pairs of a deterministic hash-sampled
+    * ≈PairCap-image subset (hash60(img_id) ≡ 0 mod ⌈N/cap⌉, the
+    * cross-engine md5 hash, reproduced bit-for-bit by the oracle;
+    * the count-conditional is one broadcast 1-row scalar in the
+    * plan, not a driver branch). The cap exists because a 63-bit
+    * perceptual hash over a self-similar corpus has a constant
+    * BACKGROUND pair density — measured 1.25·10⁻⁴ at 32×, 3.59M
+    * pairs over 240k images with ~30 neighbors per image — so the
+    * exact pair REPORT grows quadratically with the corpus no matter
+    * how sub-quadratic the blocking is. Production consumes the pair
+    * graph as a keeplist/cluster reduction; the uncapped pair tier
+    * is the verify baseline, exact precisely where the gates need
+    * exactness.
+    */
+  val PairCap = 2048
+
   /** Fixed-point DCT-II basis: DctBasis(p)(k) =
     * round(cos((2k+1)·p·π/16) · 2¹⁴). Shared verbatim by the typed
     * hash pass and the emitted oracle literals.
@@ -172,9 +192,23 @@ object PHash {
       .filter(col("hamming") <= MaxHam)
   }
 
+  /** The verify-tier sample: identity below `cap`, deterministic
+    * hash-sampled ≈cap-image subset above it ([[PairCap]] doc; the
+    * 1-row count rides the plan as a broadcast scalar).
+    */
+  private[multimodal] def capImages(hs: DataFrame, cap: Int): DataFrame = {
+    import graft.functions.TextHash.hash60
+    val tot = hs.agg(count(lit(1)).as("n_total"))
+    hs.crossJoin(broadcast(tot))
+      .filter(col("n_total") <= cap ||
+        hash60(col("img_id").cast("string")) %
+          expr(s"(n_total + ${cap - 1}) DIV $cap") === 0)
+      .select("img_id", "ph")
+  }
+
   def phashDedup(s: SparkSession, dir: String): DataFrame = {
-    val hs = hashed(s, dir).localCheckpoint() // both sides of the join
-    pairsOf(hs).orderBy("img_a", "img_b")
+    val hs0 = hashed(s, dir).localCheckpoint() // count + both join sides
+    pairsOf(capImages(hs0, PairCap)).orderBy("img_a", "img_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,14 +259,20 @@ object PHash {
                  * bl[CAST((pq % 8) * 8 + (c % 8) + 1 AS INTEGER)]
                  * cell[CAST(c + 1 AS INTEGER)]))) AS coefs
            FROM cells CROSS JOIN (SELECT $BFlat AS bl) bb),
-         hv AS (SELECT img_id,
+         hv0 AS (SELECT img_id,
              CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
                list_transform(range(2, 65), i ->
                  CASE WHEN coefs[CAST(i AS INTEGER)] >
                      list_sort(coefs[2:64])[32]
                    THEN CAST(1 AS BIGINT) << CAST(i - 2 AS INTEGER)
                    ELSE CAST(0 AS BIGINT) END))) AS BIGINT) AS ph
-           FROM fc)
+           FROM fc),
+         ct AS (SELECT COUNT(*) AS n_total FROM hv0),
+         hv AS (SELECT img_id, ph FROM hv0, ct
+           WHERE n_total <= $PairCap
+             OR CAST(('0x' || substr(md5(CAST(img_id AS VARCHAR)),
+               1, 15)) AS BIGINT)
+               % ((n_total + ${PairCap - 1}) // $PairCap) = 0)
          SELECT a.img_id AS img_a, b.img_id AS img_b,
            CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
          FROM hv a JOIN hv b ON a.img_id < b.img_id

@@ -64,6 +64,21 @@ class PHashSpec extends SparkSpec {
       "the crafted frame must exercise both sides of the ball boundary")
   }
 
+  test("capImages: exact below the cap, the deterministic hash " +
+    "sample above it (the embed-cosine verify-tier discipline)") {
+    import graft.functions.TextHash.hash60
+    val hs = (0L until 10L).map(i => (i, i * 7L)).toDF("img_id", "ph")
+    // Below cap: identity.
+    assert(PHash.capImages(hs, 10).count() === 10L)
+    // Above cap: ids with hash60(id) % ceil(10/4)=3 == 0, exactly.
+    val kept = PHash.capImages(hs, 4)
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    val want = hs.select(col("img_id"))
+      .filter(hash60(col("img_id").cast("string")) % 3 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === want && kept.nonEmpty && kept.size < 10)
+  }
+
   test("fixture: every planted twin is recovered as a near-dup pair") {
     val pairs = PHash.phashDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
