@@ -53,6 +53,7 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracles),
     (graft.multimodal.PixelPng.queries, graft.multimodal.PixelPng.oracles),
     (graft.multimodal.PHash.queries, graft.multimodal.PHash.oracles),
+    (graft.multimodal.AudioFp.queries, graft.multimodal.AudioFp.oracles),
     (graft.multimodal.JpegMeta.queries, graft.multimodal.JpegMeta.oracles),
     (EventOps.queries, EventOps.oracles),
     (Stateful.queries, Stateful.oracles),

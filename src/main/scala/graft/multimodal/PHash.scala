@@ -170,41 +170,20 @@ object PHash {
       .toDF("img_id", "ph")
   }
 
-  /** Blocked near-dup pairs over a (img_id, ph) frame: chunk
-    * equi-join candidates, exact Hamming ≤ [[MaxHam]] verify.
-    * Factored so the spec can prove blocked ≡ brute-force on
-    * crafted frames.
+  /** Blocked near-dup pairs over a (img_id, ph) frame — the
+    * [[HammingBlock]] machinery (factored round 10 so the audio
+    * fingerprint blocks through the same audited code); the spec
+    * proves blocked ≡ brute-force on crafted frames.
     */
-  private[multimodal] def pairsOf(hs: DataFrame): DataFrame = {
-    val chunked = hs.select(col("img_id"), col("ph"),
-        explode(sequence(lit(0), lit(Chunks - 1))).as("ci"))
-      .select(col("img_id"), col("ph"), col("ci"),
-        expr(s"shiftright(ph, ci * $ChunkBits)")
-          .bitwiseAND(lit((1L << ChunkBits) - 1)).as("cv"))
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-          col("a.img_id") < col("b.img_id"))
-      .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
-        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("long")
-          .as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= MaxHam)
-  }
+  private[multimodal] def pairsOf(hs: DataFrame): DataFrame =
+    HammingBlock.pairs(hs, "img_id", Chunks, ChunkBits, MaxHam)
 
   /** The verify-tier sample: identity below `cap`, deterministic
     * hash-sampled ≈cap-image subset above it ([[PairCap]] doc; the
     * 1-row count rides the plan as a broadcast scalar).
     */
-  private[multimodal] def capImages(hs: DataFrame, cap: Int): DataFrame = {
-    import graft.functions.TextHash.hash60
-    val tot = hs.agg(count(lit(1)).as("n_total"))
-    hs.crossJoin(broadcast(tot))
-      .filter(col("n_total") <= cap ||
-        hash60(col("img_id").cast("string")) %
-          expr(s"(n_total + ${cap - 1}) DIV $cap") === 0)
-      .select("img_id", "ph")
-  }
+  private[multimodal] def capImages(hs: DataFrame, cap: Int): DataFrame =
+    HammingBlock.capSample(hs, "img_id", cap)
 
   def phashDedup(s: SparkSession, dir: String): DataFrame = {
     val hs0 = hashed(s, dir).localCheckpoint() // count + both join sides
