@@ -54,6 +54,8 @@ object SparkEntry {
     (graft.multimodal.PixelPng.queries, graft.multimodal.PixelPng.oracles),
     (graft.multimodal.PHash.queries, graft.multimodal.PHash.oracles),
     (graft.multimodal.AudioFp.queries, graft.multimodal.AudioFp.oracles),
+    (graft.multimodal.MmPipeline.queries,
+      graft.multimodal.MmPipeline.oracles),
     (graft.multimodal.JpegMeta.queries, graft.multimodal.JpegMeta.oracles),
     (EventOps.queries, EventOps.oracles),
     (Stateful.queries, Stateful.oracles),

@@ -1,0 +1,244 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextHash
+import graft.operators.Lineage
+
+/** COMPOSED MULTIMODAL CORPUS BUILD (`pipe_mm`, round 10) — the
+  * multimodal twin of [[graft.pipeline.CorpusPipeline]]: one declared
+  * query chains the image tier's stages so each consumes the PREVIOUS
+  * stage's output, the way a production image-text corpus build
+  * (LAION-style) runs:
+  *
+  *   documents (+ planted perceptual twins)
+  *     → [1] decode + feature   (REAL PNG pixel decode →
+  *                               dims / luminance / pHash)
+  *     → [2] quality gate       (min-size + dark-page rules,
+  *                               exact integers)
+  *     → [3] perceptual dedup   ([[HammingBlock]] pair graph at the
+  *                               [[PHash.MaxHam]] ball → batch-CC
+  *                               cluster-min keeplist — the SAME rule
+  *                               as the text pipeline's dedup stage)
+  *     → [4] caption pairing    (kept images joined back to their
+  *                               document's text → image-text
+  *                               training records)
+  *
+  * The image corpus is [[PHash]]'s mirrored construction (every doc's
+  * byte-grid page + a DC-shifted twin per even doc, img_id =
+  * 2·doc_id / 2·doc_id+1), so the pipeline composes the SAME
+  * perceptual tier `mm_phash_dedup` gates standalone — and the oracle
+  * chains [[PHash.HashCtes]] verbatim, so the pipeline and the
+  * standalone gate can never drift hash-wise.
+  *
+  * Stage rules (all exact integers, both engines):
+  *  - quality: n_pix ≥ [[MinPix]] (≥ 6 full 16-px rows — a real
+  *    min-resolution rule) AND lum_sum ≥ [[MinLum]]·n_pix (mean
+  *    luminance ≥ 80 — the dark-page rule; zero-padding of short
+  *    pages drags their mean down, so both rules bite on the fixture
+  *    and the funnel proves non-vacuity).
+  *  - dedup: the pair graph is UNCAPPED (a corpus build can't
+  *    sample — the capped tier is the verify REPORT's contract, see
+  *    [[PHash.PairCap]]); keep = cluster minimum under connected
+  *    components over Hamming ≤ [[PHash.MaxHam]] pairs — the batch
+  *    rule, matching the text pipeline (measured at 32×: 3.5M
+  *    pairs, largest component 132 images, no percolation — the
+  *    make_scale shards decorrelate content, exactly as a sharded
+  *    real corpus does).
+  *  - caption: doc_id = img_id / 2 (both page and twin pair with
+  *    their source document's text), token count under the engine's
+  *    tokenizer convention, md5 of the caption proving the pairing.
+  *
+  * `pipe_mm` is the kept image-text record table; `pipe_mm_stages`
+  * is the 1-row funnel (images in, quality survivors, pair count,
+  * dedup survivors, caption token mass out).
+  *
+  * 100 TB shape: stage 1 is one narrow typed decode pass (no
+  * shuffle); stage 2 a pushed filter; stage 3 the LSH-band-shaped
+  * chunk equi-join + the bounded CC fixpoint over pair-touched
+  * images only ([[Dedup.connectedComponents]]); stage 4 one keyed
+  * equi-join. Stage frames are Lineage-shared — each boundary is a
+  * persisted table at scale.
+  */
+object MmPipeline {
+
+  val MinPix = 96L
+  val MinLum = 80L
+
+  // ---- stage functions: each takes the previous stage's frame ----
+
+  /** Stage 1: documents → (img_id, height, n_pix, lum, ph) — the
+    * mirrored image corpus, REALLY decoded ([[ImageCodec.decodePng]])
+    * and featurized from the decoded pixels only.
+    */
+  def decodeStage(docs: DataFrame)(s: SparkSession): DataFrame = {
+    import s.implicits._
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, tx) =>
+        val bytes = tx.getBytes("UTF-8").map(_ & 0xff)
+        def rec(imgId: Long, bs: Array[Int]) = {
+          val img = ImageCodec.decodePng(
+            java.util.HexFormat.of().parseHex(
+              PixelPng.encodePngBytes(bs)))
+          var lum = 0L
+          img.pixels.foreach(lum += _)
+          (imgId, img.height.toLong, img.pixels.length.toLong, lum,
+            PHash.phashOf(img.pixels, img.height))
+        }
+        val base = rec(2 * id, bytes)
+        if (id % 2 == 0)
+          Iterator(base, rec(2 * id + 1,
+            bytes.map(b => math.min(255, b + PHash.TwinShift))))
+        else Iterator(base)
+      })
+      .toDF("img_id", "height", "n_pix", "lum", "ph")
+  }
+
+  /** Stage 2: the quality gate — min resolution + dark-page mean
+    * luminance, exact integer comparisons on decoded-pixel features.
+    */
+  def qualityStage(imgs: DataFrame): DataFrame =
+    imgs.filter(col("n_pix") >= MinPix &&
+      col("lum") >= lit(MinLum) * col("n_pix"))
+
+  /** Stage 3 pair graph: UNCAPPED chunk-blocked pairs at the
+    * [[PHash.MaxHam]] ball over THIS stage's input.
+    */
+  def pairStage(kept: DataFrame): DataFrame =
+    HammingBlock.pairs(kept.select("img_id", "ph"), "img_id",
+      PHash.Chunks, PHash.ChunkBits, PHash.MaxHam)
+
+  /** Stage 3 keeplist: batch-CC cluster minimum over the pair graph
+    * (the text pipeline's dedup rule on the image tier).
+    */
+  def dedupStage(kept: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      pairs.select("img_a", "img_b"))
+    kept
+      .join(labels.select(col("node").as("img_id"), col("c").as("cid")),
+        Seq("img_id"), "left")
+      .filter(col("img_id") === coalesce(col("cid"), col("img_id")))
+      .select(kept.columns.map(col): _*)
+  }
+
+  /** Stage 4: pair every kept image with its source document's text —
+    * the image-text training record.
+    */
+  def captionStage(kept: DataFrame, docs: DataFrame): DataFrame =
+    kept.withColumn("doc_id", shiftright(col("img_id"), 1))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("img_id"), col("doc_id"), col("height"),
+        col("n_pix"), col("lum"), col("ph"),
+        size(TextHash.tokens(col("text"))).cast("long")
+          .as("n_caption_tokens"),
+        md5(col("text").cast("binary")).as("caption_md5"))
+
+  // ---- Lineage-shared stage materializations ----
+
+  private def decoded(s: SparkSession, dir: String): DataFrame =
+    Lineage.materialized(s, dir, "mmpipe_decoded") {
+      decodeStage(Tables(s, dir, "documents"))(s)
+    }
+
+  private def quality(s: SparkSession, dir: String): DataFrame =
+    Lineage.materialized(s, dir, "mmpipe_quality") {
+      qualityStage(decoded(s, dir))
+    }
+
+  private def pairsM(s: SparkSession, dir: String): DataFrame =
+    Lineage.materialized(s, dir, "mmpipe_pairs") {
+      pairStage(quality(s, dir))
+    }
+
+  private def kept(s: SparkSession, dir: String): DataFrame =
+    Lineage.materialized(s, dir, "mmpipe_kept") {
+      dedupStage(quality(s, dir), pairsM(s, dir))
+    }
+
+  // -----------------------------------------------------------------
+  def pipeMm(s: SparkSession, dir: String): DataFrame =
+    captionStage(kept(s, dir), Tables(s, dir, "documents"))
+      .orderBy("img_id")
+
+  def pipeMmStages(s: SparkSession, dir: String): DataFrame = {
+    val ni = decoded(s, dir).agg(count(lit(1)).as("n_images"))
+    val nq = quality(s, dir).agg(count(lit(1)).as("n_quality_kept"))
+    val np = pairsM(s, dir).agg(count(lit(1)).as("n_pairs"))
+    val nk = kept(s, dir).agg(count(lit(1)).as("n_dedup_kept"))
+    val tc = captionStage(kept(s, dir), Tables(s, dir, "documents"))
+      .agg(coalesce(sum("n_caption_tokens"), lit(0L))
+        .as("total_caption_tokens"))
+    ni.crossJoin(broadcast(nq)).crossJoin(broadcast(np))
+      .crossJoin(broadcast(nk)).crossJoin(broadcast(tc))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mm" -> pipeMm,
+    "pipe_mm_stages" -> pipeMmStages,
+  )
+
+  // ---------------------------------------------------------------
+  // Oracle: [[PHash.HashCtes]] verbatim (construction pixels → the
+  // same integer DCT hash), then the stage CTEs — quality filter,
+  // chunk-blocked pairs (the standalone gate's brute-force twin
+  // already certifies the blocking complete, so the PIPELINE twin
+  // may use the scalable chunk join), recursive-CC cluster-min
+  // keeplist, caption join.
+  private val CMask = (1L << PHash.ChunkBits) - 1
+
+  private val StageCtes: String =
+    s"""${PHash.HashCtes},
+       qimg AS (SELECT h.img_id, h.ph, f.hgt, f.n_pix, f.lum
+         FROM hv0 h JOIN feat f USING (img_id)
+         WHERE f.n_pix >= $MinPix AND f.lum >= $MinLum * f.n_pix),
+       chv AS (SELECT img_id, ph, ci,
+           (ph >> CAST(ci * ${PHash.ChunkBits} AS INTEGER)) & $CMask
+             AS cv
+         FROM (SELECT img_id, ph, unnest(range(0, ${PHash.Chunks}))
+             AS ci FROM qimg)),
+       mpair AS (SELECT DISTINCT a.img_id AS ia, b.img_id AS ib
+         FROM chv a JOIN chv b
+         ON a.ci = b.ci AND a.cv = b.cv AND a.img_id < b.img_id
+         WHERE bit_count(xor(a.ph, b.ph)) <= ${PHash.MaxHam}),
+       medge AS (SELECT ia AS u, ib AS v FROM mpair
+         UNION SELECT ib, ia FROM mpair),
+       mreach AS (
+         SELECT u AS node, v AS r FROM medge
+         UNION
+         SELECT mreach.node, e.v FROM mreach
+         JOIN medge e ON mreach.r = e.u),
+       mclab AS (SELECT node, LEAST(node, MIN(r)) AS cid
+         FROM mreach GROUP BY node),
+       mkeep AS (SELECT q.* FROM qimg q
+         LEFT JOIN mclab ON mclab.node = q.img_id
+         WHERE q.img_id = COALESCE(mclab.cid, q.img_id))"""
+
+  private val CapTok = "regexp_extract_all(lower(d.text), '[a-z0-9]+')"
+
+  val oracles: Map[String, String] = Map(
+    "pipe_mm" ->
+      s"""WITH RECURSIVE $StageCtes
+         SELECT k.img_id, k.img_id // 2 AS doc_id,
+           k.hgt AS height, k.n_pix, k.lum, k.ph,
+           CAST(len($CapTok) AS BIGINT) AS n_caption_tokens,
+           md5(d.text) AS caption_md5
+         FROM mkeep k JOIN documents d ON d.doc_id = k.img_id // 2
+         ORDER BY img_id""",
+    "pipe_mm_stages" ->
+      s"""WITH RECURSIVE $StageCtes
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM imgs) AS n_images,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM qimg)
+             AS n_quality_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mpair) AS n_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mkeep)
+             AS n_dedup_kept,
+           (SELECT CAST(COALESCE(SUM(len($CapTok)), 0) AS BIGINT)
+             FROM mkeep k JOIN documents d ON d.doc_id = k.img_id // 2)
+             AS total_caption_tokens""",
+  )
+}

@@ -202,9 +202,14 @@ object PHash {
   private val BFlat: String = DctBasis.flatten.mkString("[", ", ", "]")
   private val W = PixelPng.PixW
 
-  val oracles: Map[String, String] = Map(
-    "mm_phash_dedup" ->
-      s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx
+  /** Construction → hash CTE chain (documents → `hv0 (img_id, ph)`,
+    * with `feat (img_id, nb, hgt, n_pix, lum)` alongside) — FACTORED
+    * (round 10) so the composed multimodal pipeline
+    * ([[MmPipeline]]) chains the identical arithmetic; this oracle
+    * and the pipeline's can never drift apart hash-wise.
+    */
+  private[multimodal] lazy val HashCtes: String =
+    s"""t AS (SELECT doc_id, hex(encode(text)) AS hx
            FROM documents),
          b0 AS (SELECT doc_id,
              list_transform(range(0, length(hx) // 2), i ->
@@ -221,6 +226,10 @@ object PHash {
              greatest(CAST(1 AS BIGINT),
                CAST((len(bs) + ${W - 1}) // $W AS BIGINT)) AS hgt
            FROM imgs),
+         feat AS (SELECT img_id, nb, hgt,
+             CAST($W * hgt AS BIGINT) AS n_pix,
+             CAST(coalesce(list_sum(bs), 0) AS BIGINT) AS lum
+           FROM g),
          cells AS (SELECT img_id,
              list_transform(range(0, 64), c ->
                (CASE WHEN ((c // 8) * hgt // 8) * $W + 2*(c % 8) < nb
@@ -245,7 +254,11 @@ object PHash {
                      list_sort(coefs[2:64])[32]
                    THEN CAST(1 AS BIGINT) << CAST(i - 2 AS INTEGER)
                    ELSE CAST(0 AS BIGINT) END))) AS BIGINT) AS ph
-           FROM fc),
+           FROM fc)"""
+
+  val oracles: Map[String, String] = Map(
+    "mm_phash_dedup" ->
+      s"""WITH $HashCtes,
          ct AS (SELECT COUNT(*) AS n_total FROM hv0),
          hv AS (SELECT img_id, ph FROM hv0, ct
            WHERE n_total <= $PairCap

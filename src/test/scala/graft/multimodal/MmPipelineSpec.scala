@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The composed multimodal corpus build (round 10): stage semantics
+  * on crafted frames (the oracle row gates the fixture; these pin the
+  * RULES), twin elimination, and funnel consistency.
+  */
+class MmPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualityStage applies exactly the min-resolution and " +
+    "dark-page rules") {
+    val imgs = Seq(
+      // (img_id, height, n_pix, lum, ph)
+      (1L, 6L, 96L, 96L * 80, 0L),      // boundary: both rules pass
+      (2L, 5L, 80L, 80L * 200, 0L),     // too small
+      (3L, 10L, 160L, 160L * 79, 0L),   // too dark (mean 79)
+      (4L, 10L, 160L, 160L * 80 - 1, 0L), // one below the band
+      (5L, 20L, 320L, 320L * 95, 0L))   // comfortably in
+      .toDF("img_id", "height", "n_pix", "lum", "ph")
+    val kept = MmPipeline.qualityStage(imgs)
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 5L))
+  }
+
+  test("dedupStage keeps the cluster MINIMUM under the batch-CC " +
+    "rule - a chain collapses to its least img_id") {
+    // Hashes: 10-11 identical, 11-12 within the ball but 10-12
+    // outside it (a chain); 20 is far from everything.
+    val h0 = 0x5A5A5A5A5A5AL
+    val h1 = h0 ^ ((1L << 1) | (1L << 15) | (1L << 30))     // d3 from h0
+    val h2 = h1 ^ ((1L << 45) | (1L << 60) | (1L << 62))    // d3 from h1, d6 from h0
+    val kept = Seq((10L, h0), (11L, h0), (12L, h1), (13L, h2),
+        (20L, ~h0 & ((1L << 63) - 1)))
+      .toDF("img_id", "ph")
+      .withColumn("height", lit(1L)).withColumn("n_pix", lit(100L))
+      .withColumn("lum", lit(10000L))
+      .select("img_id", "height", "n_pix", "lum", "ph")
+    val pairs = MmPipeline.pairStage(kept)
+    val got = MmPipeline.dedupStage(kept, pairs)
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    // 10=11 (d0), 11-12 (d3), 12-13 (d3): one component {10,11,12,13}
+    // even though 10-13 are far apart - transitivity, the batch rule.
+    assert(got === Set(10L, 20L))
+  }
+
+  test("fixture: every planted twin whose base survives quality is " +
+    "deduped away, and the funnel is internally consistent") {
+    val stages = MmPipeline.pipeMmStages(spark, sf).collect()(0)
+    val out = MmPipeline.pipeMm(spark, sf)
+    val outIds = out.select("img_id").collect().map(_.getLong(0)).toSet
+    assert(stages.getLong(3) === outIds.size.toLong,
+      "n_dedup_kept must equal the record count")
+    // Non-vacuity: both stages bite and pairs exist.
+    assert(stages.getLong(1) < stages.getLong(0),
+      "quality stage must drop something on the fixture")
+    assert(stages.getLong(2) > 0L, "pair graph must be non-empty")
+    assert(stages.getLong(3) < stages.getLong(1),
+      "dedup stage must drop something on the fixture")
+    // Twin elimination: an odd twin never survives alongside its base.
+    val both = outIds.filter(i => i % 2 == 1 && outIds.contains(i - 1))
+    assert(both.isEmpty,
+      s"twin kept next to its base: ${both.take(5).toSeq}")
+    // Caption pairing: doc_id = img_id / 2 on every record.
+    val bad = out.select("img_id", "doc_id").collect()
+      .filter(r => r.getLong(1) != r.getLong(0) / 2)
+    assert(bad.isEmpty)
+  }
+}
