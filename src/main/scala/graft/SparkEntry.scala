@@ -50,6 +50,7 @@ object SparkEntry {
     (VectorSearch.queries, VectorSearch.oracles),
     (graft.sim.VectorIndex.queries, graft.sim.VectorIndex.oracles),
     (graft.sim.VersionedIndex.queries, graft.sim.VersionedIndex.oracles),
+    (graft.sim.RagRetrieve.queries, graft.sim.RagRetrieve.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (graft.multimodal.PixelPng.queries, graft.multimodal.PixelPng.oracles),
     (graft.multimodal.PHash.queries, graft.multimodal.PHash.oracles),

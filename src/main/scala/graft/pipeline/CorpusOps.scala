@@ -271,7 +271,14 @@ object CorpusOps {
   val ChunkStride = 24
 
   def chunk(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    chunkFrame(docs(s, dir)).orderBy("doc_id", "chunk_idx")
+
+  /** The chunker as a pure frame→frame function (factored round 10 so
+    * the retrieval composition [[graft.sim.RagRetrieve]] chunks with
+    * the identical arithmetic).
+    */
+  def chunkFrame(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("nt"))
       .select(col("doc_id"), col("toks"),
@@ -284,7 +291,6 @@ object CorpusOps {
           .cast("long").as("n_tokens"),
         expr(s"array_join(slice(toks, chunk_idx * $ChunkStride + 1, " +
           s"$ChunkLen), ' ')").as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
 
   // -----------------------------------------------------------------
   // ta_cdc_chunk: CONTENT-DEFINED chunking — the dedup-stable

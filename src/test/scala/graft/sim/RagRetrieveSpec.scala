@@ -1,0 +1,81 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The RAG retrieval composition (round 10): embedding arithmetic,
+  * sketch scale-invariance, ranking contract, and the held-out
+  * query/corpus split — the properties the oracle row can't state.
+  */
+class RagRetrieveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planes are deterministic ±1 and roughly balanced") {
+    val p = RagRetrieve.Planes
+    assert(p.length === RagRetrieve.NPlanes &&
+      p.forall(_.length === RagRetrieve.Dim))
+    assert(p.flatten.forall(w => w == 1L || w == -1L))
+    val pos = p.flatten.count(_ == 1L)
+    assert(pos > RagRetrieve.NPlanes * RagRetrieve.Dim / 3 &&
+      pos < RagRetrieve.NPlanes * RagRetrieve.Dim * 2 / 3,
+      s"suspiciously unbalanced planes: $pos positive")
+  }
+
+  test("embed: repeated tokens accumulate, norm is the exact square " +
+    "sum, unembeddable chunks are dropped") {
+    val df = Seq(
+      (1L, 0L, "alpha alpha beta"),
+      (2L, 0L, "... !!! ---"), // no alnum tokens → dropped
+      (3L, 0L, "alpha")).toDF("doc_id", "chunk_idx", "chunk_text")
+    val got = RagRetrieve.embed(df, Seq("doc_id", "chunk_idx"))
+      .select("doc_id", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(1L, 3L))
+    val Seq((_, v1, n1), (_, v3, n3)) = got.toSeq
+    // doc 3 = single "alpha": one ±1 entry; doc 1 doubles it + beta.
+    assert(n3 === 1L && v3.map(math.abs).sum === 1L)
+    assert(n1 === 5L, "2²(alpha) + 1²(beta)")
+    val d3 = v3.indexWhere(_ != 0)
+    assert(math.abs(v1(d3)) === 2L && v1(d3).sign === v3(d3).sign)
+  }
+
+  test("band sketch is scale-invariant (sign projection): v and 3v " +
+    "share every band key") {
+    val base = Seq((1L, Seq.tabulate(64)(i => ((i * 37) % 11 - 5).toLong)))
+      .toDF("doc_id", "v")
+    val tripled = base.select(col("doc_id"),
+      transform(col("v"), x => x * 3).as("v"))
+    val bk1 = RagRetrieve.withBands(base).select("bk").collect()(0)
+      .getSeq[Long](0)
+    val bk3 = RagRetrieve.withBands(tripled).select("bk").collect()(0)
+      .getSeq[Long](0)
+    assert(bk1 === bk3 && bk1.length === RagRetrieve.NBands)
+  }
+
+  test("fixture: ranking contract and the held-out split") {
+    val out = RagRetrieve.ragRetrieve(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(q % 10 === RagRetrieve.EvalMod.toLong,
+        "queries must come from the eval slice")
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ===
+        (1L to sorted.length.toLong), s"ranks must be dense for $q")
+      assert(sorted.length <= RagRetrieve.TopK)
+      // Scores non-increasing, all within the Cauchy-Schwarz bound.
+      val scores = sorted.map(_.getDouble(7))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+      assert(scores.forall(sc => sc >= -1.0 && sc <= 1.0))
+      sorted.foreach { r =>
+        assert(r.getLong(2) % 10 !== RagRetrieve.EvalMod.toLong,
+          "retrieved chunks must come from the train slice")
+      }
+    }
+    // Determinism: a second run returns the identical frame.
+    val again = RagRetrieve.ragRetrieve(spark, sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}
