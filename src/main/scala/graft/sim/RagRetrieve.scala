@@ -43,13 +43,19 @@ import graft.functions.TextHash
   * emitted as literals into the oracle — no cross-engine float or
   * hash evaluation in the projection.
   *
-  * Recall contract: candidates = pairs sharing ≥ 1 of the 4 bands
-  * (12-bit each). A query with no band collision retrieves nothing —
-  * declared, like every LSH tier here; [[graft.dedup.Dedup]]'s
-  * hiBitsFor/hiBandsFor ladder names how (r, b) derive at production
-  * scale (fixture-tuned r=12, b=4 keeps per-band buckets ≈ corpus /
-  * 4096 — the candidate set stays the LSH-band shape, never
-  * all-pairs).
+  * Recall contract: candidates = pairs sharing ≥ 1 of the [[NBands]]
+  * bands. A query with no band collision retrieves nothing —
+  * declared, like every LSH tier here. Band WIDTH is corpus-derived
+  * (the [[graft.dedup.Dedup.hiBitsFor]] discipline): r = the
+  * smallest [[MinBits]]..[[MaxBits]] rung with corpus_chunks ≤
+  * [[TargetBucket]]·2^r, computed as one integer CASE over the
+  * corpus count riding both plans as a broadcast scalar — per-band
+  * buckets stay ≈ [[TargetBucket]] and the candidate set stays the
+  * LSH-band shape at EVERY corpus size, where a fixed r would grow
+  * it quadratically. Each band owns a fixed [[MaxBits]]-plane
+  * stride and a rung uses the stride's first r planes, so a rung
+  * step REFINES buckets (prefix property, spec-pinned) instead of
+  * remapping them.
   *
   * 100 TB shape: chunk+embed+sketch is one narrow pass per side (no
   * shuffle until the band join); the band join is an 8-byte-key
@@ -59,10 +65,22 @@ import graft.functions.TextHash
 object RagRetrieve {
 
   val Dim = 64
-  val BandBits = 12
+  /** Band width floor (the fixture regime) and ceiling (the ladder's
+    * last rung — extend the ladder before a corpus outgrows it, the
+    * [[graft.dedup.Dedup.hiBitsFor]] contract).
+    */
+  val MinBits = 12
+  val MaxBits = 15
   val NBands = 4
-  val NPlanes: Int = NBands * BandBits
+  val NPlanes: Int = NBands * MaxBits
   val TopK = 3
+  /** Target per-band bucket occupancy: band bits r are the smallest
+    * rung with corpus_chunks <= TargetBucket << r — candidates stay
+    * ≈ queries × bands × TargetBucket at EVERY corpus size instead of
+    * growing quadratically with a fixed r (the fixed-parameter-
+    * quadratic class; integer CASE ladder, no cross-engine floats).
+    */
+  val TargetBucket = 256L
   /** The benchmark-holdout slice ([[graft.dedup.Dedup.BloomEvalMod]]). */
   val EvalMod: Int = graft.dedup.Dedup.BloomEvalMod
 
@@ -77,6 +95,12 @@ object RagRetrieve {
       if ((h(0) & 1) == 0) 1L else -1L
     }
   }
+
+  /** The band-bits rung for a corpus-chunk-count column. */
+  private def rungOf(n: Column): Column =
+    (MinBits until MaxBits).reverse
+      .foldLeft(lit(MaxBits): Column)((acc, r) =>
+        when(n <= lit(TargetBucket << r), r).otherwise(acc))
 
   /** (keys…, v: dense Dim-vector of signed token counts, nrm = ‖v‖²),
     * zero-norm chunks dropped.
@@ -104,15 +128,18 @@ object RagRetrieve {
   /** Band keys over the baked planes: bit p = (v · plane_p) > 0,
     * band b = MSB-first fold of its [[BandBits]] bits.
     */
-  private[sim] def withBands(df: DataFrame): DataFrame = {
+  private[sim] def withBands(df: DataFrame, rung: Column): DataFrame = {
     val planes: Column = typedlit(Planes.map(_.toSeq).toSeq)
     df.withColumn("bk",
       transform(sequence(lit(0), lit(NBands - 1)), b =>
-        aggregate(sequence(lit(0), lit(BandBits - 1)), lit(0L),
+        aggregate(sequence(lit(0), (rung - 1).cast("int")), lit(0L),
           (acc, r) => {
+            // Band b owns the fixed plane stride [b·MaxBits,
+            // b·MaxBits + MaxBits); rung r uses its first r planes,
+            // so growing the rung refines buckets without remapping.
             val proj = aggregate(
               zip_with(col("v"),
-                element_at(planes, (b * BandBits + r + 1).cast("int")),
+                element_at(planes, (b * MaxBits + r + 1).cast("int")),
                 (x, w) => x * w),
               lit(0L), (a, y) => a + y)
             acc * 2 + when(proj > 0, 1L).otherwise(0L)
@@ -123,13 +150,18 @@ object RagRetrieve {
     import graft.pipeline.CorpusOps.chunkFrame
     val chunks = chunkFrame(Tables(s, dir, "documents")
       .repartition(col("doc_id")))
-    val corp = withBands(embed(
+    val corpE = embed(
       chunks.filter(col("doc_id") % 10 =!= EvalMod),
-      Seq("doc_id", "chunk_idx")))
+      Seq("doc_id", "chunk_idx"))
+    // The rung derives from the CORPUS side's embedded-chunk count
+    // and rides both plans as one broadcast 1-row scalar (the PHash
+    // cap discipline) - queries and corpus always share it.
+    val nF = broadcast(corpE.agg(count(lit(1)).as("n_chunks")))
+    val corp = withBands(corpE.crossJoin(nF), rungOf(col("n_chunks")))
     val qry = withBands(embed(
       chunks.filter(col("doc_id") % 10 === EvalMod &&
         col("chunk_idx") === 0L),
-      Seq("doc_id")))
+      Seq("doc_id")).crossJoin(nF), rungOf(col("n_chunks")))
     val cB = corp.select(col("doc_id"), col("chunk_idx"),
       col("v").as("cv"), col("nrm").as("cn"),
       posexplode(col("bk")).as(Seq("bi", "bh")))
@@ -167,6 +199,13 @@ object RagRetrieve {
   // rerank, windowed top-k.
   private val PlanesFlat: String =
     Planes.flatten.mkString("[", ", ", "]")
+
+  /** The rung ladder as one integer CASE over the corpus chunk
+    * count — [[rungOf]]'s SQL twin, emitted from the same constants.
+    */
+  private val RungCase: String =
+    (MinBits until MaxBits).reverse.foldLeft(s"$MaxBits")((acc, r) =>
+      s"CASE WHEN n <= ${TargetBucket << r} THEN $r ELSE $acc END")
   private val CL = graft.pipeline.CorpusOps.ChunkLen
   private val CS = graft.pipeline.CorpusOps.ChunkStride
 
@@ -194,11 +233,18 @@ object RagRetrieve {
            CASE WHEN SUM(w * pw) > 0 THEN 1 ELSE 0 END AS bit
          FROM ${pfx}dw JOIN ${pfx}n USING (doc_id, chunk_idx)
          JOIN pl USING (d)
-         GROUP BY doc_id, chunk_idx, pl.p),
-       ${pfx}bk AS (SELECT doc_id, chunk_idx, p // $BandBits AS bi,
-           CAST(SUM(bit << CAST(${BandBits - 1} - (p % $BandBits)
-             AS INTEGER)) AS BIGINT) AS bh
-         FROM ${pfx}bt GROUP BY doc_id, chunk_idx, bi)"""
+         GROUP BY doc_id, chunk_idx, pl.p)"""
+
+  /** Rung-windowed band fold over `${pfx}bt` — emitted AFTER the
+    * `rr` rung CTE (which needs the corpus norms), for both sides.
+    */
+  private def bandCte(pfx: String): String =
+    s"""${pfx}bk AS (SELECT doc_id, chunk_idx, p // $MaxBits AS bi,
+           CAST(SUM(CASE WHEN (p % $MaxBits) < rr.r
+             THEN bit << CAST(rr.r - 1 - (p % $MaxBits) AS INTEGER)
+             ELSE 0 END) AS BIGINT) AS bh
+         FROM ${pfx}bt CROSS JOIN rr
+         GROUP BY doc_id, chunk_idx, bi, rr.r)"""
 
   val oracles: Map[String, String] = Map(
     "ss_rag_retrieve" ->
@@ -224,6 +270,10 @@ object RagRetrieve {
              $PlanesFlat AS pls)),
          ${embCtes("corp", "c")},
          ${embCtes("qry", "q")},
+         rr AS (SELECT $RungCase AS r
+           FROM (SELECT COUNT(*) AS n FROM cn)),
+         ${bandCte("c")},
+         ${bandCte("q")},
          cand AS (SELECT DISTINCT q.doc_id AS q_doc_id,
              c.doc_id, c.chunk_idx
            FROM qbk q JOIN cbk c ON q.bi = c.bi AND q.bh = c.bh),

@@ -47,11 +47,18 @@ class RagRetrieveSpec extends SparkSpec {
       .toDF("doc_id", "v")
     val tripled = base.select(col("doc_id"),
       transform(col("v"), x => x * 3).as("v"))
-    val bk1 = RagRetrieve.withBands(base).select("bk").collect()(0)
-      .getSeq[Long](0)
-    val bk3 = RagRetrieve.withBands(tripled).select("bk").collect()(0)
-      .getSeq[Long](0)
+    val bk1 = RagRetrieve.withBands(base, lit(RagRetrieve.MinBits))
+      .select("bk").collect()(0).getSeq[Long](0)
+    val bk3 = RagRetrieve.withBands(tripled, lit(RagRetrieve.MinBits))
+      .select("bk").collect()(0).getSeq[Long](0)
     assert(bk1 === bk3 && bk1.length === RagRetrieve.NBands)
+    // A higher rung refines, never remaps: the MinBits-rung key is a
+    // prefix of the MaxBits-rung key (shifted by the extra bits).
+    val bkHi = RagRetrieve.withBands(base, lit(RagRetrieve.MaxBits))
+      .select("bk").collect()(0).getSeq[Long](0)
+    val extra = RagRetrieve.MaxBits - RagRetrieve.MinBits
+    assert(bk1 === bkHi.map(_ >> extra),
+      "rung growth must refine buckets, not remap them")
   }
 
   test("fixture: ranking contract and the held-out split") {
