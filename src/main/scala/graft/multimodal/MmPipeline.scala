@@ -105,23 +105,48 @@ object MmPipeline {
     imgs.filter(col("n_pix") >= MinPix &&
       col("lum") >= lit(MinLum) * col("n_pix"))
 
+  /** The distinct-hash groups of a quality-kept frame: one
+    * representative (min img_id) per exact hash value.
+    */
+  def hashGroups(kept: DataFrame): DataFrame =
+    kept.groupBy("ph").agg(min("img_id").as("rep"))
+
   /** Stage 3 pair graph: UNCAPPED chunk-blocked pairs at the
-    * [[PHash.MaxHam]] ball over THIS stage's input.
+    * [[PHash.MaxHam]] ball between DISTINCT-hash group
+    * representatives (128× find): exact-duplicate hashes dominate a
+    * self-similar corpus (measured at 32×: 2.27M of 3.5M image pairs
+    * at d = 0), so blocking the raw image table saturates the 13-bit
+    * chunk buckets — the candidate stream grows ∝ N²/2^13 and the
+    * cold octave law went superlinear at ≥ 64×. Grouping by exact
+    * hash FIRST makes bucket occupancy scale with content DIVERSITY
+    * (26 959 distinct hashes for 234 869 images at 32×), and the
+    * reduced graph has identical connected components: a d = 0 clique
+    * is one node, and any member edge between two groups connects
+    * the same components one representative edge does.
     */
   def pairStage(kept: DataFrame): DataFrame =
-    HammingBlock.pairs(kept.select("img_id", "ph"), "img_id",
-      PHash.Chunks, PHash.ChunkBits, PHash.MaxHam)
+    HammingBlock.pairs(
+      hashGroups(kept).select(col("rep").as("img_id"), col("ph")),
+      "img_id", PHash.Chunks, PHash.ChunkBits, PHash.MaxHam)
 
-  /** Stage 3 keeplist: batch-CC cluster minimum over the pair graph
-    * (the text pipeline's dedup rule on the image tier).
+  /** Stage 3 keeplist: batch-CC cluster minimum over the reduced
+    * pair graph (the text pipeline's dedup rule on the image tier):
+    * components over group representatives, every image inherits its
+    * hash group's component, keep = the component's minimum img_id —
+    * provably the same keeplist as CC over the full image graph.
     */
   def dedupStage(kept: DataFrame, pairs: DataFrame): DataFrame = {
     val labels = Dedup.connectedComponents(
       pairs.select("img_a", "img_b"))
-    kept
-      .join(labels.select(col("node").as("img_id"), col("c").as("cid")),
-        Seq("img_id"), "left")
-      .filter(col("img_id") === coalesce(col("cid"), col("img_id")))
+    val glab = hashGroups(kept)
+      .join(labels.select(col("node").as("rep"), col("c")),
+        Seq("rep"), "left")
+      .select(col("ph"), coalesce(col("c"), col("rep")).as("cid"))
+    val withCid = kept.join(glab, "ph")
+    val minImg = withCid.groupBy("cid")
+      .agg(min("img_id").as("keep_img"))
+    withCid.join(minImg, "cid")
+      .filter(col("img_id") === col("keep_img"))
       .select(kept.columns.map(col): _*)
   }
 
@@ -167,12 +192,15 @@ object MmPipeline {
   def pipeMmStages(s: SparkSession, dir: String): DataFrame = {
     val ni = decoded(s, dir).agg(count(lit(1)).as("n_images"))
     val nq = quality(s, dir).agg(count(lit(1)).as("n_quality_kept"))
+    val ng = hashGroups(quality(s, dir))
+      .agg(count(lit(1)).as("n_hash_groups"))
     val np = pairsM(s, dir).agg(count(lit(1)).as("n_pairs"))
     val nk = kept(s, dir).agg(count(lit(1)).as("n_dedup_kept"))
     val tc = captionStage(kept(s, dir), Tables(s, dir, "documents"))
       .agg(coalesce(sum("n_caption_tokens"), lit(0L))
         .as("total_caption_tokens"))
-    ni.crossJoin(broadcast(nq)).crossJoin(broadcast(np))
+    ni.crossJoin(broadcast(nq)).crossJoin(broadcast(ng))
+      .crossJoin(broadcast(np))
       .crossJoin(broadcast(nk)).crossJoin(broadcast(tc))
   }
 
@@ -195,14 +223,15 @@ object MmPipeline {
        qimg AS (SELECT h.img_id, h.ph, f.hgt, f.n_pix, f.lum
          FROM hv0 h JOIN feat f USING (img_id)
          WHERE f.n_pix >= $MinPix AND f.lum >= $MinLum * f.n_pix),
-       chv AS (SELECT img_id, ph, ci,
+       mg AS (SELECT ph, MIN(img_id) AS rep FROM qimg GROUP BY ph),
+       chv AS (SELECT rep, ph, ci,
            (ph >> CAST(ci * ${PHash.ChunkBits} AS INTEGER)) & $CMask
              AS cv
-         FROM (SELECT img_id, ph, unnest(range(0, ${PHash.Chunks}))
-             AS ci FROM qimg)),
-       mpair AS (SELECT DISTINCT a.img_id AS ia, b.img_id AS ib
+         FROM (SELECT rep, ph, unnest(range(0, ${PHash.Chunks}))
+             AS ci FROM mg)),
+       mpair AS (SELECT DISTINCT a.rep AS ia, b.rep AS ib
          FROM chv a JOIN chv b
-         ON a.ci = b.ci AND a.cv = b.cv AND a.img_id < b.img_id
+         ON a.ci = b.ci AND a.cv = b.cv AND a.rep < b.rep
          WHERE bit_count(xor(a.ph, b.ph)) <= ${PHash.MaxHam}),
        medge AS (SELECT ia AS u, ib AS v FROM mpair
          UNION SELECT ib, ia FROM mpair),
@@ -213,9 +242,15 @@ object MmPipeline {
          JOIN medge e ON mreach.r = e.u),
        mclab AS (SELECT node, LEAST(node, MIN(r)) AS cid
          FROM mreach GROUP BY node),
-       mkeep AS (SELECT q.* FROM qimg q
-         LEFT JOIN mclab ON mclab.node = q.img_id
-         WHERE q.img_id = COALESCE(mclab.cid, q.img_id))"""
+       glab AS (SELECT mg.ph, COALESCE(mclab.cid, mg.rep) AS gcid
+         FROM mg LEFT JOIN mclab ON mclab.node = mg.rep),
+       wimg AS (SELECT q.*, g.gcid FROM qimg q
+         JOIN glab g USING (ph)),
+       mmin AS (SELECT gcid, MIN(img_id) AS keep_img FROM wimg
+         GROUP BY gcid),
+       mkeep AS (SELECT w.img_id, w.ph, w.hgt, w.n_pix, w.lum
+         FROM wimg w JOIN mmin USING (gcid)
+         WHERE w.img_id = keep_img)"""
 
   private val CapTok = "regexp_extract_all(lower(d.text), '[a-z0-9]+')"
 
@@ -234,6 +269,7 @@ object MmPipeline {
            (SELECT CAST(COUNT(*) AS BIGINT) FROM imgs) AS n_images,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM qimg)
              AS n_quality_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mg) AS n_hash_groups,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM mpair) AS n_pairs,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM mkeep)
              AS n_dedup_kept,

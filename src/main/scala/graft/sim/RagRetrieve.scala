@@ -96,6 +96,25 @@ object RagRetrieve {
     }
   }
 
+  /** Double-consumed side frames (band explode + vector attach),
+    * localCheckpointed and released with the shared-lineage
+    * lifecycle — the BpeCore/CorpusPipeline discipline.
+    */
+  private val issued =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  graft.operators.Lineage.onClear(() => issued.synchronized {
+    import org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint
+    issued.foreach(releaseCheckpoint)
+    issued.clear()
+  })
+
+  private def ckpt(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    issued.synchronized { issued += c }
+    c
+  }
+
   /** The band-bits rung for a corpus-chunk-count column. */
   private def rungOf(n: Column): Column =
     (MinBits until MaxBits).reverse
@@ -157,26 +176,42 @@ object RagRetrieve {
     // and rides both plans as one broadcast 1-row scalar (the PHash
     // cap discipline) - queries and corpus always share it.
     val nF = broadcast(corpE.agg(count(lit(1)).as("n_chunks")))
-    val corp = withBands(corpE.crossJoin(nF), rungOf(col("n_chunks")))
-    val qry = withBands(embed(
+    val corp = ckpt(withBands(corpE.crossJoin(nF),
+      rungOf(col("n_chunks"))).drop("n_chunks"))
+    val qry = ckpt(withBands(embed(
       chunks.filter(col("doc_id") % 10 === EvalMod &&
         col("chunk_idx") === 0L),
       Seq("doc_id")).crossJoin(nF), rungOf(col("n_chunks")))
+      .drop("n_chunks"))
+    // SLIM candidate discovery (128× find): the band join and its
+    // dropDuplicates shuffle carry ONLY the key triple — the dense
+    // vectors attach AFTER dedup via two keyed joins and drop again
+    // in the same projection that computes the dot, so no shuffle in
+    // the plan ever carries a vector per CANDIDATE (measured: the
+    // wide-row variant wrote a candidate-proportional multi-GB-per-
+    // octave shuffle that filled local disk at 128×; candidates are
+    // linear in queries × TargetBucket, so the slim shuffle is a few
+    // dozen bytes per candidate at any scale).
     val cB = corp.select(col("doc_id"), col("chunk_idx"),
-      col("v").as("cv"), col("nrm").as("cn"),
       posexplode(col("bk")).as(Seq("bi", "bh")))
     val qB = qry.select(col("doc_id").as("q_doc_id"),
-      col("v").as("qv"), col("nrm").as("qn"),
       posexplode(col("bk")).as(Seq("bi", "bh")))
     val cand = qB.join(cB, Seq("bi", "bh"))
+      .select("q_doc_id", "doc_id", "chunk_idx")
       .dropDuplicates("q_doc_id", "doc_id", "chunk_idx")
     val dot = aggregate(zip_with(col("qv"), col("cv"),
       (x, y) => x * y), lit(0L), (a, y) => a + y)
     val scored = cand
+      .join(qry.select(col("doc_id").as("q_doc_id"),
+        col("v").as("qv"), col("nrm").as("qn")), Seq("q_doc_id"))
+      .join(corp.select(col("doc_id"), col("chunk_idx"),
+        col("v").as("cv"), col("nrm").as("cn")),
+        Seq("doc_id", "chunk_idx"))
       .withColumn("dot", dot)
-      .withColumn("score",
-        (col("dot") * abs(col("dot"))).cast("double") /
-          (col("qn") * col("cn")).cast("double"))
+      .select(col("q_doc_id"), col("doc_id"), col("chunk_idx"),
+        col("dot"), col("qn"), col("cn"),
+        ((col("dot") * abs(col("dot"))).cast("double") /
+          (col("qn") * col("cn")).cast("double")).as("score"))
     val w = Window.partitionBy("q_doc_id")
       .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
     scored

@@ -50,16 +50,20 @@ class MmPipelineSpec extends SparkSpec {
   test("fixture: every planted twin whose base survives quality is " +
     "deduped away, and the funnel is internally consistent") {
     val stages = MmPipeline.pipeMmStages(spark, sf).collect()(0)
+    def st(c: String): Long = stages.getAs[Long](c)
     val out = MmPipeline.pipeMm(spark, sf)
     val outIds = out.select("img_id").collect().map(_.getLong(0)).toSet
-    assert(stages.getLong(3) === outIds.size.toLong,
+    assert(st("n_dedup_kept") === outIds.size.toLong,
       "n_dedup_kept must equal the record count")
     // Non-vacuity: both stages bite and pairs exist.
-    assert(stages.getLong(1) < stages.getLong(0),
+    assert(st("n_quality_kept") < st("n_images"),
       "quality stage must drop something on the fixture")
-    assert(stages.getLong(2) > 0L, "pair graph must be non-empty")
-    assert(stages.getLong(3) < stages.getLong(1),
+    assert(st("n_pairs") > 0L, "pair graph must be non-empty")
+    assert(st("n_dedup_kept") < st("n_quality_kept"),
       "dedup stage must drop something on the fixture")
+    // The reduction is real on the fixture: exact-dup hashes exist.
+    assert(st("n_hash_groups") < st("n_quality_kept"),
+      "distinct hashes must be fewer than images")
     // Twin elimination: an odd twin never survives alongside its base.
     val both = outIds.filter(i => i % 2 == 1 && outIds.contains(i - 1))
     assert(both.isEmpty,
