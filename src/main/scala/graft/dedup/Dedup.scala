@@ -1119,17 +1119,32 @@ object Dedup {
     * .decontamStage]]) runs the identical probe. Returns (doc_id,
     * n_overlap, n_shingles) for EVERY tr doc, zero-filled.
     */
-  private[graft] def bloomOverlap(tr: DataFrame, ev: DataFrame): DataFrame = {
+  private[graft] def bloomOverlap(tr: DataFrame, ev: DataFrame): DataFrame =
+    bloomProbe(tr, ev, bloomBytesOf(ev))
+
+  /** Serialize the contamination set's Bloom sketch — factored from
+    * [[bloomOverlap]] so a FIXED benchmark's sketch can be built once
+    * and persisted (the streaming corpus build stores it at
+    * [[graft.streaming.PipeIngest.buildFull]] time instead of
+    * re-sketching the same eval set every micro-batch).
+    */
+  private[graft] def bloomBytesOf(ev: DataFrame): Array[Byte] = {
+    val bloom = ev.stat.bloomFilter("sg",
+      math.max(ExpectedEvalShingles, ev.count()), BloomFpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos); bos.toByteArray
+  }
+
+  /** The probe half of [[bloomOverlap]]: prefilter `tr`'s exploded
+    * shingles through an already-serialized sketch, then the exact
+    * broadcast verify against `ev` owns the decision.
+    */
+  private[graft] def bloomProbe(tr: DataFrame, ev: DataFrame,
+      bytes: Array[Byte]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
-    val bloom = ev.stat.bloomFilter("sg",
-      math.max(ExpectedEvalShingles, ev.count()), BloomFpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos); bos.toByteArray
-    }
     val mightContain = ColumnBridge.column(BloomFilterMightContain(
       Literal(bytes, BinaryType), ColumnBridge.expression(col("sg"))))
 

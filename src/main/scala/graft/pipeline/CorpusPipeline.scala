@@ -221,6 +221,25 @@ object CorpusPipeline {
       .select("doc_id", "clean")
   }
 
+  /** (doc_id, i, span): the md5'd [[PipeSpanK]]-token windows of a
+    * (doc_id, clean) frame — the scrub stage's candidate key, factored
+    * so the streaming build ([[graft.streaming.PipeIngest]]) derives
+    * its persisted span index through the identical expressions.
+    * Docs shorter than PipeSpanK tokens have no windows.
+    */
+  private[graft] def spanFrame(kept: DataFrame): DataFrame = {
+    val K = PipeSpanK
+    kept
+      .select(col("doc_id"), TextHash.tokens(col("clean")).as("toks"))
+      .filter(size(col("toks")) >= K)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (K - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(K))))))
+          .as(Seq("p0", "span")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"), col("span"))
+  }
+
   /** Stage 5: duplicated-span scrub — cut every token covered by a
     * cross-document duplicated [[PipeSpanK]]-token span within the
     * decontaminated corpus (the dd_span_scrub cut applied as a
@@ -232,19 +251,33 @@ object CorpusPipeline {
     * zero pieces — matching the batch funnel's accounting).
     */
   def scrubStage(kept: DataFrame): DataFrame = {
+    val empty = kept.sparkSession.range(0)
+      .select(col("id").cast("string").as("span"))
+    scrubStageAgainst(kept, empty)
+  }
+
+  /** The scrub cut with an EXTERNAL prior-span set: a token run is
+    * duplicated (and cut) iff its window occurs in ≥ 2 distinct docs
+    * of `kept` — the batch rule — OR appears in `priorSpans` (span),
+    * the already-sealed corpus text a greedy streaming build cannot
+    * rewrite ([[graft.streaming.PipeIngest]]'s micro-batch scrub:
+    * prior = persisted span index ∪ earlier staged batches). With an
+    * empty prior this IS the batch stage.
+    */
+  private[graft] def scrubStageAgainst(kept: DataFrame,
+      priorSpans: DataFrame): DataFrame = {
     val K = PipeSpanK
     val toked = ckpt(kept
       .select(col("doc_id"), TextHash.tokens(col("clean")).as("toks"))
       .filter(size(col("toks")) >= K))
-    val spans = ckpt(toked.select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("toks")) - (K - 1)),
-          i => md5(concat_ws(" ", slice(col("toks"), i, lit(K))))))
-          .as(Seq("p0", "span")))
-      .select(col("doc_id"), (col("p0") + 1).as("i"), col("span")))
+    val spans = ckpt(spanFrame(kept))
     val dup = spans.groupBy("span")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("span")
+      .union(spans.select("span")
+        .join(priorSpans.select("span"), "span")
+        .select("span"))
+      .distinct()
     val cov = spans.join(dup, "span")
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (K - 1))).as("p"))
@@ -269,17 +302,26 @@ object CorpusPipeline {
     * examples ([[BpeCore.packExamples]] — the ta_bpe_bytes_pack
     * machinery over the pipeline corpus instead of the raw one).
     */
-  def packStage(surv: DataFrame, pieces: DataFrame): DataFrame = {
+  def packStage(surv: DataFrame, pieces: DataFrame): DataFrame =
+    BpeCore.packExamples(pieceStream(surv, pieces))
+
+  /** The position-ordered piece stream of a (doc_id, clean) frame
+    * under a trained pieces dictionary — [[packStage]]'s front,
+    * factored (round 11) so the multimodal MIXTURE
+    * ([[graft.multimodal.MmPipeline]]) encodes caption records
+    * through the identical chain before the union pack.
+    */
+  private[graft] def pieceStream(surv: DataFrame,
+      pieces: DataFrame): DataFrame = {
     val tokp = surv
       .select(col("doc_id"),
         posexplode(regexp_extract_all(col("clean"),
           lit(ByteBpe.PretokRegex), lit(0))).as(Seq("ti0", "t")))
       .select(col("doc_id"), (col("ti0") + 1).cast("long").as("ti"),
         hex(encode(col("t"), "UTF-8")).as("word"))
-    val stream = tokp
+    tokp
       .join(broadcast(pieces.select("word", "pos", "sym")), "word")
       .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
-    BpeCore.packExamples(stream)
   }
 
   // ---- Lineage-shared stage materializations ----
@@ -290,7 +332,7 @@ object CorpusPipeline {
         .repartition(col("doc_id")))(s)
     }
 
-  private def qualityKept(s: SparkSession, dir: String): DataFrame =
+  private[graft] def qualityKept(s: SparkSession, dir: String): DataFrame =
     Lineage.materialized(s, dir, "pipe_quality") {
       // Benchmark holdout at the corpus boundary: only the train
       // slice flows into the corpus; the eval slice's clean frame
@@ -312,7 +354,7 @@ object CorpusPipeline {
         cleanDocs(s, dir).filter(col("doc_id") % 10 === PipeEvalMod))
     }
 
-  private def scrubbed(s: SparkSession, dir: String): DataFrame =
+  private[graft] def scrubbed(s: SparkSession, dir: String): DataFrame =
     Lineage.materialized(s, dir, "pipe_scrub") {
       scrubStage(deconKept(s, dir))
     }
@@ -458,7 +500,7 @@ object CorpusPipeline {
        qpd AS (SELECT doc_id, CAST(SUM(w_keep) AS BIGINT) AS lk,
            CAST(SUM(w_drop) AS BIGINT) AS ld
          FROM qtok JOIN mmodel USING (w) GROUP BY doc_id),
-       qkeep AS (SELECT $src.doc_id, $src.clean
+       qkeep AS MATERIALIZED (SELECT $src.doc_id, $src.clean
          FROM $src LEFT JOIN qpd USING (doc_id) CROSS JOIN mdtot
          WHERE (${q("dk")} - ${q("ndocs")} + coalesce(qpd.lk, 0))
            >= (${q("dd")} - ${q("ndocs")} + coalesce(qpd.ld, 0)))"""
@@ -485,7 +527,7 @@ object CorpusPipeline {
 
   private val SpanK = PipeSpanK
 
-  private lazy val PipeCtes: String = {
+  private[graft] lazy val PipeCtes: String = {
     s"""${TextAnalysis.FilterCtes},
        ${ByteBpe.TrainCtes},
        $NbModelCtes,
@@ -561,7 +603,7 @@ object CorpusPipeline {
                  THEN toks[p] END),
              x -> x IS NOT NULL), ' '), '') AS clean
          FROM sj),
-       scrub AS (SELECT st.doc_id,
+       scrub AS MATERIALIZED (SELECT st.doc_id,
            CASE WHEN srb.doc_id IS NOT NULL THEN srb.clean
              ELSE st.clean END AS clean
          FROM stok st LEFT JOIN srb ON srb.doc_id = st.doc_id),

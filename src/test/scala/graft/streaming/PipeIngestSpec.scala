@@ -214,6 +214,110 @@ class PipeIngestSpec extends SparkSpec {
     assert(again === after)
   }
 
+  test("full chain: stage order inside foreachBatch — dedup before " +
+    "decontam (a decontaminated doc still gates near-dups), scrub " +
+    "before encode (history + cross-batch spans cut), emitted-only " +
+    "span index, exactly-once publish with span sealing") {
+    val path = Files.createTempDirectory("graft_pipe_full").toString
+    val benchText = "the history of ancient rome spans centuries " +
+      "of conquest and culture"
+    // 25: the benchmark text + a distinctive tail — passes quality
+    // and dedup, dropped by DECONTAMINATION (overlap >= 1/ContamFrac
+    // of its shingles); its tail is long enough that a one-token
+    // near-copy still verifies at Jaccard >= 0.7.
+    val doc25 = benchText + " while legions marched across provinces " +
+      "building roads aqueducts and fortified frontier camps"
+    val doc35 = doc25.dropRight(5) + "forts" // near-copy of 25
+    // 26: unique text carrying ONE 5-token run from history keep 7
+    // ("alpha beta gamma delta epsilon") — the greedy scrub must cut
+    // exactly those 5 tokens against the build-time span index.
+    val doc26 = "the u1 u2 u3 u4 alpha beta gamma delta epsilon " +
+      "u5 u6 u7 u8 u9 u10"
+    // 36: carries a 5-token run of wave-0 SURVIVOR 22 ("red green
+    // blue cyan magenta") — cut against the STAGED wave-0 spans.
+    val doc36 = "the v1 v2 red green blue cyan magenta v3 v4 v5 " +
+      "v6 v7 v8 v9 v10"
+    // 37: carries a 5-token run of wave-0 doc 25's TAIL ("legions
+    // marched across provinces building") — 25 was decontaminated,
+    // never emitted, so its spans must NOT gate: 37 stays uncut.
+    val doc37 = "the w1 w2 legions marched across provinces building " +
+      "w3 w4 w5 w6 w7 w8"
+    val wave0F = Seq(22L -> doc22, 23L -> doc22, 25L -> doc25,
+      26L -> doc26)
+    val wave1F = Seq(32L -> doc32, 35L -> doc35, 36L -> doc36,
+      37L -> doc37)
+
+    PipeIngest.buildFull(spark, docsDf(histRows),
+      docsDf(Seq(13L -> benchText)), path)
+    val src = s"$path/src"
+    val ckpt = s"$path/ckpt"
+    def stream = spark.readStream.schema(docsDf(Nil).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+
+    docsDf(wave0F).coalesce(1).write.mode("append").parquet(src)
+    PipeIngest.ingestFull(spark, path, stream, ckpt)
+    val after0 = PipeIngest.docsAll(spark, path).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(after0.keySet === Set(22L, 26L),
+      "wave 0: batch-dup 23 (dedup) and contaminated 25 (decontam) " +
+        s"drop; got ${after0.keySet}")
+    // Scrub-before-encode: 26 encoded its SCRUBBED stream — 16
+    // tokens minus the 5 cut history-span tokens = 11, which the
+    // byte pretokenizer (letter/digit/whitespace runs) renders as
+    // 21 word-ish + 10 whitespace = 31 pretokens; unscrubbed it
+    // would be 41.
+    assert(after0(26L).getAs[Long]("n_pretokens") === 31L)
+    assert(after0(22L).getAs[Long]("n_pretokens") === 31L)
+
+    docsDf(wave1F).coalesce(1).write.mode("append").parquet(src)
+    PipeIngest.ingestFull(spark, path, stream, ckpt)
+    val after1 = PipeIngest.docsAll(spark, path).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(after1.keySet === Set(22L, 26L, 32L, 36L, 37L),
+      "wave 1: 35 must dedup-drop against DECONTAMINATED 25 " +
+        "(dedup decisions are independent of decontamination); " +
+        s"got ${after1.keySet}")
+    // Cross-batch span gating: 36 loses 22's staged 5-token run;
+    // 37 keeps 25's run (25 never emitted -> no spans).
+    assert(after1(36L).getAs[Long]("n_pretokens") === 31L,
+      "36 must lose the 5 tokens duplicating staged survivor 22")
+    assert(after1(37L).getAs[Long]("n_pretokens") === 35L,
+      "37 must stay uncut: a decontaminated doc contributes no spans")
+
+    // The funnel rows carry each wave's per-stage acceptance.
+    val funnel = spark.read.parquet(s"$path/funnel")
+      .select(col("batch_id").cast("long"), col("n_in"),
+        col("n_quality_kept"), col("n_dedup_kept"),
+        col("n_decontam_kept"), col("n_tokens_cut"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(funnel(0L) === ((4L, 4L, 3L, 2L, 5L)),
+      s"wave-0 funnel: ${funnel.get(0L)}")
+    assert(funnel(1L) === ((4L, 4L, 3L, 3L, 5L)),
+      s"wave-1 funnel: ${funnel.get(1L)}")
+
+    // Exactly-once publish, span index sealed to EMITTED docs only.
+    assert(PipeIngest.publish(spark, path) === 5L)
+    assert(PipeIngest.publish(spark, path) === 0L)
+    val spanDocs = spark.read.parquet(s"$path/span_index")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(spanDocs === Set(7L, 17L, 22L, 26L, 32L, 36L, 37L),
+      s"span index = history keeps + emitted survivors: $spanDocs")
+    assert(!new java.io.File(s"$path/staged_spans").exists())
+
+    // Post-publish: the sealed spans still gate — a new doc carrying
+    // a 5-token run of SCRUBBED-26's surviving text loses it.
+    val doc41 = "the x1 x2 u5 u6 u7 u8 u9 x3 x4 x5 x6 x7"
+    docsDf(Seq(41L -> doc41)).coalesce(1).write.mode("append")
+      .parquet(src)
+    PipeIngest.ingestFull(spark, path, stream, ckpt)
+    val after2 = PipeIngest.docsAll(spark, path).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(after2(41L).getAs[Long]("n_pretokens") === 22L,
+      "sealed span index must cut the 5-token run of emitted 26")
+  }
+
   test("compact crash recovery: an interrupted swap (marker present, " +
     "live tables stale) completes at the next compact entry") {
     val path = Files.createTempDirectory("graft_pipe_cswap").toString
