@@ -69,9 +69,9 @@ object RagRetrieve {
     * last rung — extend the ladder before a corpus outgrows it, the
     * [[graft.dedup.Dedup.hiBitsFor]] contract).
     */
-  val MinBits = 12
+  val MinBits = 4
   val MaxBits = 15
-  val NBands = 4
+  val NBands = 8
   val NPlanes: Int = NBands * MaxBits
   val TopK = 3
   /** Target per-band bucket occupancy: band bits r are the smallest
@@ -98,16 +98,22 @@ object RagRetrieve {
 
   /** Double-consumed side frames (band explode + vector attach),
     * localCheckpointed and released with the shared-lineage
-    * lifecycle — the BpeCore/CorpusPipeline discipline.
+    * lifecycle — the BpeCore/CorpusPipeline discipline. ADVICE r10:
+    * additionally drained at the START of each retrieval build
+    * ([[releaseIssued]]) so repeated invocations between Lineage
+    * clears reuse storage instead of accumulating two pinned frames
+    * per call.
     */
   private val issued =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  graft.operators.Lineage.onClear(() => issued.synchronized {
+  graft.operators.Lineage.onClear(() => releaseIssued())
+
+  private def releaseIssued(): Unit = issued.synchronized {
     import org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint
     issued.foreach(releaseCheckpoint)
     issued.clear()
-  })
+  }
 
   private def ckpt(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint()
@@ -165,8 +171,14 @@ object RagRetrieve {
           })))
   }
 
-  def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
+  /** Build the banded query/corpus frames — the shared front of
+    * `ss_rag_retrieve` and `ss_rag_recall`. Releases the previous
+    * invocation's pinned frames first (ADVICE r10).
+    */
+  private def frames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import graft.pipeline.CorpusOps.chunkFrame
+    releaseIssued()
     val chunks = chunkFrame(Tables(s, dir, "documents")
       .repartition(col("doc_id")))
     val corpE = embed(
@@ -174,8 +186,21 @@ object RagRetrieve {
       Seq("doc_id", "chunk_idx"))
     // The rung derives from the CORPUS side's embedded-chunk count
     // and rides both plans as one broadcast 1-row scalar (the PHash
-    // cap discipline) - queries and corpus always share it.
-    val nF = broadcast(corpE.agg(count(lit(1)).as("n_chunks")))
+    // cap discipline) - queries and corpus always share it. ADVICE
+    // r10: a corpus past the LAST rung would silently pin at MaxBits
+    // and resume quadratic candidate growth — the guard makes an
+    // outgrown ladder fail loudly (raise_error wraps the count the
+    // rung CASE consumes, so pruning can never drop it) instead of
+    // regressing silently; extend MaxBits when it fires.
+    val ladderCap = TargetBucket << MaxBits
+    val nF = broadcast(corpE.agg(count(lit(1)).as("n0"))
+      .select(when(col("n0") > ladderCap,
+          raise_error(concat(
+            lit("ss_rag_retrieve band ladder outgrown: "),
+            col("n0").cast("string"),
+            lit(s" corpus chunks > TargetBucket << MaxBits =" +
+              s" $ladderCap; extend the MaxBits rung"))))
+        .otherwise(col("n0")).as("n_chunks")))
     val corp = ckpt(withBands(corpE.crossJoin(nF),
       rungOf(col("n_chunks"))).drop("n_chunks"))
     val qry = ckpt(withBands(embed(
@@ -183,6 +208,22 @@ object RagRetrieve {
         col("chunk_idx") === 0L),
       Seq("doc_id")).crossJoin(nF), rungOf(col("n_chunks")))
       .drop("n_chunks"))
+    (qry, corp)
+  }
+
+  def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val (qry, corp) = frames(s, dir)
+    retrieved(qry, corp)
+      .select("q_doc_id", "rank", "doc_id", "chunk_idx", "dot",
+        "qn", "cn", "score")
+      .orderBy("q_doc_id", "rank")
+  }
+
+  /** LSH retrieval over banded frames: band-join candidates → exact
+    * rerank → top [[TopK]] rows per query (unordered — callers add
+    * their own total order).
+    */
+  private def retrieved(qry: DataFrame, corp: DataFrame): DataFrame = {
     // SLIM candidate discovery (128× find): the band join and its
     // dropDuplicates shuffle carry ONLY the key triple — the dense
     // vectors attach AFTER dedup via two keyed joins and drop again
@@ -217,13 +258,166 @@ object RagRetrieve {
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
-      .select("q_doc_id", "rank", "doc_id", "chunk_idx", "dot",
-        "qn", "cn", "score")
+  }
+
+  /** Queries measured by the recall contract: a fixed-size
+    * deterministic hash-ordered sample of the held-out queries
+    * (md5-ranked — the seeded-sampling discipline), so the
+    * brute-force truth side stays one corpus pass × [[RecallSample]]
+    * broadcast rows at ANY corpus size while the gate's fixture
+    * (fewer queries than the cap) is measured in full.
+    */
+  val RecallSample = 64
+
+  /** ss_rag_recall — the retrieval tier's MEASURED quality contract
+    * (VERDICT r10 item 2): brute-force exact signed-square-cosine
+    * top-[[TopK]] over the sampled queries is the truth set; the row
+    * gates the hit count, the truth count, the derived recall, and
+    * the no-collision query count (n_queries − n_retrieving) so a
+    * band-parametrization regression turns the row red instead of
+    * silently returning fewer/worse neighbors.
+    *
+    * 100 TB shape: the truth side broadcasts [[RecallSample]] dense
+    * query vectors past one corpus scan (a broadcast nested-loop by
+    * construction — the brute-force BASELINE class, like
+    * ss_cosine_topk); everything else reuses the production retrieval
+    * plan unchanged.
+    */
+  def ragRecall(s: SparkSession, dir: String): DataFrame = {
+    val (qry, corp) = frames(s, dir)
+    recallStats(qry, corp)
+  }
+
+  /** The measured-recall machinery over banded frames — factored so
+    * the spec drives a crafted lossy-rung corpus through the exact
+    * production path.
+    */
+  private[sim] def recallStats(qry: DataFrame, corp: DataFrame)
+      : DataFrame = {
+    val ret = ckpt(retrieved(qry, corp))
+    // Global hash-rank over SLIM keys only (doc_id + 32-char md5);
+    // the dense vectors join back after the cap, so the one-partition
+    // sort never carries a vector.
+    val mqW = Window.orderBy(col("mh"), col("q_doc_id"))
+    val mqIds = qry
+      .select(col("doc_id").as("q_doc_id"),
+        md5(concat(lit("rq:"), col("doc_id").cast("string"))).as("mh"))
+      .withColumn("mrn", row_number().over(mqW))
+      .filter(col("mrn") <= RecallSample)
+      .select("q_doc_id")
+    val mq = mqIds.join(qry.select(col("doc_id").as("q_doc_id"),
+      col("v").as("qv"), col("nrm").as("qn")), Seq("q_doc_id"))
+    val dot = aggregate(zip_with(col("qv"), col("cv"),
+      (x, y) => x * y), lit(0L), (a, y) => a + y)
+    val tw = Window.partitionBy("q_doc_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+    // Slice disjointness (corpus = train, queries = eval) makes the
+    // predicate vacuous — it documents the never-its-own-document
+    // rule and keeps the plan an explicit broadcast nested loop.
+    val truth = corp
+      .select(col("doc_id"), col("chunk_idx"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      .join(broadcast(mq), col("q_doc_id") =!= col("doc_id"))
+      .withColumn("dot", dot)
+      .withColumn("score",
+        (col("dot") * abs(col("dot"))).cast("double") /
+          (col("qn") * col("cn")).cast("double"))
+      .withColumn("trk", row_number().over(tw))
+      .filter(col("trk") <= TopK)
+      .select("q_doc_id", "doc_id", "chunk_idx")
+    val truthC = ckpt(truth)
+    val nQ = qry.agg(count(lit(1)).as("n_queries"))
+    val nR = ret.select("q_doc_id").distinct()
+      .agg(count(lit(1)).as("n_retrieving"))
+    val nM = mq.agg(count(lit(1)).as("n_measured"))
+    val nT = truthC.agg(count(lit(1)).as("n_truth"))
+    val nH = truthC
+      .join(ret.select("q_doc_id", "doc_id", "chunk_idx"),
+        Seq("q_doc_id", "doc_id", "chunk_idx"))
+      .agg(count(lit(1)).as("n_hit"))
+    nQ.crossJoin(broadcast(nR)).crossJoin(broadcast(nM))
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nH))
+      .select(col("n_queries"), col("n_retrieving"),
+        col("n_measured"), col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
+  // -----------------------------------------------------------------
+  // ss_rag_index (VERDICT r10 item 5): RAG served from the PERSISTED
+  // index — the chunk-embed corpus composed into the
+  // [[VectorIndex]] artifact lifecycle (build on the base slice,
+  // append the suffix batch — the ss_ivfpq_incr discipline) and the
+  // held-out queries probed through [[VectorIndex.search]] (IVFADC
+  // over the stored Hive layout, DPP-pruned to NProbe cid
+  // directories, exact rerank). This gates the persisted/versioned
+  // index tier on the workload it exists for: the production serving
+  // shape is a probe against the stored artifact, not a per-session
+  // band sketch.
+  //
+  // Id conventions (cross-engine deterministic): corpus vec_id = the
+  // (doc_id, chunk_idx)-ordered dense rank (a slim-key global
+  // window); query_id = doc_id + [[QOff]], disjoint from every
+  // vec_id so the search's own-id exclusion can never fire (queries
+  // are held out of the corpus by the eval split already).
+  //
+  // 100 TB shape: everything downstream of the embed pass is the
+  // gated VectorIndex machinery (broadcast quantizers, |batch|-cost
+  // append, DPP probe); the dense-rank window shuffles only
+  // (doc_id, chunk_idx) key pairs.
+
+  /** Query-id offset: far above any dense-rank vec_id. */
+  val QOff: Long = 1L << 40
+
+  private def gatePath(s: SparkSession, dir: String): String = {
+    graft.operators.GateSweep.sweepStale()
+    "/tmp/graft_rag_index_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+      s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
+  }
+
+  def ragIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.CorpusOps.chunkFrame
+    import graft.functions.VectorFunctions.l2norm
+    releaseIssued()
+    val path = gatePath(s, dir)
+    val chunks = chunkFrame(Tables(s, dir, "documents")
+      .repartition(col("doc_id")))
+    val corpE = embed(chunks.filter(col("doc_id") % 10 =!= EvalMod),
+      Seq("doc_id", "chunk_idx"))
+    val wv = Window.orderBy("doc_id", "chunk_idx")
+    val ids = corpE.select("doc_id", "chunk_idx")
+      .withColumn("vec_id", (row_number().over(wv) - 1).cast("long"))
+    val corpV = ckpt(ids.join(corpE, Seq("doc_id", "chunk_idx"))
+      .select(col("vec_id"), col("doc_id"), col("chunk_idx"),
+        transform(col("v"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", l2norm(col("v"))))
+    val qV = ckpt(embed(chunks.filter(col("doc_id") % 10 === EvalMod &&
+        col("chunk_idx") === 0L), Seq("doc_id"))
+      .select((col("doc_id") + QOff).as("query_id"),
+        transform(col("v"), x => x.cast("double")).as("qv"))
+      .withColumn("qn", l2norm(col("qv"))))
+    graft.operators.Lineage.ensure(s, dir, "ss_rag_index_store") {
+      val et = VectorIndex.withThreshold(
+        corpV.select("vec_id", "v", "nrm")).localCheckpoint()
+      VectorIndex.build(
+        et.filter(col("vec_id") < col("thr")).drop("thr"), path)
+      VectorIndex.append(s, path,
+        et.filter(col("vec_id") >= col("thr")).drop("thr"))
+    }
+    VectorIndex.search(s, path, qV, corpV.select("vec_id", "v", "nrm"))
+      .join(corpV.select(col("vec_id").as("neighbor_id"),
+        col("doc_id"), col("chunk_idx")), "neighbor_id")
+      .select((col("query_id") - QOff).as("q_doc_id"), col("rank"),
+        col("doc_id"), col("chunk_idx"), col("cos"))
       .orderBy("q_doc_id", "rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_rag_retrieve" -> ragRetrieve,
+    "ss_rag_recall" -> ragRecall,
+    "ss_rag_index" -> ragIndex,
   )
 
   // ---------------------------------------------------------------
@@ -281,9 +475,12 @@ object RagRetrieve {
          FROM ${pfx}bt CROSS JOIN rr
          GROUP BY doc_id, chunk_idx, bi, rr.r)"""
 
-  val oracles: Map[String, String] = Map(
-    "ss_rag_retrieve" ->
-      s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+  /** Chunk + embed prefix (documents → `cdw`/`cn`/`qdw`/`qn` sparse
+    * embeddings + the plane literal table) — shared by the LSH
+    * retrieval chain and the persisted-index serving oracle.
+    */
+  private lazy val EmbedCtes: String =
+    s"""d0 AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),
          n0 AS (SELECT doc_id, toks, len(toks) AS nt FROM d0),
          chx AS (SELECT doc_id, toks,
@@ -304,7 +501,14 @@ object RagRetrieve {
            FROM (SELECT unnest(range(0, ${NPlanes * Dim})) AS i,
              $PlanesFlat AS pls)),
          ${embCtes("corp", "c")},
-         ${embCtes("qry", "q")},
+         ${embCtes("qry", "q")}"""
+
+  /** The retrieval chain's CTEs (chunk → embed → bands → candidates →
+    * rerank → ranked `rk`), shared by the retrieval row and the
+    * recall-contract row so the measured pipeline IS the gated one.
+    */
+  private lazy val ChainCtes: String =
+    s"""$EmbedCtes,
          rr AS (SELECT $RungCase AS r
            FROM (SELECT COUNT(*) AS n FROM cn)),
          ${bandCte("c")},
@@ -330,9 +534,127 @@ object RagRetrieve {
          rk AS (SELECT *, CAST(row_number() OVER (
              PARTITION BY q_doc_id
              ORDER BY score DESC, doc_id, chunk_idx) AS BIGINT) AS rank
-           FROM scored)
+           FROM scored)"""
+
+  val oracles: Map[String, String] = Map(
+    "ss_rag_retrieve" ->
+      s"""WITH $ChainCtes
          SELECT q_doc_id, rank, doc_id, chunk_idx, dot, qn, cn, score
          FROM rk WHERE rank <= $TopK
          ORDER BY q_doc_id, rank""",
+    // The recall contract: brute-force exact top-k over the md5-
+    // sampled queries (zero-shared-dimension pairs materialized with
+    // dot = 0 via the all-pairs left join — the dense-vector side
+    // scores EVERY pair), intersected with the LSH answer.
+    "ss_rag_recall" ->
+      s"""WITH $ChainCtes,
+         ret AS (SELECT q_doc_id, doc_id, chunk_idx FROM rk
+           WHERE rank <= $TopK),
+         mq AS (SELECT doc_id FROM (SELECT doc_id,
+             row_number() OVER (ORDER BY
+               md5('rq:' || CAST(doc_id AS VARCHAR)), doc_id) AS mrn
+           FROM qn) t WHERE mrn <= $RecallSample),
+         allp AS (SELECT mq.doc_id AS q_doc_id, cn.doc_id,
+             cn.chunk_idx, cn.nrm AS cnn
+           FROM mq CROSS JOIN cn),
+         bfd AS (SELECT qd.doc_id AS q_doc_id, cd.doc_id,
+             cd.chunk_idx, CAST(SUM(qd.w * cd.w) AS BIGINT) AS dot
+           FROM qdw qd JOIN mq ON mq.doc_id = qd.doc_id
+           JOIN cdw cd ON cd.d = qd.d
+           GROUP BY qd.doc_id, cd.doc_id, cd.chunk_idx),
+         btr AS (SELECT a.q_doc_id, a.doc_id, a.chunk_idx,
+             row_number() OVER (PARTITION BY a.q_doc_id ORDER BY
+               CAST(COALESCE(b.dot, 0) * abs(COALESCE(b.dot, 0))
+                 AS DOUBLE) / CAST(qn.nrm * a.cnn AS DOUBLE) DESC,
+               a.doc_id, a.chunk_idx) AS trk
+           FROM allp a
+           LEFT JOIN bfd b ON b.q_doc_id = a.q_doc_id
+             AND b.doc_id = a.doc_id AND b.chunk_idx = a.chunk_idx
+           JOIN qn ON qn.doc_id = a.q_doc_id),
+         truth AS (SELECT q_doc_id, doc_id, chunk_idx FROM btr
+           WHERE trk <= $TopK)
+         SELECT *, CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+             AS recall
+         FROM (SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM qn) AS n_queries,
+           (SELECT CAST(COUNT(DISTINCT q_doc_id) AS BIGINT) FROM ret)
+             AS n_retrieving,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mq) AS n_measured,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth
+             JOIN ret USING (q_doc_id, doc_id, chunk_idx)) AS n_hit
+         ) t""",
+    // The persisted-index serving twin: dense-rank the corpus chunks
+    // into the VectorSearch vector space (exact integer weights as
+    // doubles, L2 norms), train base-slice quantizers, encode the
+    // FULL corpus, probe + ADC + exact rerank — the ss_ivfpq_incr
+    // rebuild-equivalence applied to the RAG workload. Matching
+    // hashes prove the build/append/search lifecycle over the stored
+    // Hive layout computes exactly this.
+    "ss_rag_index" -> {
+      import VectorSearch.{dCos, dNorm, DAdcEst, kmCtes, pqCtes,
+        NProbe, PqRerank}
+      s"""WITH $EmbedCtes,
+         cgrid AS (SELECT n.doc_id, n.chunk_idx, g.d,
+             CAST(COALESCE(w.w, 0) AS DOUBLE) AS wd
+           FROM cn n CROSS JOIN (SELECT unnest(range(0, $Dim)) AS d) g
+           LEFT JOIN cdw w ON w.doc_id = n.doc_id
+             AND w.chunk_idx = n.chunk_idx AND w.d = g.d),
+         cds AS MATERIALIZED (SELECT doc_id, chunk_idx,
+             list(wd ORDER BY d) AS v
+           FROM cgrid GROUP BY doc_id, chunk_idx),
+         rnk AS MATERIALIZED (SELECT doc_id, chunk_idx,
+             CAST(row_number() OVER (ORDER BY doc_id, chunk_idx) - 1
+               AS BIGINT) AS vec_id
+           FROM cds),
+         e AS MATERIALIZED (SELECT vec_id, v, ${dNorm("v")} AS nrm
+           FROM cds JOIN rnk USING (doc_id, chunk_idx)),
+         eb AS MATERIALIZED (SELECT * FROM e WHERE vec_id <
+           (SELECT CAST(floor(COUNT(*) * ${VectorIndex.BaseFrac})
+             AS BIGINT) FROM e)),
+         qgrid AS (SELECT n.doc_id, g.d,
+             CAST(COALESCE(w.w, 0) AS DOUBLE) AS wd
+           FROM qn n CROSS JOIN (SELECT unnest(range(0, $Dim)) AS d) g
+           LEFT JOIN qdw w ON w.doc_id = n.doc_id AND w.d = g.d),
+         q AS MATERIALIZED (SELECT doc_id + $QOff AS query_id,
+             v AS qv, ${dNorm("v")} AS qn
+           FROM (SELECT doc_id, list(wd ORDER BY d) AS v FROM qgrid
+             GROUP BY doc_id)),
+         ${kmCtes("eb")},
+         asg AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${dCos("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         pr AS (SELECT query_id, cid FROM (
+             SELECT q.query_id, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 ${dCos("qv", "cv", "qn", "cn")} DESC, cid) AS rn
+             FROM q CROSS JOIN cent) WHERE rn <= $NProbe),
+         ${pqCtes("eb")},
+         est AS (SELECT pr.query_id, asg.vec_id AS neighbor_id,
+             $DAdcEst AS est
+           FROM pr JOIN asg USING (cid)
+             JOIN codes ON codes.vec_id = asg.vec_id
+             JOIN dt ON dt.query_id = pr.query_id
+           WHERE asg.vec_id <> pr.query_id),
+         cand AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY est, neighbor_id) AS rn
+             FROM est) WHERE rn <= $PqRerank),
+         sc AS (SELECT cand.query_id, cand.neighbor_id,
+             ${dCos("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+           FROM cand JOIN q USING (query_id)
+             JOIN e ON e.vec_id = cand.neighbor_id),
+         rk AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM sc)
+         SELECT rk.query_id - $QOff AS q_doc_id, rank,
+           r2.doc_id, r2.chunk_idx, cos
+         FROM rk JOIN rnk r2 ON r2.vec_id = rk.neighbor_id
+         WHERE rank <= ${VectorSearch.TopK}
+         ORDER BY q_doc_id, rank"""
+    },
   )
 }

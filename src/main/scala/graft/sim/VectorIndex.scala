@@ -186,14 +186,31 @@ object VectorIndex {
       .filter(col("rn") <= NProbe)
       .select(col("query_id"), col("cid"))
 
+    // The ADC table is looked up POSITIONALLY (dt[m·PqCodes + code]),
+    // so it must be DENSE even when Lloyd's training emptied a
+    // codebook cell (real on degenerate corpora — sparse vectors with
+    // duplicate subvectors collapse assignments; found by the
+    // ss_rag_index chunk corpus, where a sparse cb shifted every
+    // position and the estimate read out of bounds). Cells absent
+    // from the trained codebook are padded with MaxValue — no stored
+    // code can reference them (codes come from the same codebook),
+    // so the pad is never read; it only keeps positions aligned.
+    val grid = q.sparkSession.range(PqM.toLong * PqCodes)
+      .select((col("id") / PqCodes).cast("int").as("m"),
+        (col("id") % PqCodes).cast("int").as("code"))
+    val cbPad = grid.join(
+      cb.select(col("m").cast("int").as("m"),
+        col("code").cast("int").as("code"), col("cbv")),
+      Seq("m", "code"), "left")
     val dts = q.select(col("query_id"), col("qv"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"))
       .select(col("query_id"), col("m"),
         slice(col("qv"), col("m") * PqDs + 1, lit(PqDs)).as("qsv"))
-      .join(broadcast(cb), "m")
+      .join(broadcast(cbPad), "m")
       .select(col("query_id"),
         struct((col("m") * PqCodes + col("code")).as("k"),
-          subDist(col("qsv"), col("cbv")).as("d")).as("kd"))
+          coalesce(subDist(col("qsv"), col("cbv")),
+            lit(Double.MaxValue)).as("d")).as("kd"))
       .groupBy("query_id")
       .agg(sort_array(collect_list(col("kd"))).as("kds"))
       .select(col("query_id"),

@@ -136,6 +136,16 @@ object VectorSearch {
       .withColumn("rn", row_number().over(wa))
       .filter(col("rn") === 1)
       .select("vec_id", "cid")
+    centroidsOf(asg, eq)
+  }
+
+  /** The Lloyd step's centroid recompute over one (vec_id, cid)
+    * assignment — factored (round 11) so [[VersionedIndex
+    * .publishSplit]]'s median bisection derives its children through
+    * the identical exact-integer mean.
+    */
+  private[graft] def centroidsOf(asg: DataFrame,
+      eq: DataFrame): DataFrame =
     asg.join(eq, "vec_id")
       .select(col("cid"), posexplode(col("qv")).as(Seq("idx", "q")))
       .groupBy("cid", "idx")
@@ -148,7 +158,6 @@ object VectorSearch {
       .select(col("cid"),
         transform(sort_array(col("ic")), x => x.getField("cd")).as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-  }
 
   /** [[KmIters]] Lloyd's rounds over an arbitrary training slice
     * (first-K seed) — shared by the per-(session, dir) trained
@@ -762,9 +771,14 @@ object VectorSearch {
        qsub AS (SELECT query_id, m,
            list_slice(qv, m * $PqDs + 1, (m + 1) * $PqDs) AS qsv
          FROM q CROSS JOIN mm),
-       qd AS (SELECT query_id, c.code, s.m,
-           ${dSubPre("s.qsv", "c.cbv")} AS d
-         FROM qsub s JOIN pcb$KmIters c ON c.m = s.m),
+       cbgrid AS (SELECT gm.m, gc.code
+         FROM (SELECT unnest(range(0, $PqM)) AS m) gm
+         CROSS JOIN (SELECT unnest(range(0, $PqCodes)) AS code) gc),
+       qd AS (SELECT s.query_id, g.code, s.m,
+           CASE WHEN c.m IS NOT NULL THEN ${dSubPre("s.qsv", "c.cbv")}
+             ELSE 1.7976931348623157e308 END AS d
+         FROM qsub s JOIN cbgrid g ON g.m = s.m
+         LEFT JOIN pcb$KmIters c ON c.m = g.m AND c.code = g.code),
        dt AS (SELECT query_id,
            list(d ORDER BY m * $PqCodes + code) AS dt
          FROM qd GROUP BY query_id)"""

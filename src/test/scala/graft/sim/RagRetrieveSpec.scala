@@ -61,6 +61,88 @@ class RagRetrieveSpec extends SparkSpec {
       "rung growth must refine buckets, not remap them")
   }
 
+  test("recall contract at the gate fixture: the ladder's occupancy " +
+    "design makes the small-corpus regime exhaustive-equivalent — " +
+    "recall 1.0, every query retrieves") {
+    val r = RagRetrieve.ragRecall(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_queries") > 0)
+    assert(r.getAs[Long]("n_retrieving") === r.getAs[Long]("n_queries"),
+      "at the fixture rung every query must band-collide")
+    assert(r.getAs[Long]("n_truth") ===
+      r.getAs[Long]("n_measured") * RagRetrieve.TopK)
+    // The rung ladder keeps per-band occupancy ≈ TargetBucket, so a
+    // corpus far below TargetBucket << MinBits is near-exhaustively
+    // probed and band recall is 1.0. A band-parametrization
+    // regression (e.g. the round-10 fixed-12-bit floor: measured
+    // 0.30 here) breaks this immediately.
+    assert(r.getAs[Double]("recall") === 1.0,
+      s"gate-fixture recall regressed: ${r.getAs[Double]("recall")}")
+  }
+
+  test("lossy-rung recall: measured floor vs brute-force truth on a " +
+    "planted-neighbor corpus one rung above the fixture's") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(3000)(i => s"w$i")
+    def perturb(base: Vector[String], k: Int): Vector[String] =
+      (0 until k).foldLeft(base)((t, _) =>
+        t.updated(rnd.nextInt(t.length), vocab(rnd.nextInt(vocab.length))))
+    val groups = 1400
+    val bases = Vector.fill(groups)(
+      Vector.fill(20)(vocab(rnd.nextInt(vocab.length))))
+    val corpusRows = (0 until groups).flatMap { g =>
+      (0 until 3).map(m =>
+        (g * 3L + m, 0L, perturb(bases(g), 2).mkString(" ")))
+    }
+    val queryRows = (0 until 40).map(g =>
+      (100000L + g, 0L, perturb(bases(g), 2).mkString(" ")))
+    val corpE = RagRetrieve.embed(
+      corpusRows.toDF("doc_id", "chunk_idx", "chunk_text"),
+      Seq("doc_id", "chunk_idx"))
+    val qryE = RagRetrieve.embed(
+      queryRows.toDF("doc_id", "chunk_idx", "chunk_text"),
+      Seq("doc_id"))
+    val n = corpE.count()
+    val rung = (RagRetrieve.MinBits to RagRetrieve.MaxBits)
+      .find(r => n <= (RagRetrieve.TargetBucket << r)).get
+    assert(rung > RagRetrieve.MinBits,
+      s"fixture must sit above the bottom rung to be lossy (n=$n)")
+    val row = RagRetrieve.recallStats(
+      RagRetrieve.withBands(qryE, lit(rung)),
+      RagRetrieve.withBands(corpE, lit(rung))).collect()(0)
+    assert(row.getAs[Long]("n_measured") === 40L)
+    assert(row.getAs[Long]("n_truth") === 40L * RagRetrieve.TopK)
+    val recall = row.getAs[Double]("recall")
+    info(f"lossy-rung recall@${RagRetrieve.TopK} " +
+      f"(rung $rung, ${RagRetrieve.NBands} bands): $recall%.3f")
+    // Planted neighbors sit at cos ≈ 0.8–0.9 (2/20 tokens perturbed
+    // on each side); sign-LSH at rung 5 × 8 bands measured 0.96+
+    // here. The floor pins the parametrization: fewer bands, a
+    // fixed wide band, or a broken plane stride all fall through it.
+    assert(recall >= 0.9, f"lossy-rung recall floor broken: $recall%.3f")
+  }
+
+  test("ss_rag_index: serving probes the persisted artifact with " +
+    "dynamic partition pruning; ranks dense, neighbors train-side") {
+    val df = RagRetrieve.ragIndex(spark, sf)
+    // The 100 TB serving promise made literal (the VectorIndexSpec
+    // assertion on the RAG workload): the probe join plants a
+    // DynamicPruningExpression on the stored-lists scan, so a query
+    // batch reads NProbe cid directories, not the index.
+    assert(df.queryExecution.executedPlan.toString.toLowerCase
+      .contains("dynamicpruning"),
+      "no dynamic partition pruning on the stored-lists scan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(q % 10 === RagRetrieve.EvalMod.toLong)
+      assert(rs.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rs.length.toLong))
+      rs.foreach(r => assert(r.getLong(2) % 10 !==
+        RagRetrieve.EvalMod.toLong,
+        "retrieved chunks must come from the train slice"))
+    }
+  }
+
   test("fixture: ranking contract and the held-out split") {
     val out = RagRetrieve.ragRetrieve(spark, sf).collect()
     assert(out.nonEmpty)
