@@ -243,4 +243,119 @@ class VersionedIndexSpec extends SparkSpec {
     assert(recallOf(postAns) >= recallOf(preAns),
       s"recall ${recallOf(postAns)} fell below ${recallOf(preAns)}")
   }
+
+  /** Drifted-store builder. `blobs = true` plants four SEPARABLE
+    * 50-vector blobs tilted around one trained centroid (all four
+    * encode into its cell — a hot cell 2-means CAN keep halving,
+    * blob by blob); `blobs = false` plants 300 near-clones of one
+    * base vector (a duplicate-dominated cell 2-means cannot split —
+    * the farthest-point seeds shed ~one outlier per round).
+    */
+  private def driftedStore(blobs: Boolean)
+      : (String, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val root = freshRoot()
+    val (e, base, inc) = split()
+    VersionedIndex.publishBuild(spark, root, base)
+    val skew =
+      if (!blobs) {
+        val seedV = e.filter(col("vec_id") === 20L)
+          .select("v").collect()(0).getSeq[Double](0).toArray
+        (0 until 300).map { i =>
+          val v = Array.tabulate(seedV.length)(d =>
+            seedV(d) + ((i * 31 + d * 17) % 11 - 5) * 0.01)
+          (100000L + i, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+        }.toDF("vec_id", "v", "nrm")
+      } else {
+        // Four blob directions c ± tilt_k around the centroid the
+        // base vector 20 assigned to — cos(blob, c) ≈ 0.97 keeps all
+        // four in its cell, inter-blob cos ≈ 0.94 keeps them
+        // 2-means-separable.
+        val v20 = e.filter(col("vec_id") === 20L)
+          .select("v", "nrm").collect()(0)
+        val (v20v, v20n) =
+          (v20.getSeq[Double](0).toArray, v20.getDouble(1))
+        val cents = spark.read.parquet(s"$root/centroids")
+          .select("cid", "cv", "cn").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getDouble(2)))
+        val c = cents.maxBy { case (_, cv, cn) =>
+          (0 until 64).map(d => v20v(d) * cv(d)).sum / (cn * v20n)
+        }._2
+        (0 until 200).map { i =>
+          val k = i % 4
+          val v = Array.tabulate(c.length) { d =>
+            val tilt = c((d + 8 + 8 * k) % c.length)
+            c(d) + 0.25 * tilt +
+              ((i * 31 + d * 17) % 11 - 5) * 0.002
+          }
+          (100000L + i, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+        }.toDF("vec_id", "v", "nrm")
+      }
+    val corpus = e.unionByName(skew).localCheckpoint()
+    VersionedIndex.publishAppend(spark, root, inc.unionByName(skew))
+    (root, e, corpus)
+  }
+
+  private def occOf(root: String): Seq[Long] = {
+    val m = VersionedIndex.currentManifest(spark, root).get
+    VersionedIndex.listsOf(spark, root, m)
+      .groupBy("cid").count().collect().map(_.getLong(1)).toSeq
+  }
+
+  test("rebalance (round 11): repeat-until-balanced policy on " +
+      "splittable drift — post-condition max <= ratio * mean, one " +
+      "snapshot per round, old versions intact, no-op when balanced") {
+    val (root, e, corpus) = driftedStore(blobs = true)
+    val q = queriesOf(e)
+    val preAns = rows(VersionedIndex.search(spark, root, q, corpus))
+    val occ0 = occOf(root)
+    val ratio = 2.0 // the production drift policy
+    assert(occ0.max > ratio * (occ0.sum.toDouble / occ0.length),
+      "the drifted store must start out of policy")
+    val vs = VersionedIndex.rebalance(spark, root, corpus,
+      maxRatio = ratio, maxRounds = 16)
+    assert(vs.nonEmpty, "the fixture store must need rebalancing")
+    // One committed snapshot per round, consecutively numbered.
+    assert(vs === (3L until 3L + vs.length).toSeq)
+    assert(VersionedIndex.committedVersions(spark, root)
+      === (1L to (2L + vs.length)).toSeq)
+    // Policy post-condition (the loop ended by balance, not budget).
+    assert(vs.length < 16, "rebalance must converge inside the budget")
+    val occ = occOf(root)
+    val mean = occ.sum.toDouble / occ.length
+    assert(occ.max <= ratio * mean,
+      s"post-condition violated: max ${occ.max} > $ratio x $mean")
+    // A second loop is a no-op on the balanced store.
+    assert(VersionedIndex.rebalance(spark, root, corpus,
+      maxRatio = ratio, maxRounds = 16) === Seq.empty)
+    // Pre-rebalance snapshots still answer bit-for-bit.
+    assert(rows(VersionedIndex.search(spark, root, q, corpus, Some(2L)))
+      === preAns)
+    // The final snapshot still answers with dense ranks per query.
+    val fin = rows(VersionedIndex.search(spark, root, q, corpus))
+    fin.groupBy(_._1).values.foreach(rs =>
+      assert(rs.map(_._3).sorted === (1L to rs.length.toLong)))
+  }
+
+  test("rebalance: a clone-dominated hot cell ALSO converges — the " +
+      "median bisection halves a cell regardless of content " +
+      "diversity (the case 2-means could not split)") {
+    // Near-zero angular spread: farthest-point-seeded 2-means shed
+    // ~one outlier per round on this cell (measured 330 -> 307 ->
+    // 306 -> ...), which is why publishSplit bisects at the median
+    // instead. Balance must now reach policy in O(log) rounds.
+    val (root, _, corpus) = driftedStore(blobs = false)
+    val occ0 = occOf(root)
+    val ratio = 2.0
+    assert(occ0.max > ratio * (occ0.sum.toDouble / occ0.length))
+    val vs = VersionedIndex.rebalance(spark, root, corpus,
+      maxRatio = ratio, maxRounds = 16)
+    assert(vs.nonEmpty && vs.length < 16,
+      s"halving must converge in O(log) rounds, ran ${vs.length}")
+    val occ = occOf(root)
+    assert(occ.sum === occ0.sum, "no vector lost by the loop")
+    assert(occ.max <= ratio * (occ.sum.toDouble / occ.length),
+      s"post-condition violated: ${occ.max} vs mean ${occ.sum / occ.length}")
+  }
 }
