@@ -55,6 +55,7 @@ object SparkEntry {
     (graft.multimodal.PixelPng.queries, graft.multimodal.PixelPng.oracles),
     (graft.multimodal.PHash.queries, graft.multimodal.PHash.oracles),
     (graft.multimodal.AudioFp.queries, graft.multimodal.AudioFp.oracles),
+    (graft.multimodal.VideoFp.queries, graft.multimodal.VideoFp.oracles),
     (graft.multimodal.MmPipeline.queries,
       graft.multimodal.MmPipeline.oracles),
     (graft.multimodal.JpegMeta.queries, graft.multimodal.JpegMeta.oracles),
