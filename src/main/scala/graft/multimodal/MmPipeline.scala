@@ -204,9 +204,87 @@ object MmPipeline {
       .crossJoin(broadcast(nk)).crossJoin(broadcast(tc))
   }
 
+  // -----------------------------------------------------------------
+  // UNIFIED MULTIMODAL TRAINING MIXTURE (`pipe_mixture`, VERDICT r10
+  // item 4): the text pipeline's packed examples and the image
+  // pipeline's caption records emitted as ONE interleaved corpus
+  // under ONE example/packing convention. The caption text must pass
+  // the TEXT tier's gates before admission: captions come from the
+  // text pipeline's quality-kept CLEAN frame (normalize → HTML
+  // extract → trained-NB keep), which also enforces the benchmark
+  // holdout — an eval-slice caption would be contamination, exactly
+  // like an eval-slice document. Both sources' piece streams encode
+  // through the SAME trained byte-BPE dictionary and pack through the
+  // SAME [[graft.text.BpeCore.packExamples]] layout over one shared
+  // usage-ranked id space: mixture key = 2·doc_id for text documents,
+  // 2·img_id + 1 for image-caption records (disjoint by parity, so
+  // pack buckets interleave the two sources). Each caption record is
+  // its own document in the pack (EOS-terminated), the standard
+  // interleaved multimodal pretraining shape.
+  //
+  // 100 TB shape: two dictionary joins + the shared pack windows —
+  // no new shuffle class; both upstreams are the already-materialized
+  // stage tables.
+
+  /** Caption records admitted to the mixture: kept images whose
+    * source document survives the text tier's quality gate (and the
+    * eval holdout), carrying the CLEAN caption text.
+    */
+  private def mixCaptions(s: SparkSession, dir: String): DataFrame =
+    kept(s, dir).select(col("img_id"),
+        shiftright(col("img_id"), 1).as("doc_id"))
+      .join(graft.pipeline.CorpusPipeline.qualityKept(s, dir), "doc_id")
+      .select("img_id", "doc_id", "clean")
+
+  /** The two sources' piece streams under the shared dictionary and
+    * the parity key convention.
+    */
+  private def mixStreams(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.pipeline.CorpusPipeline
+    val pieces = graft.text.ByteBpe.artifacts(s, dir)._2
+    val t = CorpusPipeline
+      .pieceStream(CorpusPipeline.scrubbed(s, dir), pieces)
+      .select((col("doc_id") * 2).as("doc_id"), col("ti"),
+        col("pos"), col("sym"))
+    val c = CorpusPipeline.pieceStream(
+      mixCaptions(s, dir)
+        .select((col("img_id") * 2 + 1).as("doc_id"), col("clean")),
+      pieces)
+    (t, c)
+  }
+
+  private def mixPacked(s: SparkSession, dir: String): DataFrame =
+    Lineage.materialized(s, dir, "mix_packed") {
+      val (t, c) = mixStreams(s, dir)
+      graft.text.BpeCore.packExamples(t.unionByName(c))
+    }
+
+  def pipeMixture(s: SparkSession, dir: String): DataFrame =
+    mixPacked(s, dir).orderBy("bucket", "seq_id")
+
+  def pipeMixtureStages(s: SparkSession, dir: String): DataFrame = {
+    val (t, c) = mixStreams(s, dir)
+    val nt = graft.pipeline.CorpusPipeline.scrubbed(s, dir)
+      .agg(count(lit(1)).as("n_text_docs"))
+    val nk = kept(s, dir).agg(count(lit(1)).as("n_images_kept"))
+    val nc = mixCaptions(s, dir)
+      .agg(count(lit(1)).as("n_caption_records"))
+    val tp = t.agg(count(lit(1)).as("n_text_pieces"))
+    val cp = c.agg(count(lit(1)).as("n_caption_pieces"))
+    val px = mixPacked(s, dir)
+      .agg(count(lit(1)).as("n_examples"),
+        coalesce(sum("n_pieces"), lit(0L)).as("total_pieces"))
+    nt.crossJoin(broadcast(nk)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(tp)).crossJoin(broadcast(cp))
+      .crossJoin(broadcast(px))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_mm" -> pipeMm,
     "pipe_mm_stages" -> pipeMmStages,
+    "pipe_mixture" -> pipeMixture,
+    "pipe_mixture_stages" -> pipeMixtureStages,
   )
 
   // ---------------------------------------------------------------
@@ -248,7 +326,7 @@ object MmPipeline {
          JOIN glab g USING (ph)),
        mmin AS (SELECT gcid, MIN(img_id) AS keep_img FROM wimg
          GROUP BY gcid),
-       mkeep AS (SELECT w.img_id, w.ph, w.hgt, w.n_pix, w.lum
+       mkeep AS MATERIALIZED (SELECT w.img_id, w.ph, w.hgt, w.n_pix, w.lum
          FROM wimg w JOIN mmin USING (gcid)
          WHERE w.img_id = keep_img)"""
 
@@ -276,5 +354,54 @@ object MmPipeline {
            (SELECT CAST(COALESCE(SUM(len($CapTok)), 0) AS BIGINT)
              FROM mkeep k JOIN documents d ON d.doc_id = k.img_id // 2)
              AS total_caption_tokens""",
+    "pipe_mixture" ->
+      s"""WITH RECURSIVE $MixCtes,
+         ${graft.text.BpeCore.packSqlTailOn("mstream")}""",
+    "pipe_mixture_stages" ->
+      s"""WITH RECURSIVE $MixCtes,
+         ${graft.text.BpeCore.packSqlCtesOn("mstream")}
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM scrub)
+             AS n_text_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mkeep)
+             AS n_images_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM caprec)
+             AS n_caption_records,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pstream)
+             AS n_text_pieces,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cstr)
+             AS n_caption_pieces,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM (SELECT DISTINCT bucket, seq_id FROM ex) g2)
+             AS n_examples,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS total_pieces""",
   )
+
+  /** The mixture's CTE chain: the text pipeline's FULL chain
+    * (extraction → quality → dedup → decontam → scrub → pstream —
+    * [[graft.pipeline.CorpusPipeline.PipeCtes]] verbatim) + the image
+    * pipeline's chain ([[StageCtes]]' stage block) + the caption
+    * admission join, the parity-keyed union stream, and the shared
+    * pack layout.
+    */
+  private lazy val MixCtes: String = {
+    import graft.text.ByteBpe
+    s"""${graft.pipeline.CorpusPipeline.PipeCtes},
+       $StageCtes,
+       caprec AS MATERIALIZED (SELECT k.img_id, k.img_id // 2 AS doc_id
+         FROM mkeep k JOIN qkeep q ON q.doc_id = k.img_id // 2),
+       ctok AS MATERIALIZED (SELECT img_id * 2 + 1 AS doc_id, ti,
+           hex(encode(w)) AS word
+         FROM (SELECT img_id, unnest(range(1, len(ws) + 1)) AS ti,
+             unnest(ws) AS w
+           FROM (SELECT c.img_id,
+               regexp_extract_all(q.clean, '${ByteBpe.DPretok}') AS ws
+             FROM caprec c JOIN qkeep q USING (doc_id)))),
+       cstr AS (SELECT t2.doc_id, t2.ti, p.pos, p.sym
+         FROM ctok t2 JOIN pc${ByteBpe.Merges} p ON p.word = t2.word),
+       mstream AS MATERIALIZED (
+         SELECT doc_id * 2 AS doc_id, ti, pos, sym FROM pstream
+         UNION ALL
+         SELECT doc_id, ti, pos, sym FROM cstr)"""
+  }
 }

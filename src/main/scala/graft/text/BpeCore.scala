@@ -226,16 +226,22 @@ private[graft] object BpeCore {
     * Shared verbatim by the word-level, byte-level and pipeline pack
     * oracles.
     */
-  def packSqlCtes: String =
+  def packSqlCtes: String = packSqlCtesOn("pstream")
+
+  /** [[packSqlCtes]] parameterized on the piece-stream CTE name —
+    * the multimodal MIXTURE oracle packs a UNION stream that cannot
+    * shadow the text chain's own `pstream`.
+    */
+  def packSqlCtesOn(src: String): String =
     s"""vc AS (SELECT sym, CAST(row_number() OVER (
            ORDER BY cnt DESC, sym) AS BIGINT) AS vid
          FROM (SELECT sym, CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM pstream GROUP BY sym)),
+           FROM $src GROUP BY sym)),
        pid AS MATERIALIZED (SELECT doc_id,
            CAST(row_number() OVER (PARTITION BY doc_id
              ORDER BY ti, pos) - 1 AS BIGINT) AS pi,
            vid
-         FROM pstream JOIN vc USING (sym)),
+         FROM $src JOIN vc USING (sym)),
        dc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS npc
          FROM pid GROUP BY doc_id),
        pid2 AS (SELECT doc_id, pi, vid FROM pid
@@ -254,8 +260,10 @@ private[graft] object BpeCore {
            (o.st + p.pi) % ${BpeTrainer.ExLen} AS pos, p.vid
          FROM pid2 p JOIN ofs o ON o.doc_id = p.doc_id)"""
 
-  def packSqlTail: String =
-    s"""$packSqlCtes
+  def packSqlTail: String = packSqlTailOn("pstream")
+
+  def packSqlTailOn(src: String): String =
+    s"""${packSqlCtesOn(src)}
        SELECT CAST(bucket AS BIGINT) AS bucket,
          CAST(seq_id AS BIGINT) AS seq_id,
          CAST(COUNT(*) AS BIGINT) AS n_pieces,

@@ -73,4 +73,30 @@ class MmPipelineSpec extends SparkSpec {
       .filter(r => r.getLong(1) != r.getLong(0) / 2)
     assert(bad.isEmpty)
   }
+
+  test("mixture (round 11): caption admission enforces the text " +
+    "tier's gates incl. the eval holdout; both sources contribute " +
+    "and interleave within pack buckets") {
+    val st = MmPipeline.pipeMixtureStages(spark, sf).collect()(0)
+    def g(c: String): Long = st.getAs[Long](c)
+    assert(g("n_text_pieces") > 0L && g("n_caption_pieces") > 0L,
+      "both sources must contribute pieces")
+    assert(g("n_caption_records") < g("n_images_kept"),
+      "the caption gate must drop something (quality + eval holdout)")
+    assert(g("total_pieces") >= g("n_text_pieces")
+      + g("n_caption_pieces"),
+      "packed mass = both streams + EOS separators")
+    // Eval holdout on captions: kept images sourced from eval-slice
+    // docs exist on the fixture, and none of them can be a caption
+    // record (the quality-kept frame is train-slice only).
+    val keptDocs = MmPipeline.pipeMm(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val evalKept = keptDocs.count(_ % 10 ===
+      graft.pipeline.CorpusPipeline.PipeEvalMod.toLong)
+    assert(evalKept > 0, "fixture must have kept eval-slice images")
+    assert(g("n_caption_records") <= keptDocs.length - evalKept,
+      "an eval-slice caption leaked past the holdout")
+    assert(MmPipeline.pipeMixture(spark, sf).count()
+      === g("n_examples"))
+  }
 }
