@@ -219,27 +219,34 @@ object RagRetrieve {
       .orderBy("q_doc_id", "rank")
   }
 
+  /** Band-join candidate discovery — SLIM by design (128× find): the
+    * band join and its dropDuplicates shuffle carry ONLY the key
+    * triple — the dense vectors attach AFTER dedup via two keyed
+    * joins in the rerank and drop again in the same projection that
+    * computes the dot, so no shuffle in the plan ever carries a
+    * vector per CANDIDATE (measured: the wide-row variant wrote a
+    * candidate-proportional multi-GB-per-octave shuffle that filled
+    * local disk at 128×; candidates are linear in queries ×
+    * TargetBucket, so the slim shuffle is a few dozen bytes per
+    * candidate at any scale).
+    */
+  private def bandCandidates(qry: DataFrame,
+      corp: DataFrame): DataFrame = {
+    val cB = corp.select(col("doc_id"), col("chunk_idx"),
+      posexplode(col("bk")).as(Seq("bi", "bh")))
+    val qB = qry.select(col("doc_id").as("q_doc_id"),
+      posexplode(col("bk")).as(Seq("bi", "bh")))
+    qB.join(cB, Seq("bi", "bh"))
+      .select("q_doc_id", "doc_id", "chunk_idx")
+      .dropDuplicates("q_doc_id", "doc_id", "chunk_idx")
+  }
+
   /** LSH retrieval over banded frames: band-join candidates → exact
     * rerank → top [[TopK]] rows per query (unordered — callers add
     * their own total order).
     */
   private def retrieved(qry: DataFrame, corp: DataFrame): DataFrame = {
-    // SLIM candidate discovery (128× find): the band join and its
-    // dropDuplicates shuffle carry ONLY the key triple — the dense
-    // vectors attach AFTER dedup via two keyed joins and drop again
-    // in the same projection that computes the dot, so no shuffle in
-    // the plan ever carries a vector per CANDIDATE (measured: the
-    // wide-row variant wrote a candidate-proportional multi-GB-per-
-    // octave shuffle that filled local disk at 128×; candidates are
-    // linear in queries × TargetBucket, so the slim shuffle is a few
-    // dozen bytes per candidate at any scale).
-    val cB = corp.select(col("doc_id"), col("chunk_idx"),
-      posexplode(col("bk")).as(Seq("bi", "bh")))
-    val qB = qry.select(col("doc_id").as("q_doc_id"),
-      posexplode(col("bk")).as(Seq("bi", "bh")))
-    val cand = qB.join(cB, Seq("bi", "bh"))
-      .select("q_doc_id", "doc_id", "chunk_idx")
-      .dropDuplicates("q_doc_id", "doc_id", "chunk_idx")
+    val cand = bandCandidates(qry, corp)
     val dot = aggregate(zip_with(col("qv"), col("cv"),
       (x, y) => x * y), lit(0L), (a, y) => a + y)
     val scored = cand
@@ -259,6 +266,20 @@ object RagRetrieve {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
   }
+
+  /** The md5-ranked fixed-size query sample (doc_id rows) — the
+    * bounded MEASUREMENT/SERVING batch shared by the recall contract
+    * and the persisted-index serving row. The global rank runs over
+    * SLIM keys only (doc_id + 32-char md5); callers join vectors
+    * back after the cap.
+    */
+  private def sampleDocIds(q: DataFrame): DataFrame =
+    q.select(col("doc_id"),
+        md5(concat(lit("rq:"), col("doc_id").cast("string"))).as("mh"))
+      .withColumn("mrn",
+        row_number().over(Window.orderBy(col("mh"), col("doc_id"))))
+      .filter(col("mrn") <= RecallSample)
+      .select("doc_id")
 
   /** Queries measured by the recall contract: a fixed-size
     * deterministic hash-ordered sample of the held-out queries
@@ -294,19 +315,18 @@ object RagRetrieve {
     */
   private[sim] def recallStats(qry: DataFrame, corp: DataFrame)
       : DataFrame = {
-    val ret = ckpt(retrieved(qry, corp))
-    // Global hash-rank over SLIM keys only (doc_id + 32-char md5);
-    // the dense vectors join back after the cap, so the one-partition
-    // sort never carries a vector.
-    val mqW = Window.orderBy(col("mh"), col("q_doc_id"))
-    val mqIds = qry
-      .select(col("doc_id").as("q_doc_id"),
-        md5(concat(lit("rq:"), col("doc_id").cast("string"))).as("mh"))
-      .withColumn("mrn", row_number().over(mqW))
-      .filter(col("mrn") <= RecallSample)
-      .select("q_doc_id")
-    val mq = mqIds.join(qry.select(col("doc_id").as("q_doc_id"),
-      col("v").as("qv"), col("nrm").as("qn")), Seq("q_doc_id"))
+    val mqDocs = sampleDocIds(qry)
+    // The exact RERANK runs only for the measured queries (their
+    // per-query top-k is independent of the other queries, so this
+    // equals the full retrieval restricted to the sample); the
+    // no-collision surface over ALL queries comes from the SLIM
+    // candidate frame — a query retrieves ≥ 1 row iff it has ≥ 1
+    // band candidate, so no measurement cost is ever
+    // candidate × vector.
+    val ret = ckpt(retrieved(qry.join(mqDocs, "doc_id"), corp))
+    val mq = mqDocs.select(col("doc_id").as("q_doc_id"))
+      .join(qry.select(col("doc_id").as("q_doc_id"),
+        col("v").as("qv"), col("nrm").as("qn")), Seq("q_doc_id"))
     val dot = aggregate(zip_with(col("qv"), col("cv"),
       (x, y) => x * y), lit(0L), (a, y) => a + y)
     val tw = Window.partitionBy("q_doc_id")
@@ -327,7 +347,7 @@ object RagRetrieve {
       .select("q_doc_id", "doc_id", "chunk_idx")
     val truthC = ckpt(truth)
     val nQ = qry.agg(count(lit(1)).as("n_queries"))
-    val nR = ret.select("q_doc_id").distinct()
+    val nR = bandCandidates(qry, corp).select("q_doc_id").distinct()
       .agg(count(lit(1)).as("n_retrieving"))
     val nM = mq.agg(count(lit(1)).as("n_measured"))
     val nT = truthC.agg(count(lit(1)).as("n_truth"))
@@ -393,8 +413,15 @@ object RagRetrieve {
       .select(col("vec_id"), col("doc_id"), col("chunk_idx"),
         transform(col("v"), x => x.cast("double")).as("v"))
       .withColumn("nrm", l2norm(col("v"))))
-    val qV = ckpt(embed(chunks.filter(col("doc_id") % 10 === EvalMod &&
-        col("chunk_idx") === 0L), Seq("doc_id"))
+    // The SERVING BATCH is the bounded md5 sample (128× find: probing
+    // ALL held-out queries makes ADC work ∝ queries × occupancy =
+    // N²/K under the fixed coarse quantizer — queries-per-batch is a
+    // WORKLOAD property, so the gated row serves a fixed batch and
+    // the corpus side alone scales; measured 11.5×/10× before,
+    // linear after).
+    val qE = embed(chunks.filter(col("doc_id") % 10 === EvalMod &&
+      col("chunk_idx") === 0L), Seq("doc_id"))
+    val qV = ckpt(sampleDocIds(qE).join(qE, "doc_id")
       .select((col("doc_id") + QOff).as("query_id"),
         transform(col("v"), x => x.cast("double")).as("qv"))
       .withColumn("qn", l2norm(col("qv"))))
@@ -612,9 +639,14 @@ object RagRetrieve {
          eb AS MATERIALIZED (SELECT * FROM e WHERE vec_id <
            (SELECT CAST(floor(COUNT(*) * ${VectorIndex.BaseFrac})
              AS BIGINT) FROM e)),
+         mqi AS (SELECT doc_id FROM (SELECT doc_id,
+             row_number() OVER (ORDER BY
+               md5('rq:' || CAST(doc_id AS VARCHAR)), doc_id) AS mrn
+           FROM qn) t WHERE mrn <= $RecallSample),
          qgrid AS (SELECT n.doc_id, g.d,
              CAST(COALESCE(w.w, 0) AS DOUBLE) AS wd
-           FROM qn n CROSS JOIN (SELECT unnest(range(0, $Dim)) AS d) g
+           FROM qn n JOIN mqi USING (doc_id)
+           CROSS JOIN (SELECT unnest(range(0, $Dim)) AS d) g
            LEFT JOIN qdw w ON w.doc_id = n.doc_id AND w.d = g.d),
          q AS MATERIALIZED (SELECT doc_id + $QOff AS query_id,
              v AS qv, ${dNorm("v")} AS qn
