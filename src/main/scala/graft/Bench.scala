@@ -31,6 +31,15 @@ import org.apache.spark.sql.DataFrame
   *  - `canary` re-times wc_wordcount at the start, middle, and end
   *    of the sweep; its max/min ratio is a query-independent gauge of
   *    box contention DURING this bench (≈1 on a quiet box).
+  *
+  * COLD/WARM DISCIPLINE (VERDICT r11 item 1): an UNTIMED full sweep
+  * runs first, paying every shared Lineage/store build exactly where
+  * production pays it — before serving; its per-query wall is
+  * reported as `cold_sec` and the store rows' cold − warm delta as
+  * `build_sec`. The timed reps then measure warm steady state, and
+  * rep0 is GUARANTEED for every query regardless of budget, so a
+  * heavy build can never again flip a row from warm-min to a single
+  * unflagged cold measurement (the round-11 801 s artifact).
   */
 object Bench {
   /** Per-query rep budget; SPARK_GRAFT_BUDGET_SEC overrides for the
@@ -111,11 +120,54 @@ object Bench {
     // manual solo-rerun protocol.
     val lineagePaid = scala.collection.mutable.LinkedHashMap
       .empty[String, Set[String]]
+    // UNTIMED COLD SWEEP (VERDICT r11 item 1): the round-11 headline
+    // number moved 5.3× because a store-building row whose COLD rep0
+    // blew the per-query budget got exactly one measurement — cold,
+    // single-rep, unflaggable by the median/min noise detector. A
+    // production deployment pre-materializes every shared store as a
+    // real table before serving traffic (Lineage's own contract), so
+    // the bench now does the same: sweep every query once UNTIMED to
+    // pay all Lineage/store builds, record that first-run wall as
+    // cold_sec (the honest build+first-query cost, reported in its
+    // own field), and let the timed reps below measure the warm
+    // steady state the per-query `queries` map has always claimed to
+    // report. SPARK_GRAFT_WARMUP=off restores cold-first timing for
+    // explicit cold-cost studies.
+    val coldSec = scala.collection.mutable.LinkedHashMap
+      .empty[String, Double]
+    if (!sys.env.get("SPARK_GRAFT_WARMUP").contains("off")) {
+      targets.foreach { case (name, fn) =>
+        val pre = graft.operators.Lineage.keys(spark)
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir))
+          coldSec(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case t: Throwable =>
+          // A warmup failure spends the query's budget (slow hard
+          // failures must not re-run reps × failure-time) but rep0
+          // below still runs: one green rep is a real timing.
+          failedSpent(name) += (System.nanoTime() - t0) / 1e9
+          System.err.println(s"bench: $name warmup failed: " +
+            s"${t.getClass.getSimpleName}: " +
+            String.valueOf(t.getMessage).linesIterator.take(1)
+              .mkString.take(300))
+        }
+        val built = graft.operators.Lineage.keys(spark) -- pre
+        if (built.nonEmpty)
+          lineagePaid(name) = lineagePaid.getOrElse(name, Set.empty) ++
+            built.map(k => s"${k.stripPrefix(s"$sfDir#")}@warmup")
+      }
+      canary()
+    }
     for (r <- 0 until reps) {
       targets.zipWithIndex.foreach { case ((name, fn), i) =>
         if (r == 0 && i > 0 && i == targets.size / 2) canary()
         val ts = times(name)
-        if (ts.sum + failedSpent(name) < PerQueryBudgetSec) {
+        // rep0 ALWAYS runs (VERDICT r11 item 1): every query is
+        // guaranteed ≥ 1 timed warm rep no matter what the untimed
+        // cold sweep spent — the budget gates only the LATER reps, so
+        // a store-building row can never again flip from warm-min to
+        // cold-single under a contended box.
+        if (r == 0 || ts.sum + failedSpent(name) < PerQueryBudgetSec) {
           val pre = graft.operators.Lineage.keys(spark)
           val t0 = System.nanoTime()
           try { run(fn(spark, sfDir))
@@ -172,10 +224,25 @@ object Bench {
       "\"" + q + "\":" + ks.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // cold_sec: each query's untimed first-sweep wall (build + first
+    // run); build_sec: for the rows that PAID a shared store build in
+    // the cold sweep, the cold − warm-min delta — the store's
+    // attributed build cost (VERDICT r11 item 1's dedicated field).
+    val coldJson = jmap(coldSec.toSeq)
+    val warmMin = results.map(r => r._1 -> r._2).toMap
+    val buildJson = jmap(lineagePaid.keysIterator
+      .filter(q => lineagePaid(q).exists(_.endsWith("@warmup")))
+      .flatMap { q =>
+        for {
+          c <- coldSec.get(q)
+          w <- warmMin.get(q) if w >= 0
+        } yield q -> math.max(0.0, c - w)
+      }.toSeq)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$med,"reps":$reps,"noisy":$noisy,""" +
         s""""canary":$canaryJson,"lineage_builds":$lineageJson,""" +
+        s""""cold_sec":$coldJson,"build_sec":$buildJson,""" +
         s""""sf":"$sfDir"}"""
 
     // ARTIFACT CONTRACT (VERDICT r4 item 4): the driver archives only

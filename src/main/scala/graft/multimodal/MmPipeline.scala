@@ -236,6 +236,25 @@ object MmPipeline {
       .join(graft.pipeline.CorpusPipeline.qualityKept(s, dir), "doc_id")
       .select("img_id", "doc_id", "clean")
 
+  /** Dropped-caption-word census (ADVICE r11): caption pretokens
+    * absent from the trained pieces dictionary. pieceStream's inner
+    * dictionary join silently drops such words from the caption
+    * stream (the oracle drops them identically, so gates can't see
+    * it) — MmPipelineSpec gates this count at ZERO on the fixture so
+    * a dictionary/extraction change that shrinks caption coverage
+    * turns a test red instead of silently shrinking captions.
+    */
+  private[graft] def captionOovCount(s: SparkSession,
+      dir: String): Long = {
+    val pieces = graft.text.ByteBpe.artifacts(s, dir)._2
+    mixCaptions(s, dir)
+      .select(explode(regexp_extract_all(col("clean"),
+        lit(graft.text.ByteBpe.PretokRegex), lit(0))).as("t"))
+      .select(hex(encode(col("t"), "UTF-8")).as("word"))
+      .join(pieces.select("word").distinct(), Seq("word"), "left_anti")
+      .count()
+  }
+
   /** The two sources' piece streams under the shared dictionary and
     * the parity key convention.
     */

@@ -110,10 +110,28 @@ object CorpusOps {
   })
 
   private[graft] def rankedIds(counted: DataFrame, keyCol: String,
-      cntCol: String, idCol: String): DataFrame = {
-    val laid = counted
-      .repartitionByRange(VocabParts, desc(cntCol), asc(keyCol))
-      .sortWithinPartitions(desc(cntCol), asc(keyCol))
+      cntCol: String, idCol: String): DataFrame =
+    zipIndex(counted, Seq(desc(cntCol), asc(keyCol)), idCol)
+      .select(col(keyCol), col(cntCol), (col(idCol) + 1L).as(idCol))
+
+  /** The vocabFull discipline generalized to ANY total-order sort key
+    * (VERDICT r11 item 3): ZERO-based dense ids in `sortKeys` order
+    * with no data-sized single-partition window anywhere in the plan —
+    * range repartition, per-partition row numbers from
+    * monotonically_increasing_id's (pid, rn) bit layout, cumulative
+    * partition offsets broadcast back. `sortKeys` must totally order
+    * the rows (ids are then invariant to the range sampler's boundary
+    * placement); column names mono/pid/rn/off are reserved by the
+    * implementation. Consumers: vocab ids ([[rankedIds]], 1-based on
+    * top) and the RAG persisted-index corpus vec_id
+    * ([[graft.sim.RagRetrieve.ragIndex]] — previously a corpus-sized
+    * single-task dense-rank window).
+    */
+  private[graft] def zipIndex(df: DataFrame, sortKeys: Seq[Column],
+      idCol: String): DataFrame = {
+    val laid = df
+      .repartitionByRange(VocabParts, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
       .withColumn("mono", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mono"), 33))
       .withColumn("rn", col("mono").bitwiseAND(lit((1L << 33) - 1)))
@@ -125,8 +143,8 @@ object CorpusOps {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "off")
     laid.join(broadcast(offsets), "pid")
-      .select(col(keyCol), col(cntCol),
-        (col("off") + col("rn") + 1L).as(idCol))
+      .withColumn(idCol, col("off") + col("rn"))
+      .drop("mono", "pid", "rn", "off")
   }
 
   def vocabFull(s: SparkSession, dir: String): DataFrame = {

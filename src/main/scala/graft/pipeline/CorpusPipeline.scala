@@ -250,34 +250,41 @@ object CorpusPipeline {
     * a fully-covered doc becomes empty clean text (it still packs —
     * zero pieces — matching the batch funnel's accounting).
     */
-  def scrubStage(kept: DataFrame): DataFrame = {
-    val empty = kept.sparkSession.range(0)
-      .select(col("id").cast("string").as("span"))
-    scrubStageAgainst(kept, empty)
-  }
+  def scrubStage(kept: DataFrame): DataFrame =
+    scrubCore(kept, None)
 
   /** The scrub cut with an EXTERNAL prior-span set: a token run is
     * duplicated (and cut) iff its window occurs in ≥ 2 distinct docs
     * of `kept` — the batch rule — OR appears in `priorSpans` (span),
     * the already-sealed corpus text a greedy streaming build cannot
     * rewrite ([[graft.streaming.PipeIngest]]'s micro-batch scrub:
-    * prior = persisted span index ∪ earlier staged batches). With an
-    * empty prior this IS the batch stage.
+    * prior = persisted span index ∪ earlier staged batches). With no
+    * prior this IS the batch stage.
     */
   private[graft] def scrubStageAgainst(kept: DataFrame,
-      priorSpans: DataFrame): DataFrame = {
+      priorSpans: DataFrame): DataFrame =
+    scrubCore(kept, Some(priorSpans))
+
+  private def scrubCore(kept: DataFrame,
+      priorSpans: Option[DataFrame]): DataFrame = {
     val K = PipeSpanK
     val toked = ckpt(kept
       .select(col("doc_id"), TextHash.tokens(col("clean")).as("toks"))
       .filter(size(col("toks")) >= K))
     val spans = ckpt(spanFrame(kept))
-    val dup = spans.groupBy("span")
+    // The groupBy-derived duplicate set is distinct by construction;
+    // the union + distinct applies ONLY on the prior-span branch
+    // (ADVICE r11: the batch path previously paid a redundant
+    // union + distinct shuffle against an empty prior frame).
+    val dupBatch = spans.groupBy("span")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("span")
-      .union(spans.select("span")
-        .join(priorSpans.select("span"), "span")
-        .select("span"))
-      .distinct()
+    val dup = priorSpans.fold(dupBatch)(pr =>
+      dupBatch
+        .union(spans.select("span")
+          .join(pr.select("span"), "span")
+          .select("span"))
+        .distinct())
     val cov = spans.join(dup, "span")
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (K - 1))).as("p"))
@@ -310,6 +317,16 @@ object CorpusPipeline {
     * factored (round 11) so the multimodal MIXTURE
     * ([[graft.multimodal.MmPipeline]]) encodes caption records
     * through the identical chain before the union pack.
+    *
+    * DROP RULE (ADVICE r11): the dictionary join is INNER — a
+    * pretoken word absent from `pieces` is silently dropped from the
+    * stream, and the oracle drops it identically. This is
+    * load-bearing for every consumer whose text may diverge from the
+    * dictionary's training text (the mixture's caption records): a
+    * dictionary or extraction change that shrinks coverage shrinks
+    * the encoded stream WITHOUT failing a gate here.
+    * MmPipelineSpec's coverage test pins zero dropped caption words
+    * at the fixture; re-measure there before changing either side.
     */
   private[graft] def pieceStream(surv: DataFrame,
       pieces: DataFrame): DataFrame = {

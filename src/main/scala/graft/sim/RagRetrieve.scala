@@ -103,6 +103,16 @@ object RagRetrieve {
     * ([[releaseIssued]]) so repeated invocations between Lineage
     * clears reuse storage instead of accumulating two pinned frames
     * per call.
+    *
+    * SERIAL-EVALUATION PRECONDITION (ADVICE r11): because each build
+    * drains the previous invocation's checkpoints, a DataFrame
+    * returned by one [[queries]] entry must be fully evaluated (or
+    * abandoned) BEFORE the next entry is invoked — a caller holding
+    * an uncollected result across a second call would read released
+    * checkpoint blocks. Verify/Bench evaluate strictly serially
+    * (build → sink → next), which is the pattern this registry is
+    * designed for; a concurrent server would key registries
+    * per-invocation instead.
     */
   private val issued =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -245,8 +255,17 @@ object RagRetrieve {
     * rerank → top [[TopK]] rows per query (unordered — callers add
     * their own total order).
     */
-  private def retrieved(qry: DataFrame, corp: DataFrame): DataFrame = {
-    val cand = bandCandidates(qry, corp)
+  private def retrieved(qry: DataFrame, corp: DataFrame): DataFrame =
+    rerank(bandCandidates(qry, corp), qry, corp)
+
+  /** Exact rerank of a slim candidate frame (q_doc_id, doc_id,
+    * chunk_idx): attach vectors by key, score, window to top
+    * [[TopK]] — factored from [[retrieved]] so [[recallStats]] can
+    * feed a restriction of an ALREADY-built candidate frame instead
+    * of running the band join twice (VERDICT r11 item 8).
+    */
+  private def rerank(cand: DataFrame, qry: DataFrame,
+      corp: DataFrame): DataFrame = {
     val dot = aggregate(zip_with(col("qv"), col("cv"),
       (x, y) => x * y), lit(0L), (a, y) => a + y)
     val scored = cand
@@ -269,16 +288,19 @@ object RagRetrieve {
 
   /** The md5-ranked fixed-size query sample (doc_id rows) — the
     * bounded MEASUREMENT/SERVING batch shared by the recall contract
-    * and the persisted-index serving row. The global rank runs over
-    * SLIM keys only (doc_id + 32-char md5); callers join vectors
-    * back after the cap.
+    * and the persisted-index serving row. Selected with
+    * orderBy + limit — Spark plans TakeOrderedAndProject (bounded
+    * per-partition heaps, driver merge of ≤ [[RecallSample]] rows per
+    * partition), equal to the old global row_number ≤ K window
+    * because (mh, doc_id) totally orders the rows, with no
+    * all-queries single-partition sort (VERDICT r11 item 3's second
+    * instance).
     */
   private def sampleDocIds(q: DataFrame): DataFrame =
     q.select(col("doc_id"),
         md5(concat(lit("rq:"), col("doc_id").cast("string"))).as("mh"))
-      .withColumn("mrn",
-        row_number().over(Window.orderBy(col("mh"), col("doc_id"))))
-      .filter(col("mrn") <= RecallSample)
+      .orderBy(col("mh"), col("doc_id"))
+      .limit(RecallSample)
       .select("doc_id")
 
   /** Queries measured by the recall contract: a fixed-size
@@ -316,14 +338,18 @@ object RagRetrieve {
   private[sim] def recallStats(qry: DataFrame, corp: DataFrame)
       : DataFrame = {
     val mqDocs = sampleDocIds(qry)
-    // The exact RERANK runs only for the measured queries (their
-    // per-query top-k is independent of the other queries, so this
-    // equals the full retrieval restricted to the sample); the
-    // no-collision surface over ALL queries comes from the SLIM
-    // candidate frame — a query retrieves ≥ 1 row iff it has ≥ 1
-    // band candidate, so no measurement cost is ever
-    // candidate × vector.
-    val ret = ckpt(retrieved(qry.join(mqDocs, "doc_id"), corp))
+    // ONE band join (VERDICT r11 item 8): the slim candidate frame is
+    // checkpointed once and feeds BOTH consumers — the exact rerank
+    // restricted to the measured queries (their per-query top-k is
+    // independent of the other queries, so restricting candidates
+    // equals restricting queries) and the no-collision surface over
+    // ALL queries (a query retrieves ≥ 1 row iff it has ≥ 1 band
+    // candidate), so no measurement cost is ever candidate × vector
+    // and the band join never runs twice.
+    val cand = ckpt(bandCandidates(qry, corp))
+    val ret = ckpt(rerank(
+      cand.join(mqDocs.select(col("doc_id").as("q_doc_id")),
+        "q_doc_id"), qry, corp))
     val mq = mqDocs.select(col("doc_id").as("q_doc_id"))
       .join(qry.select(col("doc_id").as("q_doc_id"),
         col("v").as("qv"), col("nrm").as("qn")), Seq("q_doc_id"))
@@ -347,7 +373,7 @@ object RagRetrieve {
       .select("q_doc_id", "doc_id", "chunk_idx")
     val truthC = ckpt(truth)
     val nQ = qry.agg(count(lit(1)).as("n_queries"))
-    val nR = bandCandidates(qry, corp).select("q_doc_id").distinct()
+    val nR = cand.select("q_doc_id").distinct()
       .agg(count(lit(1)).as("n_retrieving"))
     val nM = mq.agg(count(lit(1)).as("n_measured"))
     val nT = truthC.agg(count(lit(1)).as("n_truth"))
@@ -406,10 +432,16 @@ object RagRetrieve {
       .repartition(col("doc_id")))
     val corpE = embed(chunks.filter(col("doc_id") % 10 =!= EvalMod),
       Seq("doc_id", "chunk_idx"))
-    val wv = Window.orderBy("doc_id", "chunk_idx")
-    val ids = corpE.select("doc_id", "chunk_idx")
-      .withColumn("vec_id", (row_number().over(wv) - 1).cast("long"))
-    val corpV = ckpt(ids.join(corpE, Seq("doc_id", "chunk_idx"))
+    // vec_id by DISTRIBUTED zipWithIndex (VERDICT r11 item 3): the
+    // (doc_id, chunk_idx)-ordered dense rank previously ran as ONE
+    // global window partition — every corpus chunk through a single
+    // task. The vocabFull discipline (range partition by the total-
+    // order key, per-partition row numbers, broadcast offsets)
+    // assigns the identical ids with no data-sized single-partition
+    // stage, and carries v/nrm through its one range exchange so the
+    // old ids⋈corpE re-join disappears too.
+    val corpV = ckpt(graft.pipeline.CorpusOps.zipIndex(
+        corpE, Seq(asc("doc_id"), asc("chunk_idx")), "vec_id")
       .select(col("vec_id"), col("doc_id"), col("chunk_idx"),
         transform(col("v"), x => x.cast("double")).as("v"))
       .withColumn("nrm", l2norm(col("v"))))

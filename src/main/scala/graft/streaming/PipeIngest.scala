@@ -68,6 +68,29 @@ import graft.text.{ByteBpe, QualityClassifier, TokenizerStore}
   */
 object PipeIngest {
 
+  /** Pinned localCheckpoints (history keeps, bench shingle sets, the
+    * per-wave frames), released with the shared-lineage lifecycle
+    * (ADVICE r11: these pins previously had no release registration —
+    * repeated store builds in one session accumulated block-manager
+    * storage until session end). Deferred (onClear) rather than
+    * end-of-call release because returned frames may still reference
+    * the checkpoints until the caller evaluates them.
+    */
+  private val issued =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  graft.operators.Lineage.onClear(() => issued.synchronized {
+    import org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint
+    issued.foreach(releaseCheckpoint)
+    issued.clear()
+  })
+
+  private def ckpt(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    issued.synchronized { issued += c }
+    c
+  }
+
   private def modelP(path: String) = s"$path/model"
   private def priorsP(path: String) = s"$path/priors"
   private def tokP(path: String) = s"$path/tok"
@@ -120,7 +143,7 @@ object PipeIngest {
     */
   private def buildKeep(s: SparkSession, hist: DataFrame,
       path: String): DataFrame = {
-    val h = hist.localCheckpoint()
+    val h = hist.transform(ckpt)
     val (model, priors) = QualityClassifier.modelOn(s, h)
     model.write.mode("overwrite").parquet(modelP(path))
     priors.write.mode("overwrite").parquet(priorsP(path))
@@ -128,7 +151,7 @@ object PipeIngest {
     val cleanH = CorpusPipeline.extractStage(h)(s)
     val keepH = CorpusPipeline.qualityStage(cleanH,
         s.read.parquet(modelP(path)), s.read.parquet(priorsP(path)))
-      .localCheckpoint()
+      .transform(ckpt)
     keyedShingles(keepH).write.mode("overwrite")
       .parquet(keepShing(path))
     keepH
@@ -152,7 +175,7 @@ object PipeIngest {
     val ev = Dedup.shingleFrame(
         cleanB.select(col("doc_id"), col("clean").as("text")))
       .select(explode(col("shingles")).as("sg")).distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     ev.write.mode("overwrite").parquet(benchSgP(path))
     import s.implicits._
     Seq(Tuple1(Dedup.bloomBytesOf(ev))).toDF("bloom")
@@ -220,12 +243,12 @@ object PipeIngest {
     */
   private def greedyFront(s: SparkSession, path: String, b: DataFrame,
       batchId: Long): (DataFrame, DataFrame, DataFrame) = {
-    val cleanB = CorpusPipeline.extractStage(b)(s).localCheckpoint()
+    val cleanB = CorpusPipeline.extractStage(b)(s).transform(ckpt)
     val keepB = CorpusPipeline.qualityStage(cleanB,
         s.read.parquet(modelP(path)),
         s.read.parquet(priorsP(path)))
-      .localCheckpoint()
-    val shB = keyedShingles(keepB).localCheckpoint()
+      .transform(ckpt)
+    val shB = keyedShingles(keepB).transform(ckpt)
     val prior = staged(s, stShing(path),
         Seq("doc_id", "shingles", "mk"), batchId)
       .fold(s.read.parquet(keepShing(path)))(st =>
@@ -239,7 +262,7 @@ object PipeIngest {
         verified && col("b.doc_id") < col("a.doc_id"))
       .select(col("a.doc_id").as("doc_id"))
     val surv = keepB.join(dropPrior.union(dropSelf).distinct(),
-      Seq("doc_id"), "left_anti").localCheckpoint()
+      Seq("doc_id"), "left_anti").transform(ckpt)
     (keepB, shB, surv)
   }
 
@@ -311,7 +334,7 @@ object PipeIngest {
   def ingestFull(s: SparkSession, path: String, batches: DataFrame,
       checkpoint: String): Unit = {
     import graft.functions.TextHash.tokens
-    val evC = s.read.parquet(benchSgP(path)).localCheckpoint()
+    val evC = s.read.parquet(benchSgP(path)).transform(ckpt)
     val bloomBytes = s.read.parquet(benchBloomP(path))
       .first().getAs[Array[Byte]]("bloom")
     val q = batches.writeStream
@@ -327,14 +350,14 @@ object PipeIngest {
           .filter(col("n_shingles").isNull ||
             col("n_overlap") * CorpusPipeline.ContamFrac
               < col("n_shingles"))
-          .select("doc_id", "clean").localCheckpoint()
+          .select("doc_id", "clean").transform(ckpt)
         // stage 5: greedy span scrub vs span_index ∪ staged(<batch)
         val priorSpans = staged(s, stSpans(path), Seq("span"), batchId)
           .fold(s.read.parquet(spanIdxP(path)).select("span"))(st =>
             s.read.parquet(spanIdxP(path)).select("span")
               .unionByName(st))
         val scrubbed = CorpusPipeline
-          .scrubStageAgainst(decon, priorSpans).localCheckpoint()
+          .scrubStageAgainst(decon, priorSpans).transform(ckpt)
         stageBatch(s, path, shB, surv,
           encodeRows(s, path, scrubbed, batchId), batchId)
         Formats.backfillPartitions(
@@ -416,33 +439,33 @@ object PipeIngest {
           .withColumn("batch_id", lit(b))
           .select("doc_id", "batch_id", "n_pretokens", "n_pieces",
             "pieces_md5")
-          .localCheckpoint()
+          .transform(ckpt)
         val docsRoot = new org.apache.hadoop.fs.Path(docsP(path))
         val miss =
           if (fs.exists(docsRoot))
             d.join(s.read.parquet(docsP(path)).select("doc_id"),
-              Seq("doc_id"), "left_anti").localCheckpoint()
+              Seq("doc_id"), "left_anti").transform(ckpt)
           else d
         appended += Formats.appendCounted(miss, docsP(path))
       }
       if (!gone(stShing(path))) {
         val sh = s.read.parquet(s"${stShing(path)}/batch_id=$b")
-          .select("doc_id", "shingles", "mk").localCheckpoint()
+          .select("doc_id", "shingles", "mk").transform(ckpt)
         val sealedSh = s.read.parquet(keepShing(path))
           .select("doc_id").distinct()
         sh.join(sealedSh, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+          .transform(ckpt)
           .write.mode("append").parquet(keepShing(path))
       }
       // FULL-chain stores only: seal the batch's post-scrub spans
       // into the span index (same per-table anti-join recovery).
       if (!gone(stSpans(path))) {
         val sp = s.read.parquet(s"${stSpans(path)}/batch_id=$b")
-          .select("doc_id", "span").localCheckpoint()
+          .select("doc_id", "span").transform(ckpt)
         val sealedSp = s.read.parquet(spanIdxP(path))
           .select("doc_id").distinct()
         sp.join(sealedSp, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+          .transform(ckpt)
           .write.mode("append").parquet(spanIdxP(path))
       }
       Seq(stDocs(path), stShing(path), stSpans(path)).foreach(r =>
@@ -532,11 +555,11 @@ object PipeIngest {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-    val clean = CorpusPipeline.extractStage(corpus)(s).localCheckpoint()
+    val clean = CorpusPipeline.extractStage(corpus)(s).transform(ckpt)
     val keep = CorpusPipeline.qualityStage(clean,
         s.read.parquet(modelP(path)), s.read.parquet(priorsP(path)))
-      .localCheckpoint()
-    val sh = keyedShingles(keep).localCheckpoint()
+      .transform(ckpt)
+    val sh = keyedShingles(keep).transform(ckpt)
     val pairs = sh.as("a")
       .join(sh.as("b"), verified && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -545,15 +568,15 @@ object PipeIngest {
       .join(labels.select(col("node").as("doc_id"), col("c").as("cid")),
         Seq("doc_id"), "left")
       .filter(col("doc_id") === coalesce(col("cid"), col("doc_id")))
-      .select("doc_id", "clean").localCheckpoint()
+      .select("doc_id", "clean").transform(ckpt)
 
     val storeKeep = s.read.parquet(keepShing(path)).select("doc_id")
     val demote = storeKeep
       .join(bkeep.select("doc_id"), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .transform(ckpt)
     val admit = bkeep
       .join(storeKeep, Seq("doc_id"), "left_anti")
-      .localCheckpoint() // ⊆ streamed: build() sealed every history keep
+      .transform(ckpt) // ⊆ streamed: build() sealed every history keep
 
     // ADMIT first (idempotent appends): encode rows + keep shingles,
     // each anti-joined against the live table — a rerun after a crash
@@ -561,16 +584,16 @@ object PipeIngest {
     var admitted = 0L
     if (!admit.isEmpty) {
       val docsRoot = new org.apache.hadoop.fs.Path(docsP(path))
-      val enc = encodeRows(s, path, admit, -1L).localCheckpoint()
+      val enc = encodeRows(s, path, admit, -1L).transform(ckpt)
       val missDocs =
         if (fs.exists(docsRoot))
           enc.join(s.read.parquet(docsP(path)).select("doc_id"),
-            Seq("doc_id"), "left_anti").localCheckpoint()
+            Seq("doc_id"), "left_anti").transform(ckpt)
         else enc
       admitted += Formats.appendCounted(missDocs, docsP(path))
       val missSh = keyedShingles(admit)
         .join(s.read.parquet(keepShing(path)).select("doc_id"),
-          Seq("doc_id"), "left_anti").localCheckpoint()
+          Seq("doc_id"), "left_anti").transform(ckpt)
       missSh.write.mode("append").parquet(keepShing(path))
     }
 
@@ -616,10 +639,10 @@ object PipeIngest {
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
       val docsAllT = graft.Tables(s, dir, "documents")
-        .select("doc_id", "text").localCheckpoint()
+        .select("doc_id", "text").transform(ckpt)
       build(s, docsAllT.filter(col("doc_id") % 10 === HistMod), path)
       val src = s"$path/src"
-      val ckpt = s"$path/ckpt"
+      val ckptDir = s"$path/ckpt"
       def stream = s.readStream.schema(docsAllT.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       def writeWave(w: Int): Unit = docsAllT
@@ -638,11 +661,11 @@ object PipeIngest {
       // under a batch swap — either order discovers each cross-wave
       // pair exactly once — so only this lifecycle, whose RESULT
       // carries batch_id, needs the pinning.)
-      writeWave(0); ingest(s, path, stream, ckpt)
-      writeWave(1); ingest(s, path, stream, ckpt)
+      writeWave(0); ingest(s, path, stream, ckptDir)
+      writeWave(1); ingest(s, path, stream, ckptDir)
       publish(s, path)
       writeWave(2)
-      ingest(s, path, stream, ckpt) // staged, deliberately unpublished
+      ingest(s, path, stream, ckptDir) // staged, deliberately unpublished
       ()
     }
     docsAll(s, path).orderBy("doc_id")
@@ -662,10 +685,10 @@ object PipeIngest {
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
       val docsAllT = graft.Tables(s, dir, "documents")
-        .select("doc_id", "text").localCheckpoint()
+        .select("doc_id", "text").transform(ckpt)
       build(s, docsAllT.filter(col("doc_id") % 10 === HistMod), path)
       val src = s"$path/src"
-      val ckpt = s"$path/ckpt"
+      val ckptDir = s"$path/ckpt"
       def stream = s.readStream.schema(docsAllT.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       def writeWave(w: Int): Unit = docsAllT
@@ -673,7 +696,7 @@ object PipeIngest {
           col("doc_id") % Waves === w)
         .coalesce(1).write.mode("append").parquet(src)
       (0 until Waves).foreach { w =>
-        writeWave(w); ingest(s, path, stream, ckpt)
+        writeWave(w); ingest(s, path, stream, ckptDir)
       }
       publish(s, path)
       compact(s, path, docsAllT)
@@ -701,12 +724,12 @@ object PipeIngest {
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
       val docsAllT = graft.Tables(s, dir, "documents")
-        .select("doc_id", "text").localCheckpoint()
+        .select("doc_id", "text").transform(ckpt)
       buildFull(s,
         docsAllT.filter(col("doc_id") % 10 === HistMod),
         docsAllT.filter(col("doc_id") % 10 === EvalMod), path)
       val src = s"$path/src"
-      val ckpt = s"$path/ckpt"
+      val ckptDir = s"$path/ckpt"
       def stream = s.readStream.schema(docsAllT.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       def writeWave(w: Int): Unit = docsAllT
@@ -716,11 +739,11 @@ object PipeIngest {
         .coalesce(1).write.mode("append").parquet(src)
       // One ingest per wave — the batch_id pinning contract (see
       // pipeStreamIngest's Scaladoc).
-      writeWave(0); ingestFull(s, path, stream, ckpt)
-      writeWave(1); ingestFull(s, path, stream, ckpt)
+      writeWave(0); ingestFull(s, path, stream, ckptDir)
+      writeWave(1); ingestFull(s, path, stream, ckptDir)
       publish(s, path)
       writeWave(2)
-      ingestFull(s, path, stream, ckpt) // staged, deliberately unpublished
+      ingestFull(s, path, stream, ckptDir) // staged, deliberately unpublished
       ()
     }
     path

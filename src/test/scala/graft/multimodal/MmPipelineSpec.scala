@@ -99,4 +99,12 @@ class MmPipelineSpec extends SparkSpec {
     assert(MmPipeline.pipeMixture(spark, sf).count()
       === g("n_examples"))
   }
+
+  test("mixture caption coverage (ADVICE r11): every caption pretoken " +
+    "is in the trained pieces dictionary — the inner-join drop rule " +
+    "never silently shrinks a caption at the fixture") {
+    assert(MmPipeline.captionOovCount(spark, sf) === 0L,
+      "caption pretokens were silently dropped by the dictionary " +
+        "join — re-measure the pieceStream drop rule")
+  }
 }
