@@ -238,12 +238,18 @@ object Bench {
           w <- warmMin.get(q) if w >= 0
         } yield q -> math.max(0.0, c - w)
       }.toSeq)
+    // Per-STORE build wall from the Lineage instrumentation (ensure
+    // keys pay their eager writes inside the build lambda; persist
+    // keys register ~0 and their materialization lands on cold_sec of
+    // the first consumer).
+    val storeJson = jmap(graft.operators.Lineage.buildSeconds(spark)
+      .toSeq.sortBy(_._1))
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$med,"reps":$reps,"noisy":$noisy,""" +
         s""""canary":$canaryJson,"lineage_builds":$lineageJson,""" +
         s""""cold_sec":$coldJson,"build_sec":$buildJson,""" +
-        s""""sf":"$sfDir"}"""
+        s""""store_build_sec":$storeJson,"sf":"$sfDir"}"""
 
     // ARTIFACT CONTRACT (VERDICT r4 item 4): the driver archives only
     // the LAST 2000 chars of stdout and parses the final JSON line —

@@ -206,42 +206,84 @@ object Multimodal {
   def toAvMedia(docs: DataFrame): Dataset[MediaRecord] = {
     val s = docs.sparkSession
     import s.implicits._
-    val bodyHex = hex(encode(col("text"), "UTF-8"))
-    val nb = (length(bodyHex) / 2).cast("long")
-    val byteRate = shiftright(Rate * Ch * Bits, 3)
-    val blockAlign = shiftright(Ch * Bits, 3)
-    // RIFF WORD alignment (ADVICE r7): an odd-sized data chunk gets a
-    // 00 pad byte the size field EXCLUDES; the outer RIFF size counts
-    // the pad (it covers all chunk bytes after 'RIFF <size>').
-    val pad = when(nb % 2 === 1, lit("00")).otherwise(lit(""))
-    val wavHex = concat(
-      lit("52494646"), leN(nb + 36L + nb % 2, 4), lit("57415645"),
-      lit("666D7420"), lit("10000000"), lit("0100"), // "fmt " 16 PCM
-      leN(Ch, 2), leN(Rate, 4), leN(byteRate, 4),
-      leN(blockAlign, 2), leN(Bits, 2),
-      lit("64617461"), leN(nb, 4), bodyHex, pad) // "data" chunk
-    val mvhd = concat(
-      lit("0000006C"), lit("6D766864"), // size 108, "mvhd"
-      lit("00000000"), lit("00000000"), lit("00000000"), // v/flags, times
-      hexN(Ts, 8), hexN(nb, 8), // timescale, duration
-      lit("00010000"), lit("0100"), // rate 1.0, volume 1.0
-      lit("0000"), lit("0000000000000000"), // reserved
-      lit("000100000000000000000000000000000001000000000000" +
-        "000000000000000040000000"), // unity matrix
-      lit("000000000000000000000000000000000000000000000000"), // predef
-      lit("00000002")) // next_track_ID
-    val mp4Hex = concat(
-      lit("00000014"), lit("66747970"), lit("69736F6D"),
-      lit("00000200"), lit("69736F6D"), // ftyp isom
-      lit("00000074"), lit("6D6F6F76"), mvhd, // moov
-      hexN(nb + 8L, 8), lit("6D646174"), bodyHex) // mdat
-    docs
-      .select(col("doc_id"),
-        unhex(when(col("doc_id") % 2 === 0, wavHex).otherwise(mp4Hex))
-          .as("payload"),
-        when(col("doc_id") % 2 === 0, "audio/wav").otherwise("video/mp4")
-          .as("mime_hint"))
-      .as[MediaRecord]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        MediaRecord(id, avPayload(id, text),
+          if (id % 2 == 0) "audio/wav" else "video/mp4")
+      })
+  }
+
+  // Container synthesis as a COMPILED typed pass (round 12 — VERDICT
+  // r11 item 5, the PixelPng round-8 precedent): the Column-level
+  // construction built the whole container as an uppercase-hex string
+  // through nested concat/lpad/hex expressions — each document's
+  // payload was copied through several row-sized UTF8Strings before
+  // the final unhex, and the row measured superlinear at sf1
+  // (6.99×/10×, worsening each round as the gc pressure grew). The
+  // builder below writes the identical byte stream directly (same
+  // layout constants, same planted doc_id-derived parameters); the
+  // sha-256 gate against the oracle's independent hex construction
+  // still proves byte equality per row.
+
+  private def wr(o: java.io.ByteArrayOutputStream, hexs: String): Unit = {
+    var i = 0
+    while (i < hexs.length) {
+      o.write(Integer.parseInt(hexs.substring(i, i + 2), 16))
+      i += 2
+    }
+  }
+
+  private def le(o: java.io.ByteArrayOutputStream, v: Long,
+      n: Int): Unit = {
+    var i = 0
+    while (i < n) { o.write(((v >> (8 * i)) & 0xffL).toInt); i += 1 }
+  }
+
+  private def be(o: java.io.ByteArrayOutputStream, v: Long,
+      n: Int): Unit = {
+    var i = n - 1
+    while (i >= 0) { o.write(((v >> (8 * i)) & 0xffL).toInt); i -= 1 }
+  }
+
+  private[multimodal] def avPayload(id: Long,
+      text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val nb = body.length.toLong
+    val o = new java.io.ByteArrayOutputStream(body.length + 160)
+    if (id % 2 == 0) {
+      val ch = 1L + (id >> 1) % 2
+      val rate = 8000L + (id % 8) * 1000L
+      val bits = (1L + (id >> 2) % 2) * 8L
+      // RIFF WORD alignment (ADVICE r7): an odd-sized data chunk gets
+      // a 00 pad byte the size field EXCLUDES; the outer RIFF size
+      // counts the pad (it covers all chunk bytes after 'RIFF <size>').
+      wr(o, "52494646"); le(o, nb + 36L + nb % 2, 4)
+      wr(o, "57415645")
+      wr(o, "666D7420"); wr(o, "10000000"); wr(o, "0100") // "fmt " 16 PCM
+      le(o, ch, 2); le(o, rate, 4)
+      le(o, (rate * ch * bits) >> 3, 4) // byte rate
+      le(o, (ch * bits) >> 3, 2); le(o, bits, 2) // block align, bits
+      wr(o, "64617461"); le(o, nb, 4) // "data" chunk
+      o.write(body, 0, body.length)
+      if (nb % 2 == 1) o.write(0)
+    } else {
+      val ts = 600L + (id % 10) * 60L
+      wr(o, "00000014"); wr(o, "66747970"); wr(o, "69736F6D")
+      wr(o, "00000200"); wr(o, "69736F6D") // ftyp isom
+      wr(o, "00000074"); wr(o, "6D6F6F76") // moov
+      wr(o, "0000006C"); wr(o, "6D766864") // size 108, "mvhd"
+      wr(o, "00000000"); wr(o, "00000000"); wr(o, "00000000") // v/flags, times
+      be(o, ts, 4); be(o, nb, 4) // timescale, duration
+      wr(o, "00010000"); wr(o, "0100") // rate 1.0, volume 1.0
+      wr(o, "0000"); wr(o, "0000000000000000") // reserved
+      wr(o, "000100000000000000000000000000000001000000000000" +
+        "000000000000000040000000") // unity matrix
+      wr(o, "000000000000000000000000000000000000000000000000") // predef
+      wr(o, "00000002") // next_track_ID
+      be(o, nb + 8L, 4); wr(o, "6D646174") // mdat
+      o.write(body, 0, body.length)
+    }
+    o.toByteArray
   }
 
   // mm_av_meta: one batched typed pass — the REAL chunk/box walk
@@ -254,16 +296,30 @@ object Multimodal {
     import s.implicits._
     val parsed = avRecords(s, dir).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
+      // Uppercase-hex bytes via table lookup straight into the
+      // digest — the per-byte "%02X".format String round-trip was
+      // the row's hot loop (round 12; the hex ENCODING is the
+      // cross-engine digest convention, see binaryMeta).
+      val H = "0123456789ABCDEF".getBytes("US-ASCII")
+      val h = "0123456789abcdef".toCharArray
       it.map { r =>
         val m = AvCodec.parse(r.payload)
-        val sb = new StringBuilder(r.payload.length * 2)
-        r.payload.foreach(b => sb.append("%02X".format(b & 0xff)))
+        val hx = new Array[Byte](r.payload.length * 2)
+        var i = 0
+        while (i < r.payload.length) {
+          val b = r.payload(i) & 0xff
+          hx(2 * i) = H(b >> 4); hx(2 * i + 1) = H(b & 0xf)
+          i += 1
+        }
         md.reset()
-        val sha = md.digest(sb.toString.getBytes("US-ASCII"))
-          .map("%02x".format(_)).mkString
+        val dg = md.digest(hx)
+        val sb = new java.lang.StringBuilder(64)
+        dg.foreach { b =>
+          sb.append(h((b & 0xff) >> 4)).append(h(b & 0xf))
+        }
         (r.doc_id, m.format, m.channels, m.sampleRate, m.bits,
           m.dataBytes, m.timescale, m.duration,
-          r.payload.length.toLong, sha)
+          r.payload.length.toLong, sb.toString)
       }
     }.toDF("doc_id", "format", "channels", "sample_rate", "bits",
       "data_bytes", "timescale", "duration", "n_bytes", "sha256_hex")

@@ -42,11 +42,23 @@ object Fixpoint {
   val RowsPerPartition = 250000L
 
   private val Key = "spark.sql.shuffle.partitions"
+  private val AqeKey = "spark.sql.adaptive.enabled"
 
-  /** session → (original value at first entry, live scope depth). */
+  /** session → (original partitions, original AQE, live scope depth). */
   private val scopes =
-    scala.collection.mutable.Map.empty[SparkSession, (String, Int)]
+    scala.collection.mutable.Map.empty[SparkSession, (String, String, Int)]
 
+  /** Scope `spark.sql.shuffle.partitions` down to the loop's row
+    * count AND disable AQE for the loop's duration (round 12 — the
+    * cold-build latency attack): a scoped fixpoint round runs 3–5
+    * tiny shuffles whose partition count is already pinned here, so
+    * AQE's per-shuffle stage materialization + re-optimization is
+    * pure added latency — measured 12.4 → 10.9 s on the 20-round BPE
+    * merge loop cold at sf0.1 (~0.08 s/round), with zero plan benefit
+    * forgone (loop bodies broadcast by explicit hint, and
+    * coalesce/skew handling is moot at 8 partitions). Restored by the
+    * LAST exit, same refcount discipline as the partition scope.
+    */
   def withScopedShuffle[T](s: SparkSession, nRows: Long)(body: => T): T =
     s.conf.get(Key).toLongOption match {
       case None => body // non-numeric session value: no-op scope
@@ -54,18 +66,22 @@ object Fixpoint {
         val want = math.max(8L,
           math.min(sessionParts, nRows / RowsPerPartition))
         scopes.synchronized {
-          val (orig, depth) = scopes.getOrElse(s, (s.conf.get(Key), 0))
-          scopes(s) = (orig, depth + 1)
+          val (orig, aqe, depth) = scopes.getOrElse(s,
+            (s.conf.get(Key), s.conf.get(AqeKey, "true"), 0))
+          scopes(s) = (orig, aqe, depth + 1)
           // Lower to the smallest live request; never raise a value a
           // concurrent scope already pinned lower.
           val cur = s.conf.get(Key).toLongOption.getOrElse(want)
           s.conf.set(Key, math.min(cur, want).toString)
+          s.conf.set(AqeKey, "false")
         }
         try body
         finally scopes.synchronized {
           scopes(s) match {
-            case (orig, 1) => s.conf.set(Key, orig); scopes.remove(s)
-            case (orig, d) => scopes(s) = (orig, d - 1)
+            case (orig, aqe, 1) =>
+              s.conf.set(Key, orig); s.conf.set(AqeKey, aqe)
+              scopes.remove(s)
+            case (orig, aqe, d) => scopes(s) = (orig, aqe, d - 1)
           }
         }
     }

@@ -56,8 +56,19 @@ object VectorIndex {
     * base corpus encoded). Overwrites any previous index at `path`.
     */
   def build(base: DataFrame, path: String): Unit = {
-    val cent = lloydCentroids(base)
-    val cb = lloydCodebooks(base)
+    // The two trainers are independent fixed-round chains of small
+    // sequential jobs; training them CONCURRENTLY (round 12) lets the
+    // local scheduler interleave their per-round jobs, so the build's
+    // wall is ~max of the two instead of their sum. Each chain is
+    // internally eager (localCheckpoint per round), so the futures do
+    // real work, not plan construction.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCent = Future { lloydCentroids(base) }
+    val fCb = Future { lloydCodebooks(base) }
+    val cent = Await.result(fCent, Duration.Inf)
+    val cb = Await.result(fCb, Duration.Inf)
     cent.write.mode("overwrite").parquet(centPath(path))
     cb.write.mode("overwrite").parquet(cbPath(path))
     encode(base, cent, cb)
@@ -71,13 +82,16 @@ object VectorIndex {
     */
   private[graft] def encode(batch: DataFrame, cent: DataFrame,
       cb: DataFrame): DataFrame = {
-    val wa = Window.partitionBy("vec_id").orderBy(desc("cc"), asc("cid"))
+    // Hash-agg argmax (round 12 — the kmeansRound shape: identical
+    // selection to the former desc(cc), asc(cid) window, planned as
+    // partial aggregation instead of a sort exchange).
     val asg = batch.join(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("cc"))
-      .withColumn("rn", row_number().over(wa))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid")
+      .select(col("vec_id"),
+        struct(cosine(col("v"), col("cv"), col("nrm"), col("cn"))
+          .as("cc"), (-col("cid")).as("nid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("b"))
+      .select(col("vec_id"), (-col("b.nid")).as("cid"))
     val codes = subvecs(batch)
       .join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("code"),

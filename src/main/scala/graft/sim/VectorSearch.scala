@@ -39,6 +39,10 @@ object VectorSearch {
   val TopK = 5
   val NumCentroids = 16 // IVF: centroids seeded from vec_id < 16
   val NProbe = 2
+  /** Embedding dimension of the fixture vector space (the oracle's
+    * range(1, 65) twin).
+    */
+  val VDim = 64
 
   import graft.functions.VectorFunctions.{ddot, l2norm}
 
@@ -126,37 +130,51 @@ object VectorSearch {
     * its nearest (max-cosine) centroid, recompute each centroid as
     * the exact-integer mean of its members. `private[graft]` so the
     * plan audit can assert the broadcast + partial-agg shape.
+    *
+    * ASSIGNMENT SHAPE (round 12 — the cold-build cost attack): the
+    * argmax is a hash-aggregated `max(struct(cc, −cid))` — identical
+    * selection to the former per-vec_id row_number window (the struct
+    * order is total: max cc, then min cid on exact-equal cosines; no
+    * float is negated, so no −0.0 hazard) but planned as a PARTIAL
+    * aggregation instead of a sort exchange: the shuffle carries one
+    * pre-reduced row per (vector × map task), never the vector ×
+    * centroid score stream, and no task sorts anything. With
+    * [[centroidsOf]]'s one-shuffle update this makes a Lloyd round
+    * 2 exchanges instead of 3 + a sort — the fixed-cost term that
+    * dominated the sf0.1 cold build (8 rounds × 2 trainers measured
+    * 13.1 s of ss_ivfpq_topk's 16.6 s cold).
     */
   private[graft] def kmeansRound(e: DataFrame, eq: DataFrame,
       cent: DataFrame): DataFrame = {
-    val wa = Window.partitionBy("vec_id").orderBy(desc("cc"), asc("cid"))
     val asg = e.join(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("cc"))
-      .withColumn("rn", row_number().over(wa))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid")
+      .select(col("vec_id"),
+        struct(cosine(col("v"), col("cv"), col("nrm"), col("cn"))
+          .as("cc"), (-col("cid")).as("nid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("b"))
+      .select(col("vec_id"), (-col("b.nid")).as("cid"))
     centroidsOf(asg, eq)
   }
 
   /** The Lloyd step's centroid recompute over one (vec_id, cid)
     * assignment — factored (round 11) so [[VersionedIndex
     * .publishSplit]]'s median bisection derives its children through
-    * the identical exact-integer mean.
+    * the identical exact-integer mean. One shuffle (round 12): the
+    * element-wise exact-integer sum is a [[graft.functions.VecSumAgg]]
+    * partial aggregation (key, dim-long buffer rows), replacing the
+    * posexplode → (cid, idx) → (cid) two-shuffle re-assembly; the
+    * mean divisions are the identical IEEE op sequence per element.
     */
   private[graft] def centroidsOf(asg: DataFrame,
       eq: DataFrame): DataFrame =
     asg.join(eq, "vec_id")
-      .select(col("cid"), posexplode(col("qv")).as(Seq("idx", "q")))
-      .groupBy("cid", "idx")
-      .agg(sum("q").as("qs"), count(lit(1)).as("n"))
-      .select(col("cid"), col("idx"),
-        ((col("qs").cast("double") / lit(QScale)) / col("n").cast("double"))
-          .as("cd"))
       .groupBy("cid")
-      .agg(collect_list(struct(col("idx"), col("cd"))).as("ic"))
+      .agg(graft.functions.VecSumAgg.vecSumAgg(col("qv"), VDim)
+        .as("qs"), count(lit(1)).as("n"))
       .select(col("cid"),
-        transform(sort_array(col("ic")), x => x.getField("cd")).as("cv"))
+        transform(col("qs"), q =>
+          (q.cast("double") / lit(QScale)) / col("n").cast("double"))
+          .as("cv"))
       .withColumn("cn", l2norm(col("cv")))
 
   /** [[KmIters]] Lloyd's rounds over an arbitrary training slice
@@ -191,25 +209,25 @@ object VectorSearch {
     */
   private[graft] def pqRound(sub: DataFrame, subq: DataFrame,
       cb: DataFrame): DataFrame = {
-    val wd = Window.partitionBy("vec_id", "m").orderBy(asc("d"), asc("code"))
+    // Same round-12 shape as [[kmeansRound]]: hash-agg argmin (the
+    // min(struct(d, code)) selection [[pqEncodedBuild]] already uses
+    // — identical to the former asc(d), asc(code) window) and a
+    // one-shuffle VecSumAgg update over the PqDs-dim subvectors.
     val asg = sub.join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("code"),
-        aggregate(zip_with(col("sv"), col("cbv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d).as("d"))
-      .withColumn("rn", row_number().over(wd))
-      .filter(col("rn") === 1)
-      .select("vec_id", "m", "code")
+      .select(col("vec_id"), col("m"),
+        struct(subDist(col("sv"), col("cbv")).as("d"), col("code"))
+          .as("dc"))
+      .groupBy("vec_id", "m")
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
     asg.join(subq, Seq("vec_id", "m"))
-      .select(col("m"), col("code"), posexplode(col("sq")).as(Seq("idx", "q")))
-      .groupBy("m", "code", "idx")
-      .agg(sum("q").as("qs"), count(lit(1)).as("n"))
-      .select(col("m"), col("code"), col("idx"),
-        ((col("qs").cast("double") / lit(QScale)) / col("n").cast("double"))
-          .as("cd"))
       .groupBy("m", "code")
-      .agg(collect_list(struct(col("idx"), col("cd"))).as("ic"))
+      .agg(graft.functions.VecSumAgg.vecSumAgg(col("sq"), PqDs)
+        .as("qs"), count(lit(1)).as("n"))
       .select(col("m"), col("code"),
-        transform(sort_array(col("ic")), x => x.getField("cd")).as("cbv"))
+        transform(col("qs"), q =>
+          (q.cast("double") / lit(QScale)) / col("n").cast("double"))
+          .as("cbv"))
   }
 
   /** (vec_id, m, sv): every vector split into its PqM subvectors. */
@@ -269,13 +287,18 @@ object VectorSearch {
   private def ivfAssignBuild(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val cent = trainedCentroids(s, dir)
-    val wa = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    // Hash-agg argmax (round 12, the kmeansRound shape); v/nrm ride
+    // the aggregate as first() — functionally dependent on the
+    // grouping key, so the pick is deterministic.
     e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("ccos"))
-      .withColumn("rn", row_number().over(wa))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct(cosine(col("v"), col("cv"), col("nrm"), col("cn"))
+          .as("ccos"), (-col("cid")).as("nid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max(col("sc")).as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("b.nid")).as("cid"))
   }
 
   // -----------------------------------------------------------------
@@ -593,6 +616,12 @@ object VectorSearch {
     }
 
   def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    // Cold-path: the two trainers this composition needs are
+    // independent — build them concurrently (round 12; no-op when
+    // either is already session-cached).
+    graft.operators.Lineage.parallel(s, dir, Seq(
+      "ss_km_cent" -> (() => lloydCentroids(vecs(s, dir))),
+      "ss_pq_cb" -> (() => lloydCodebooks(vecs(s, dir)))))
     val e = vecs(s, dir)
     val cent = trainedCentroids(s, dir)
     val q = e.filter(col("vec_id") < NumQueries)

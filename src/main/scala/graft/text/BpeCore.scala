@@ -85,23 +85,37 @@ private[graft] object BpeCore {
         k += 1
         val ld = pieces
           .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-        // The round's winning pair as a 1-row frame: min over the
-        // (−count, left, right) struct = count DESC, left ASC,
-        // right ASC. A global aggregate always yields exactly one
-        // row — NULL fields once no pair remains.
-        val best = ld.filter(col("nxt").isNotNull)
+        // The round's winning pair: min over the (−count, left,
+        // right) struct = count DESC, left ASC, right ASC. A global
+        // aggregate always yields exactly one row — NULL fields once
+        // no pair remains. The row is read driver-side (the 1-row
+        // scalar-read class — this loop already probed it for
+        // exhaustion) and re-emitted as a LITERAL frame: round 12's
+        // cold-cost attack — the former per-round best-frame
+        // localCheckpoint + broadcast jobs collapse into the one
+        // aggregate job, and the values pass through the driver
+        // unchanged (two hex strings + a long), so the rewrite and
+        // the merges table are bit-identical.
+        val bestRow = ld.filter(col("nxt").isNotNull)
           .groupBy(col("sym").as("a"), col("nxt").as("b"))
           .agg(sum("freq").as("c"))
           .select(struct((-col("c")).as("nc"), col("a"), col("b")).as("s"))
           .agg(min(col("s")).as("m"))
           .select(col("m.a").as("a"), col("m.b").as("b"),
             (-col("m.nc")).as("c"))
-          .localCheckpoint()
+          .first()
+        exhausted = bestRow.isNullAt(0)
+        val best =
+          if (exhausted) s.range(1).select(
+            lit(null).cast("string").as("a"),
+            lit(null).cast("string").as("b"),
+            lit(null).cast("long").as("c"))
+          else s.range(1).select(
+            lit(bestRow.getString(0)).as("a"),
+            lit(bestRow.getString(1)).as("b"),
+            lit(bestRow.getLong(2)).as("c"))
         bests += best
         pieces = statsBarrier(applyMerge(ld, best).localCheckpoint())
-        // 1-row exhaustion probe (convergence-probe shape): skip the
-        // remaining provable-no-op rounds once no pair is left.
-        exhausted = best.first().isNullAt(0)
       }
     }
 
