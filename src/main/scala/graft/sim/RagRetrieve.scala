@@ -67,11 +67,32 @@ object RagRetrieve {
   val Dim = 64
   /** Band width floor (the fixture regime) and ceiling (the ladder's
     * last rung — extend the ladder before a corpus outgrows it, the
-    * [[graft.dedup.Dedup.hiBitsFor]] contract).
+    * [[graft.dedup.Dedup.hiBitsFor]] contract). MaxBits 24 (round 12,
+    * VERDICT r11 item 4 — 15 capped the tier at TargetBucket·2^15 ≈
+    * 8.4M corpus chunks, 3–4 orders below the declared design scale):
+    * the ladder now admits TargetBucket·2^24 ≈ 4.3G chunks. The cost
+    * of a longer ladder is plane-table size only — NPlanes = NBands ·
+    * MaxBits baked ±1 literals (192 × 64 longs, KBs in both plans) —
+    * while per-chunk sketch work stays ∝ the SELECTED rung (r of each
+    * band's stride), so small corpora pay nothing for the headroom;
+    * the rung-16..24 regime is spec-pinned on exact twins (collision
+    * at ANY rung is scale-invariant for equal vectors) plus the
+    * prefix-refinement law up to MaxBits.
     */
   val MinBits = 4
-  val MaxBits = 15
+  val MaxBits = 24
   val NBands = 8
+  /** FROZEN-STRIDE LADDER EXTENSION: the pre-extension ladder (rounds
+    * 10–11, MaxBits 15) laid band b's planes at the contiguous stride
+    * [b·15, b·15+15). Extending the ladder must NOT re-stride those
+    * planes — every band key below rung 15 (and therefore every
+    * persisted sketch an already-deployed index holds) would silently
+    * remap. Bits 15..23 therefore live in an APPENDED plane block:
+    * plane(b, r) = b·Seg0 + r for r < Seg0, else
+    * NBands·Seg0 + b·(MaxBits−Seg0) + (r−Seg0). Extending the ladder
+    * again appends another block the same way.
+    */
+  val Seg0 = 15
   val NPlanes: Int = NBands * MaxBits
   val TopK = 3
   /** Target per-band bucket occupancy: band bits r are the smallest
@@ -163,18 +184,28 @@ object RagRetrieve {
   /** Band keys over the baked planes: bit p = (v · plane_p) > 0,
     * band b = MSB-first fold of its [[BandBits]] bits.
     */
+  /** Plane index for (band, bit) under the frozen-stride segments —
+    * see [[Seg0]].
+    */
+  private def planeIdx(b: Column, r: Column): Column =
+    when(r < Seg0, b * Seg0 + r)
+      .otherwise(lit(NBands * Seg0) + b * (MaxBits - Seg0) +
+        (r - Seg0))
+
   private[sim] def withBands(df: DataFrame, rung: Column): DataFrame = {
     val planes: Column = typedlit(Planes.map(_.toSeq).toSeq)
     df.withColumn("bk",
       transform(sequence(lit(0), lit(NBands - 1)), b =>
         aggregate(sequence(lit(0), (rung - 1).cast("int")), lit(0L),
           (acc, r) => {
-            // Band b owns the fixed plane stride [b·MaxBits,
-            // b·MaxBits + MaxBits); rung r uses its first r planes,
-            // so growing the rung refines buckets without remapping.
+            // Band b owns a fixed per-segment plane stride
+            // ([[planeIdx]]); rung r uses its first r planes, so
+            // growing the rung refines buckets without remapping —
+            // and extending the ladder appends planes without
+            // touching any existing rung's keys.
             val proj = aggregate(
               zip_with(col("v"),
-                element_at(planes, (b * MaxBits + r + 1).cast("int")),
+                element_at(planes, (planeIdx(b, r) + 1).cast("int")),
                 (x, w) => x * w),
               lit(0L), (a, y) => a + y)
             acc * 2 + when(proj > 0, 1L).otherwise(0L)
@@ -523,13 +554,24 @@ object RagRetrieve {
          JOIN pl USING (d)
          GROUP BY doc_id, chunk_idx, pl.p)"""
 
+  /** The frozen-stride inverse of [[planeIdx]] as SQL: plane p →
+    * band index and bit position.
+    */
+  private val PSeg = NBands * Seg0
+  private val PBand =
+    s"CASE WHEN p < $PSeg THEN p // $Seg0" +
+      s" ELSE (p - $PSeg) // ${MaxBits - Seg0} END"
+  private val PBit =
+    s"CASE WHEN p < $PSeg THEN p % $Seg0" +
+      s" ELSE $Seg0 + (p - $PSeg) % ${MaxBits - Seg0} END"
+
   /** Rung-windowed band fold over `${pfx}bt` — emitted AFTER the
     * `rr` rung CTE (which needs the corpus norms), for both sides.
     */
   private def bandCte(pfx: String): String =
-    s"""${pfx}bk AS (SELECT doc_id, chunk_idx, p // $MaxBits AS bi,
-           CAST(SUM(CASE WHEN (p % $MaxBits) < rr.r
-             THEN bit << CAST(rr.r - 1 - (p % $MaxBits) AS INTEGER)
+    s"""${pfx}bk AS (SELECT doc_id, chunk_idx, $PBand AS bi,
+           CAST(SUM(CASE WHEN ($PBit) < rr.r
+             THEN bit << CAST(rr.r - 1 - ($PBit) AS INTEGER)
              ELSE 0 END) AS BIGINT) AS bh
          FROM ${pfx}bt CROSS JOIN rr
          GROUP BY doc_id, chunk_idx, bi, rr.r)"""

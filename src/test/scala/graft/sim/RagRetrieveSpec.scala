@@ -121,6 +121,43 @@ class RagRetrieveSpec extends SparkSpec {
     assert(recall >= 0.9, f"lossy-rung recall floor broken: $recall%.3f")
   }
 
+  test("rung > 15 regime (round 12, extended ladder): at rung 20 " +
+    "planted exact twins still retrieve — equal vectors band-collide " +
+    "at EVERY rung — and the recall machinery stays green at the " +
+    "derived params") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(500)(i => s"t$i")
+    def doc(): String =
+      Vector.fill(20)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val texts = Vector.fill(50)(doc())
+    // Corpus: 200 chunks; queries: 30 EXACT twins of corpus chunks
+    // (same text → identical integer embedding → identical sign
+    // sketch at any rung).
+    val corpusRows = (0 until 200).map(i =>
+      (i.toLong, 0L, texts(i % 50) + s" x$i"))
+    val twinRows = (0 until 30).map(i =>
+      (100000L + i, 0L, corpusRows(i)._3))
+    val corpE = RagRetrieve.embed(
+      corpusRows.toDF("doc_id", "chunk_idx", "chunk_text"),
+      Seq("doc_id", "chunk_idx"))
+    val qryE = RagRetrieve.embed(
+      twinRows.toDF("doc_id", "chunk_idx", "chunk_text"),
+      Seq("doc_id"))
+    val rung = 20
+    assert(rung > 15 && rung < RagRetrieve.MaxBits)
+    val row = RagRetrieve.recallStats(
+      RagRetrieve.withBands(qryE, lit(rung)),
+      RagRetrieve.withBands(corpE, lit(rung))).collect()(0)
+    // Every twin query must band-collide with (at least) its twin.
+    assert(row.getAs[Long]("n_retrieving") === 30L,
+      "an exact twin failed to band-collide at rung 20 — the " +
+        "extended strides are broken")
+    assert(row.getAs[Long]("n_truth") ===
+      row.getAs[Long]("n_measured") * RagRetrieve.TopK)
+    info(f"rung-20 exact-twin recall@${RagRetrieve.TopK}: " +
+      f"${row.getAs[Double]("recall")}%.3f")
+  }
+
   test("ss_rag_index: serving probes the persisted artifact with " +
     "dynamic partition pruning; ranks dense, neighbors train-side") {
     val df = RagRetrieve.ragIndex(spark, sf)
