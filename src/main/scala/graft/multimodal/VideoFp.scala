@@ -112,11 +112,11 @@ object VideoFp {
     out
   }
 
-  /** 63-bit pHash of one FrameBytes-byte frame read as an 8×8 grid —
-    * [[PHash.phashOf]]'s DCT/median arithmetic on the frame cells
-    * (no downsample: the frame IS the grid).
+  /** 63-bit pHash of one DECODED 8×8 frame — [[PHash.phashOf]]'s
+    * DCT/median arithmetic on the frame cells (no downsample: the
+    * frame IS the grid).
     */
-  private[multimodal] def frameHash(frame: Array[Byte], off: Int): Long = {
+  private[multimodal] def frameHash(px: Array[Int]): Long = {
     val basis = PHash.DctBasis
     val coefs = new Array[Long](64)
     var p = 0
@@ -128,8 +128,7 @@ object VideoFp {
         while (v < 8) {
           var u = 0
           while (u < 8) {
-            acc += basis(p)(v) * basis(q)(u) *
-              (frame(off + v * 8 + u) & 0xff).toLong
+            acc += basis(p)(v) * basis(q)(u) * px(v * 8 + u)
             u += 1
           }
           v += 1
@@ -150,18 +149,17 @@ object VideoFp {
     hv
   }
 
-  /** Majority-bit fold of the sampled frames' hashes; None for a
-    * payload with no full frame.
+  /** Majority-bit fold of every [[FrameStep]]-nd decoded frame's
+    * hash; None for a stream with no frame.
     */
-  private[multimodal] def fingerprintOf(payload: Array[Byte])
-      : Option[Long] = {
-    val nf = payload.length / FrameBytes
-    if (nf == 0) return None
+  private[multimodal] def fingerprintOfFrames(
+      frames: IndexedSeq[Array[Int]]): Option[Long] = {
+    if (frames.isEmpty) return None
     val counts = new Array[Int](63)
     var n = 0
     var f = 0
-    while (f < nf) {
-      val h = frameHash(payload, f * FrameBytes)
+    while (f < frames.length) {
+      val h = frameHash(frames(f))
       var j = 0
       while (j < 63) {
         if ((h & (1L << j)) != 0) counts(j) += 1
@@ -179,7 +177,22 @@ object VideoFp {
     Some(hv)
   }
 
-  /** (vid_id, ph): the REAL assemble → box-walk → hash pass. */
+  /** Fingerprint of a RAW payload through the full codec path —
+    * every full frame intra-coded ([[VideoCodec.encodeStream]]), the
+    * bitstream decoded back, decoded frames hashed. Spec surface;
+    * the production pass in [[hashed]] additionally walks the MP4
+    * container around the coded stream.
+    */
+  private[multimodal] def fingerprintOf(payload: Array[Byte])
+      : Option[Long] =
+    fingerprintOfFrames(VideoCodec.decodeStream(
+      VideoCodec.encodeStream(payload)))
+
+  /** (vid_id, ph): the REAL assemble → box-walk → BITSTREAM-decode →
+    * hash pass (round 12: the mdat carries [[VideoCodec]]
+    * intra-coded access units, and the hashes are over genuinely
+    * DECODED pixels — the image tier's fidelity, closed for video).
+    */
   private[multimodal] def hashed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents").repartition(col("doc_id"))
@@ -187,7 +200,9 @@ object VideoFp {
       .mapPartitions(_.flatMap { case (id, tx) =>
         val ts = 600L + (id % 10) * 60L
         def fp(payload: Array[Byte]): Option[Long] =
-          fingerprintOf(AvCodec.decodeMdat(encodeMp4(payload, ts)))
+          fingerprintOfFrames(VideoCodec.decodeStream(
+            AvCodec.decodeMdat(
+              encodeMp4(VideoCodec.encodeStream(payload), ts))))
         val bytes = tx.getBytes("UTF-8")
         val base = fp(bytes).map(h => (2 * id, h))
         val twin =
@@ -242,14 +257,19 @@ object VideoFp {
            FROM vf),
          sf AS (SELECT vid_id, bs, fi FROM sfr
            WHERE fi % $FrameStep = 0),
+         -- GRAFT-VC construction twin (round 12): forward transform +
+         -- TRUNCATING quantization, dequantization, two-stage integer
+         -- inverse — the decoded pixels the engine recovers from the
+         -- real bitstream ([[VideoCodec.decodeCtes]]).
+         ${VideoCodec.decodeCtes("sf", "vid_id", FrameBytes)},
          fc AS (SELECT vid_id, fi,
              list_transform(range(0, 64), pq ->
                list_sum(list_transform(range(0, 64), c ->
                  bl[CAST((pq // 8) * 8 + (c // 8) + 1 AS INTEGER)]
                  * bl[CAST((pq % 8) * 8 + (c % 8) + 1 AS INTEGER)]
-                 * bs[CAST(fi * $FrameBytes + c + 1 AS INTEGER)])))
+                 * dbs[CAST(c + 1 AS INTEGER)])))
                AS coefs
-           FROM sf CROSS JOIN (SELECT $BFlat AS bl) bb),
+           FROM vcd CROSS JOIN bbvc),
          fh AS (SELECT vid_id, fi,
              list_transform(range(2, 65), i ->
                CASE WHEN coefs[CAST(i AS INTEGER)] >
