@@ -44,9 +44,19 @@ case class VecSumAgg(
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
-      val n = math.min(dim, a.numElements())
+      // Loud-failure discipline (ADVICE r12): a silent min() here would
+      // zero-pad short vectors / truncate long ones and skew Lloyd
+      // centroid sums without any error — a wrong `dim` argument or
+      // ragged input must fail the job, not corrupt the trainer.
+      require(a.numElements() == dim,
+        s"graft_vecsum_agg: input vector has ${a.numElements()} " +
+          s"elements, expected dim=$dim")
       var i = 0
-      while (i < n) { buf(i) += a.getLong(i); i += 1 }
+      while (i < dim) {
+        require(!a.isNullAt(i),
+          s"graft_vecsum_agg: null element at index $i (dim=$dim)")
+        buf(i) += a.getLong(i); i += 1
+      }
     }
     buf
   }

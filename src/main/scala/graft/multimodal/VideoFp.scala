@@ -14,11 +14,15 @@ import graft.Tables
   *
   * The fingerprint: the mdat payload (recovered by the REAL box walk,
   * [[AvCodec.decodeMdat]] — size/largesize/to-EOF framing and overrun
-  * checks) is read under the declared raw-frame convention
-  * ([[Multimodal.videoFeatures]]): fixed [[FrameBytes]]-byte frames,
-  * each a FrameBytes = 8×8 greyscale grid. Every [[FrameStep]]-nd
-  * full frame (the mm_frame_sample cost convention — a real system
-  * never hashes every frame) gets the [[PHash]] integer-DCT hash
+  * checks) is a GRAFT-VC coded bitstream (round 12,
+  * [[VideoCodec]]): length-delimited intra-only access units —
+  * fixed-point integer DCT on the shared [[PHash.DctBasis]], uniform
+  * quantization, Exp-Golomb entropy coding. The stream is DECODED
+  * back to pixels ([[VideoCodec.decodeStream]]) — each access unit
+  * reconstructing one [[FrameBytes]] = 8×8 greyscale frame — and
+  * every [[FrameStep]]-nd DECODED frame (the mm_frame_sample cost
+  * convention — a real system never hashes every frame) gets the
+  * [[PHash]] integer-DCT hash
   * (same fixed-point [[PHash.DctBasis]], same median-bit rule, 63
   * bits, DC excluded), and the per-video fingerprint is the
   * MAJORITY BIT over the sampled frames: bit j = 1 iff more than
@@ -29,13 +33,16 @@ import graft.Tables
   * than one full frame has no fingerprint (unhashable — the
   * zero-norm-embedding convention) and drops from the corpus.
   *
-  * Mirrored construction: every document's UTF-8 bytes ride as the
-  * mdat payload of a REAL ISO-BMFF MP4 the engine assembles byte by
-  * byte ([[encodeMp4]] — ftyp + moov>mvhd + mdat, big-endian box
-  * sizes, the [[Multimodal.toAvMedia]] layout); vid_id = 2·doc_id.
+  * Mirrored construction: every document's UTF-8 bytes are the RAW
+  * pixel source, intra-coded through [[VideoCodec.encodeStream]],
+  * and the resulting access-unit bitstream rides as the mdat payload
+  * of a REAL ISO-BMFF MP4 the engine assembles byte by byte
+  * ([[encodeMp4]] — ftyp + moov>mvhd + mdat, big-endian box sizes,
+  * the [[Multimodal.toAvMedia]] layout); vid_id = 2·doc_id.
   * Even doc_ids additionally plant a RE-ENCODED twin (vid_id =
-  * 2·doc_id + 1): every payload byte brightness-shifted
-  * min(255, b + [[TwinShift]]) — the classic transcode/levels edit.
+  * 2·doc_id + 1): every SOURCE byte brightness-shifted
+  * min(255, b + [[TwinShift]]) before its own encode pass — the
+  * classic transcode/levels edit.
   * A uniform shift moves each frame's DC coefficient; non-DC
   * coefficients move only by basis-rounding crumbs (the rounded
   * p > 0 DCT rows do not sum exactly to zero), so each frame's hash
@@ -51,9 +58,10 @@ import graft.Tables
   * ([[PHash.PairCap]] rationale) bounds the quadratic pair REPORT —
   * every driver gate runs in the exact regime.
   *
-  * 100 TB shape: one narrow typed assemble→box-walk→hash pass (no
-  * shuffle; at scale the assemble step is the existing video column),
-  * then the LSH-band-shaped chunk equi-join — never all-pairs.
+  * 100 TB shape: one narrow typed assemble→box-walk→bitstream-
+  * decode→hash pass (no shuffle; at scale the assemble step is the
+  * existing video column), then the LSH-band-shaped chunk equi-join —
+  * never all-pairs.
   */
 object VideoFp {
 

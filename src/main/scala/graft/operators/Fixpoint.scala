@@ -60,7 +60,16 @@ object Fixpoint {
     * LAST exit, same refcount discipline as the partition scope.
     */
   def withScopedShuffle[T](s: SparkSession, nRows: Long)(body: => T): T =
-    s.conf.get(Key).toLongOption match {
+    // ADVICE r12: the knob pair is session-global, and round 12 also
+    // introduced concurrent builds on the same session
+    // (Lineage.parallel). A small scoped loop overlapping such a
+    // build would strip AQE and shrink shuffle partitions under the
+    // heavier trainer's shuffles — so while a parallel build is in
+    // flight the scope degrades to a no-op (perf-only either way:
+    // partition count never affects row values, and no current
+    // parallel-built chain calls a scoped loop internally).
+    if (Lineage.parallelBuildsActive(s)) body
+    else s.conf.get(Key).toLongOption match {
       case None => body // non-numeric session value: no-op scope
       case Some(sessionParts) =>
         val want = math.max(8L,

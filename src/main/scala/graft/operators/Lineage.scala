@@ -58,6 +58,21 @@ object Lineage {
         .toMap
     }
 
+  /** Sessions with a [[parallel]] build currently in flight — read by
+    * [[Fixpoint.withScopedShuffle]] (ADVICE r12): the scoped loop's
+    * AQE-off + partition-shrink is session-global, so a small scoped
+    * loop overlapping a concurrent heavy build would strip AQE and
+    * shrink shuffle partitions under the build's shuffles. While a
+    * parallel build is live the scope degrades to a no-op (perf-only
+    * either way — partition count never affects row values).
+    */
+  private val parallelLive =
+    scala.collection.mutable.Map.empty[SparkSession, Int]
+
+  /** True while a [[parallel]] build is in flight on `s`. */
+  def parallelBuildsActive(s: SparkSession): Boolean =
+    parallelLive.synchronized { parallelLive.getOrElse(s, 0) > 0 }
+
   /** Build several INDEPENDENT keys concurrently (round 12 — the
     * cold-build cost attack): each missing key's build runs on its
     * own thread OUTSIDE the global lock (a build is internally a
@@ -81,19 +96,50 @@ object Lineage {
         materialized(s, dir, k, level)(b())
         ()
       } else if (missing.nonEmpty) {
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val built = Await.result(
-          Future.sequence(missing.map { case (k, b) =>
-            Future { k -> timed((s, dir, k))(b().persist(level)) }
-          }), Duration.Inf)
+        import scala.util.{Failure, Success, Try}
+        // ADVICE r12: each build is wrapped in Try so EVERY future
+        // settles before Await returns — a bare Future.sequence
+        // rethrows on the first failure while sibling builds keep
+        // running detached, their persist()-registered frames neither
+        // cached nor unpersisted (pinned CacheManager leaks, work
+        // silently redone on retry). Survivors are registered (or
+        // unpersisted if a racing caller won), THEN the first failure
+        // is rethrown. Builds are blocking Spark actions, so they run
+        // on a dedicated ad-hoc pool, not the global fork-join EC
+        // (which other library code may share and which a blocked
+        // Spark action would starve); the pool is torn down on exit.
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(missing.size)
+        val ec = ExecutionContext.fromExecutorService(pool)
+        parallelLive.synchronized {
+          parallelLive(s) = parallelLive.getOrElse(s, 0) + 1
+        }
+        val settled: Seq[(String, Try[DataFrame])] =
+          try Await.result(
+            Future.sequence(missing.map { case (k, b) =>
+              Future {
+                k -> Try(timed((s, dir, k))(b().persist(level)))
+              }(ec)
+            })(implicitly, ec), Duration.Inf)
+          finally {
+            ec.shutdown()
+            parallelLive.synchronized {
+              val d = parallelLive.getOrElse(s, 1) - 1
+              if (d <= 0) parallelLive.remove(s) else parallelLive(s) = d
+            }
+          }
         cache.synchronized {
-          built.foreach { case (k, df) =>
-            if (cache.contains((s, dir, k))) df.unpersist()
-            else cache.update((s, dir, k), df)
+          settled.foreach {
+            case (k, Success(df)) =>
+              if (cache.contains((s, dir, k))) df.unpersist()
+              else cache.update((s, dir, k), df)
+            case (_, Failure(_)) => ()
           }
         }
+        settled.collectFirst { case (_, Failure(e)) => e }
+          .foreach(throw _)
       }
     }
 

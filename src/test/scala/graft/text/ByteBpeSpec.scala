@@ -235,6 +235,25 @@ class ByteBpeSpec extends SparkSpec {
         s"${enc.getAs[Long]("ne")} EOS rows")
   }
 
+  test("ta_bpe_roundtrip: every document decodes back to its exact " +
+    "source bytes (zero ok=0 rows), and the decode is non-vacuous") {
+    // VERDICT r12 item 7: byte-level BPE is lossless by construction
+    // (full-coverage pretokens × concatenation-preserving merges), so
+    // a single mismatching doc is a real piece-boundary bug. The
+    // declared row carries per-doc md5 pairs; this gate pins the
+    // corpus-level invariant the oracle compare alone would not state.
+    val rt = ByteBpe.byteRoundtrip(spark, sf)
+    val bad = rt.filter(col("ok") =!= 1L).count()
+    assert(bad == 0L, s"$bad documents failed the decode round-trip")
+    // Non-vacuous: pieces were actually merged (fewer pieces than
+    // bytes corpus-wide), i.e. the decode really unwound merges
+    // rather than passing raw bytes through.
+    val tot = rt.agg(sum("n_pieces").as("p"), sum("n_bytes").as("b"))
+      .first()
+    assert(tot.getAs[Long]("p") < tot.getAs[Long]("b"),
+      "roundtrip saw no merged pieces — gate is vacuous")
+  }
+
   test("byte coverage is pretokenizer-invariant: ta_bpe_sp_encode " +
     "reports the same per-doc n_bytes as ta_bpe_bytes_encode") {
     // Both pretokenizers partition the text, so n_bytes must equal
