@@ -233,7 +233,14 @@ object VersionedIndex {
       .withColumn("pub", lit(pub))
       .write.mode("append").partitionBy("pub", "cid")
       .parquet(listsDir(root))
-    commit(s, root, Manifest(v, prev.quantPub, prev.listPubs :+ pub))
+    // Carry the retired-cid set forward (round-13 fix): an append
+    // after a split/delete previously committed dropCids = Nil,
+    // silently RESURRECTING every retired cid's rows in the prior
+    // pubs for the new snapshot. The encode above can only assign
+    // cids present in centOf(prev) — never a retired one — so
+    // carrying the drops is always correct.
+    commit(s, root, Manifest(v, prev.quantPub, prev.listPubs :+ pub,
+      prev.dropCids))
     v
   }
 
@@ -362,6 +369,87 @@ object VersionedIndex {
     Some(v)
   }
 
+  /** ROW-LEVEL DELETE / FORGET (VERDICT r12 item 4): the takedown /
+    * opt-out / GDPR operation every production training-data store
+    * needs — remove `ids` (a (vec_id) frame) from the index so no
+    * snapshot AT OR AFTER this publish can ever return them, with
+    * [[gc]] reclaiming the bytes.
+    *
+    * Mechanism — the [[publishSplit]] remap discipline, applied to
+    * deletion: only the cells that CONTAIN a deleted row are touched.
+    * Each touched cid's SURVIVING rows are rewritten into the new pub
+    * under a FRESH cid (maxCid+1+rank — fresh because `drop_cids` is
+    * snapshot-wide, so survivors could not keep the old cid without
+    * being dropped with it); the new pub carries a full centroid
+    * generation where each touched cell's centroid moves to its
+    * fresh cid UNCHANGED (no retraining — deletion must not shift
+    * anyone else's probe geometry) and a cell emptied by the delete
+    * simply loses its centroid; codebooks copy (centroid-count-
+    * bounded, keeps the manifest's single quant_pub); the manifest
+    * references the prior pubs + the new one and retires the touched
+    * cids. Untouched partitions are never read, written, or moved —
+    * deletion cost is |touched cells|, not |index|.
+    *
+    * The old pubs still hold the deleted bytes until [[gc]]: that is
+    * snapshot isolation doing its job (pre-delete versions must keep
+    * answering until expired). `gc(keepLast = 1)` after the delete
+    * commits removes every `cid=` partition directory that all kept
+    * manifests retire — at that point the deleted rows are gone from
+    * disk, file by file (VersionedIndexSpec scans every remaining
+    * parquet file to prove it).
+    *
+    * Returns the committed version, or None when no stored row
+    * matches `ids` — which makes a REPLAYED delete a provable no-op
+    * (idempotency): the first publish removed the rows, so the
+    * second finds nothing and commits nothing.
+    */
+  def publishDelete(s: SparkSession, root: String,
+      ids: DataFrame): Option[Long] = {
+    val prev = currentManifest(s, root)
+      .getOrElse(sys.error(s"$root: nothing committed to delete from"))
+    val del = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct().localCheckpoint()
+    val lists = listsOf(s, root, prev)
+    // Touched cells: metadata-scale driver read (≤ centroid count —
+    // the publishSplit occupancy class).
+    val touched = lists.join(del, "vec_id")
+      .select("cid").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) return None
+
+    import s.implicits._
+    val maxCid = centOf(s, root, prev).agg(max("cid")).first().getLong(0)
+    val rmap = touched.zipWithIndex
+      .map { case (c, i) => (c, maxCid + 1L + i) }
+      .toDF("cid", "ncid")
+    val survivors = lists.filter(col("cid").isin(touched: _*))
+      .join(del, Seq("vec_id"), "left_anti")
+      .join(broadcast(rmap), "cid")
+      .select(col("vec_id"), col("codes"), col("ncid").as("cid"))
+      .localCheckpoint()
+    // Cells the delete emptied keep no centroid (same driver-read
+    // class as `touched`).
+    val live = survivors.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+    val v = nextVersion(s, root)
+    val pub = s"p$v"
+    centOf(s, root, prev).filter(!col("cid").isin(touched: _*))
+      .unionByName(centOf(s, root, prev)
+        .join(broadcast(rmap), "cid")
+        .filter(if (live.isEmpty) lit(false)
+          else col("ncid").isin(live: _*))
+        .select(col("ncid").as("cid"), col("cv"), col("cn")))
+      .withColumn("pub", lit(pub)).write.mode("append")
+      .partitionBy("pub").parquet(centDir(root))
+    cbOf(s, root, prev).withColumn("pub", lit(pub)).write.mode("append")
+      .partitionBy("pub").parquet(cbDir(root))
+    survivors.withColumn("pub", lit(pub)).write.mode("append")
+      .partitionBy("pub", "cid").parquet(listsDir(root))
+    commit(s, root, Manifest(v, pub, prev.listPubs :+ pub,
+      prev.dropCids ++ touched))
+    Some(v)
+  }
+
   /** INDEX MAINTENANCE LOOP (VERDICT r10 item 6): repeat
     * [[publishSplit]] until the store is balanced — the policy a
     * 100 TB index runs at publish cadence instead of a hand-issued
@@ -444,7 +532,28 @@ object VersionedIndex {
     val droppedPubs = (sweep(centDir(root), refQuant) ++
       sweep(cbDir(root), refQuant) ++
       sweep(listsDir(root), refLists)).distinct.sorted
-    (dropVs, droppedPubs)
+    // CID-LEVEL reclamation (round 13, the [[publishDelete]] forget
+    // step): `drop_cids` retires cells snapshot-wide, but the retired
+    // rows' BYTES live on in still-referenced pubs (an append-heavy
+    // pub keeps serving its untouched cids). Once EVERY kept manifest
+    // that references a list pub also drops cid c, pub=P/cid=c is
+    // unreadable by any surviving version — delete the partition
+    // directory. This is what makes delete + gc a true forget: after
+    // it, no file on disk holds a deleted row (spec-gated by a
+    // file-by-file scan). Metadata-scale: |kept manifests| ×
+    // |dropCids| existence probes, no data read.
+    val droppedCidDirs = refLists.toSeq.sorted.flatMap { p =>
+      val referencing = keptMs.filter(_.listPubs.contains(p))
+      val dropsEverywhere =
+        if (referencing.isEmpty) Set.empty[Long]
+        else referencing.map(_.dropCids.toSet).reduce(_ intersect _)
+      dropsEverywhere.toSeq.sorted.flatMap { c =>
+        val d = new HPath(s"${listsDir(root)}/pub=$p/cid=$c")
+        if (fs.exists(d)) { fs.delete(d, true); Some(s"$p/cid=$c") }
+        else None
+      }
+    }
+    (dropVs, droppedPubs ++ droppedCidDirs)
   }
 
   // -----------------------------------------------------------------
@@ -512,9 +621,49 @@ object VersionedIndex {
     search(s, root, q, e)
   }
 
+  /** The declared delete slice: ~6% of the corpus, spread across
+    * cells — takedown requests arrive scattered, not clustered.
+    */
+  val DeleteMod = 17L
+  val DeleteRem = 3L
+
+  // ss_delete_search: the versioned lifecycle PLUS a row-level
+  // delete — v1 = publishBuild(base), v2 = publishAppend(increment),
+  // v3 = publishDelete(vec_id % DeleteMod == DeleteRem), then search
+  // the newest snapshot. The gate also replays the delete and
+  // requires the replay to be a committed no-op (idempotency is part
+  // of the declared behavior, not just a spec nicety). Own store
+  // root (family "vdelete").
+  def deleteSearch(s: SparkSession, dir: String): DataFrame = {
+    val root = gatePath(s, dir, "vdelete")
+    graft.operators.Lineage.ensure(s, dir, "ss_delete_store") {
+      val fs = hfs(s, root)
+      fs.delete(new HPath(root), true)
+      val et = VectorIndex.withThreshold(vecs(s, dir)).localCheckpoint()
+      publishBuild(s, root,
+        et.filter(col("vec_id") < col("thr")).drop("thr"))
+      publishAppend(s, root,
+        et.filter(col("vec_id") >= col("thr")).drop("thr"))
+      val del = vecs(s, dir)
+        .filter(col("vec_id") % DeleteMod === DeleteRem)
+        .select("vec_id")
+      require(publishDelete(s, root, del).nonEmpty,
+        "ss_delete_store: delete slice matched no stored row")
+      require(publishDelete(s, root, del).isEmpty,
+        "ss_delete_store: replayed delete must be a no-op")
+      ()
+    }
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    search(s, root, q, e)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_version_search" -> versionSearch,
     "ss_split_search" -> splitSearch,
+    "ss_delete_search" -> deleteSearch,
   )
 
   // The split oracle: the ss_ivfpq_incr chain (base-trained
@@ -577,6 +726,37 @@ object VersionedIndex {
 
   import VectorSearch.{dCos => dc}
 
+  // The delete oracle: the ss_ivfpq_incr chain (base-trained
+  // quantizers, full-corpus assignment `asg`), THEN the forget twin —
+  // the deleted slice, its touched cells, the SAME fresh-cid remap
+  // (maxCid + rank over touched cids ASC), survivors re-assigned to
+  // the fresh cids, each touched cell's centroid moved UNCHANGED to
+  // its fresh cid (dropped if the cell emptied) — and the IVFADC
+  // tail over (cent2, asg2). PQ codes are cid-independent, so the
+  // codes/dt CTEs carry over unchanged; deleted ids simply have no
+  // asg2 row, so no candidate, so no result row.
+  private lazy val DeleteCtes: String =
+    s"""del AS (SELECT vec_id FROM e
+         WHERE vec_id % $DeleteMod = $DeleteRem),
+       touched AS (SELECT DISTINCT cid FROM asg
+         JOIN del USING (vec_id)),
+       mx AS (SELECT MAX(cid) AS mc FROM cent),
+       tmap AS (SELECT cid, (SELECT mc FROM mx)
+           + CAST(row_number() OVER (ORDER BY cid) AS BIGINT) AS ncid
+         FROM touched),
+       surv AS MATERIALIZED (SELECT a.vec_id, t.ncid AS cid
+         FROM asg a JOIN tmap t USING (cid)
+         WHERE a.vec_id NOT IN (SELECT vec_id FROM del)),
+       cent2 AS (SELECT cid, cv, cn FROM cent
+           WHERE cid NOT IN (SELECT cid FROM touched)
+         UNION ALL
+         SELECT t.ncid, c.cv, c.cn FROM cent c JOIN tmap t USING (cid)
+         WHERE EXISTS (SELECT 1 FROM surv WHERE surv.cid = t.ncid)),
+       asg2 AS (SELECT vec_id, cid FROM asg
+           WHERE cid NOT IN (SELECT cid FROM touched)
+         UNION ALL
+         SELECT vec_id, cid FROM surv)"""
+
   val oracles: Map[String, String] = Map(
     // Verbatim oracle reuse (the ss_ingest_search precedent): the
     // newest snapshot must equal the incremental store's contents.
@@ -596,6 +776,46 @@ object VersionedIndex {
              FROM e CROSS JOIN cent) WHERE rn = 1),
          ${VectorSearch.pqCtes("eb")},
          $SplitCtes,
+         pr AS (SELECT query_id, cid FROM (
+             SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 ${dc("qv", "c.cv", "qn", "c.cn")} DESC, c.cid) AS rn
+             FROM q CROSS JOIN cent2 c) WHERE rn <= $NProbe),
+         est AS (SELECT pr.query_id, asg2.vec_id AS neighbor_id,
+             ${VectorSearch.DAdcEst} AS est
+           FROM pr JOIN asg2 USING (cid)
+             JOIN codes ON codes.vec_id = asg2.vec_id
+             JOIN dt ON dt.query_id = pr.query_id
+           WHERE asg2.vec_id <> pr.query_id),
+         cand AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY est, neighbor_id) AS rn
+             FROM est) WHERE rn <= ${VectorSearch.PqRerank}),
+         sc AS (SELECT cand.query_id, cand.neighbor_id,
+             ${dc("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+           FROM cand JOIN q USING (query_id)
+             JOIN e ON e.vec_id = cand.neighbor_id),
+         rk AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM sc)
+         SELECT query_id, neighbor_id, rank, cos FROM rk
+         WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "ss_delete_search" ->
+      s"""WITH e AS (${VectorSearch.DVecs}),
+         eb AS MATERIALIZED (SELECT * FROM e WHERE vec_id <
+           (SELECT CAST(floor(COUNT(*) * ${VectorIndex.BaseFrac})
+             AS BIGINT) FROM e)),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+           WHERE vec_id < $NumQueries),
+         ${VectorSearch.kmCtes("eb")},
+         asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${dc("e.v", "cv", "e.nrm", "cn")} DESC, cid) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+         ${VectorSearch.pqCtes("eb")},
+         $DeleteCtes,
          pr AS (SELECT query_id, cid FROM (
              SELECT q.query_id, c.cid,
                row_number() OVER (PARTITION BY q.query_id ORDER BY

@@ -251,6 +251,89 @@ object DedupIngest {
     appended
   }
 
+  /** ROW-LEVEL FORGET on the signature store (VERDICT r12 item 4's
+    * MinHash mirror of [[graft.sim.VersionedIndex.publishDelete]]):
+    * remove `ids` (a (doc_id) frame) from every table of the store —
+    * sealed sigs/shingles, every staged batch partition, and every
+    * discovered pair with a forgotten ENDPOINT (sealed or staged).
+    *
+    * Correctness shape: a verified pair (a, b) depends only on docs
+    * a and b (band collision + exact shingle verify between the two),
+    * never on any third document — so subtracting the forgotten rows
+    * yields EXACTLY the store a history without those docs would have
+    * produced (DedupIngestSpec gates this against an independent
+    * recompute). That locality is what makes forget a rewrite, not a
+    * re-ingest.
+    *
+    * Mechanics: each table rewrites KEPT rows only (localCheckpoint-
+    * materialized before the overwrite — the [[graft.sim.VectorIndex
+    * .compact]] never-read-what-you-replace discipline); a table with
+    * no forgotten row is left byte-for-byte untouched, so a REPLAYED
+    * forget is a provable no-op. At 100 TB the sealed tables would
+    * carry a doc-bucket partition column and this rewrite would touch
+    * only the buckets holding forgotten docs (the `cid=` discipline);
+    * the store tier here keeps the flat layout its readers already
+    * scan. Returns (forgotten docs present in the store, removed
+    * pair rows) — (0, 0) means the store did not change.
+    */
+  def forget(s: SparkSession, path: String,
+      ids: DataFrame): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val del = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+
+    def exists(dir: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir))
+
+    // How many forgotten docs the store actually holds (sealed ∪
+    // staged sigs) — the non-vacuity half of the return value.
+    val present = (Seq(sigs(path), stSigs(path)).filter(exists) match {
+      case Nil => 0L
+      case ds => ds.map(d => s.read.parquet(d).select("doc_id"))
+        .reduce(_ unionByName _).join(del, "doc_id")
+        .select("doc_id").distinct().count()
+    })
+
+    /** Rewrite `dir` keeping only non-forgotten rows; no-op when the
+      * table holds none. Returns removed row count.
+      */
+    def scrub(dir: String, isPairs: Boolean,
+        stagedLayout: Boolean): Long = {
+      if (!exists(dir)) return 0L
+      val df = s.read.parquet(dir)
+      val kept = (if (isPairs)
+        df.join(del.select(col("doc_id").as("doc_a")),
+            Seq("doc_a"), "left_anti")
+          .join(del.select(col("doc_id").as("doc_b")),
+            Seq("doc_b"), "left_anti")
+        else df.join(del, Seq("doc_id"), "left_anti"))
+        .localCheckpoint()
+      val removed = df.count() - kept.count()
+      if (removed > 0L) {
+        if (stagedLayout) {
+          // Staged roots are batch_id-partitioned; a batch whose rows
+          // were ALL forgotten must lose its partition too, so the
+          // root is replaced wholesale (staging is transient and
+          // batch-sized by construction).
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          if (!kept.isEmpty)
+            kept.write.mode("overwrite").partitionBy("batch_id")
+              .parquet(dir)
+        } else kept.write.mode("overwrite").parquet(dir)
+      }
+      removed
+    }
+
+    scrub(sigs(path), isPairs = false, stagedLayout = false)
+    scrub(shing(path), isPairs = false, stagedLayout = false)
+    scrub(stSigs(path), isPairs = false, stagedLayout = true)
+    scrub(stShing(path), isPairs = false, stagedLayout = true)
+    val rp = scrub(pairs(path), isPairs = true, stagedLayout = false) +
+      scrub(stPairs(path), isPairs = true, stagedLayout = true)
+    (present, rp)
+  }
+
   // -----------------------------------------------------------------
   // dd_stream_dedup: the oracle-gated lifecycle. Historical store =
   // doc_id % 10 == 7 (the decontam eval-slice convention); the rest

@@ -338,6 +338,112 @@ class VersionedIndexSpec extends SparkSpec {
       assert(rs.map(_._3).sorted === (1L to rs.length.toLong)))
   }
 
+  /** All parquet data files currently under `root`/lists (path →
+    * length) — the byte-census the delete gates diff.
+    */
+  private def listFiles(root: String): Map[String, Long] = {
+    val d = java.nio.file.Paths.get(s"$root/lists")
+    val it = java.nio.file.Files.walk(d).iterator()
+    val out = Map.newBuilder[String, Long]
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p))
+        out += p.toString -> java.nio.file.Files.size(p)
+    }
+    out.result()
+  }
+
+  /** Every vec_id readable from ANY list file on disk — each file
+    * read INDIVIDUALLY (not via the manifest, not via partition
+    * discovery), so presence here means the bytes are still in some
+    * file regardless of what any snapshot resolves.
+    */
+  private def idsOnDisk(root: String): Set[Long] =
+    listFiles(root).keySet.flatMap { f =>
+      spark.read.parquet(f).select("vec_id")
+        .collect().map(_.getLong(0))
+    }
+
+  test("publishDelete (round 13): surgical rewrite, idempotent " +
+      "replay, pre-gc snapshot isolation, post-gc byte-level forget, " +
+      "and equivalence with a re-encoded survivor index") {
+    val root = freshRoot()
+    val (e, base, inc) = split()
+    val q = queriesOf(e)
+    VersionedIndex.publishBuild(spark, root, base)  // v1
+    VersionedIndex.publishAppend(spark, root, inc)  // v2
+    val preAns = rows(VersionedIndex.search(spark, root, q, e))
+
+    val del = e.filter(col("vec_id") % VersionedIndex.DeleteMod
+      === VersionedIndex.DeleteRem).select("vec_id")
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    assert(preAns.exists { case (_, n, _) => delIds.contains(n) },
+      "the delete slice must intersect the pre-delete answer " +
+        "(otherwise the gate is vacuous)")
+
+    val before = listFiles(root)
+    val v3 = VersionedIndex.publishDelete(spark, root, del)
+    assert(v3.nonEmpty)
+    // Idempotency: the rows are gone, so the replay finds nothing
+    // and commits nothing.
+    assert(VersionedIndex.publishDelete(spark, root, del).isEmpty)
+    assert(VersionedIndex.committedVersions(spark, root)
+      === Seq(1L, 2L, v3.get))
+
+    // Surgical: every pre-existing list file is still there,
+    // byte-for-byte the same length — the delete only ADDED a pub.
+    val after = listFiles(root)
+    before.foreach { case (p, n) =>
+      assert(after.get(p).contains(n), s"delete touched $p")
+    }
+
+    // Post-delete search == IVFADC over the surviving corpus
+    // re-encoded from scratch against the SAME quantizer generation
+    // (the manifest's cent/cb): deletion is pure set subtraction.
+    val m3 = VersionedIndex.manifest(spark, root, v3.get)
+    val cent2 = VersionedIndex.centOf(spark, root, m3).localCheckpoint()
+    val cb2 = VersionedIndex.cbOf(spark, root, m3).localCheckpoint()
+    val eSurv = e.join(del, Seq("vec_id"), "left_anti")
+    val want = rows(VectorIndex.searchFrames(spark, cent2, cb2,
+      VectorIndex.encode(eSurv, cent2, cb2), q, e))
+    val got = rows(VersionedIndex.search(spark, root, q, e))
+    assert(got === want)
+    assert(got.forall { case (_, n, _) => !delIds.contains(n) })
+
+    // Snapshot isolation: v2 still answers the PRE-delete result,
+    // because the deleted bytes are still on disk...
+    assert(rows(VersionedIndex.search(spark, root, q, e, Some(2L)))
+      === preAns)
+    assert(idsOnDisk(root).intersect(delIds).nonEmpty)
+
+    // ...until gc expires the pre-delete snapshots: then NO file on
+    // disk holds a deleted row (pub-level sweep for the old quant
+    // generation + cid-level sweep for the retired cells).
+    VersionedIndex.gc(spark, root, keepLast = 1)
+    assert(idsOnDisk(root).intersect(delIds) === Set.empty)
+    assert(rows(VersionedIndex.search(spark, root, q, e)) === want)
+  }
+
+  test("publishAppend carries drop_cids forward — an append after a " +
+      "split cannot resurrect the retired cell's rows") {
+    val root = freshRoot()
+    val (e, base, inc) = split()
+    VersionedIndex.publishBuild(spark, root, base)  // v1
+    VersionedIndex.publishAppend(spark, root, inc)  // v2
+    val v3 = VersionedIndex.publishSplit(spark, root, e, minRatio = 0.0)
+    val drops = VersionedIndex.manifest(spark, root, v3.get).dropCids
+    assert(drops.nonEmpty)
+    val batch = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("v"),
+        col("nrm"))
+    val v4 = VersionedIndex.publishAppend(spark, root, batch)
+    val m4 = VersionedIndex.manifest(spark, root, v4)
+    assert(m4.dropCids === drops)
+    assert(VersionedIndex.listsOf(spark, root, m4)
+      .filter(col("cid").isin(drops: _*)).count() === 0L)
+  }
+
   test("rebalance: a clone-dominated hot cell ALSO converges — the " +
       "median bisection halves a cell regardless of content " +
       "diversity (the case 2-means could not split)") {

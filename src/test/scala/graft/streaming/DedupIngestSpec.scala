@@ -112,6 +112,86 @@ class DedupIngestSpec extends SparkSpec {
     assert(dup === 0L, "duplicate signatures after re-ingest")
   }
 
+  test("forget (round 13): forgotten docs vanish from every table " +
+      "and every on-disk file, surviving pairs are untouched, the " +
+      "store equals an independent no-history recompute, replay is " +
+      "a no-op") {
+    val root = Files.createTempDirectory("graft_dd_forget")
+    val path = root.resolve("store").toString
+    val docsAll = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val hist = docsAll.filter(col("doc_id") % 10 === DedupIngest.HistMod)
+    DedupIngest.build(spark, hist, path)
+    val src = root.resolve("src")
+    Files.createDirectories(src)
+    def writeWave(w: Int): Unit = docsAll
+      .filter(col("doc_id") % 10 =!= DedupIngest.HistMod &&
+        col("doc_id") % DedupIngest.Waves === w)
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    def stream = spark.readStream.schema(docsAll.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    // Sealed waves 0–1, wave 2 left staged — forget must scrub BOTH
+    // segment states (the streamDedup lifecycle shape).
+    writeWave(0); writeWave(1)
+    DedupIngest.ingest(spark, path, stream, root.resolve("ck").toString)
+    DedupIngest.publish(spark, path)
+    writeWave(2)
+    DedupIngest.ingest(spark, path, stream, root.resolve("ck").toString)
+
+    val pre = pairRows(DedupIngest.pairsAll(spark, path))
+    val del = docsAll.filter(col("doc_id") % 13 === 5)
+      .select("doc_id").localCheckpoint()
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    assert(pre.exists(p => delIds.contains(p._1) || delIds.contains(p._2)),
+      "forget slice must hit at least one discovered pair (vacuous)")
+
+    val (present, removedPairs) = DedupIngest.forget(spark, path, del)
+    assert(present > 0L && removedPairs > 0L)
+
+    // Surviving pairs untouched; forgotten-endpoint pairs gone.
+    val post = pairRows(DedupIngest.pairsAll(spark, path))
+    assert(post === pre.filterNot(p =>
+      delIds.contains(p._1) || delIds.contains(p._2)))
+
+    // The signature table now equals an INDEPENDENT recompute over a
+    // history that never contained the forgotten docs (pair locality:
+    // no third doc influences a signature row).
+    def sigRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "bi", "bh").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("bi"),
+          r.getAs[Long]("bh"))).toSet
+    val onDisk = sigRows(spark.read.parquet(s"$path/sigs"))
+      .union(sigRows(spark.read.parquet(s"$path/staged_sigs")))
+    val recomputed = sigRows(graft.dedup.Dedup.bandedSigs(
+      graft.dedup.Dedup.shingleFrame(
+        docsAll.join(del, Seq("doc_id"), "left_anti"))))
+    assert(onDisk === recomputed)
+
+    // Byte-level forget: every parquet file under the store, read
+    // INDIVIDUALLY, holds no forgotten id in any id-bearing column.
+    import scala.jdk.CollectionConverters._
+    def files(): Map[String, Long] = Files.walk(root.resolve("store"))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        Files.isRegularFile(p))
+      .map(p => p.toString -> Files.size(p)).toMap
+    files().keys.foreach { f =>
+      val df = spark.read.parquet(f)
+      Seq("doc_id", "doc_a", "doc_b")
+        .filter(df.columns.contains).foreach { c =>
+          val hit = df.select(c).collect().map(_.getLong(0))
+            .filter(delIds.contains)
+          assert(hit.isEmpty, s"$f still holds forgotten ids in $c")
+        }
+    }
+
+    // Replayed forget: provable no-op — zero counts, file census
+    // (paths AND sizes) byte-identical.
+    val census = files()
+    assert(DedupIngest.forget(spark, path, del) === ((0L, 0L)))
+    assert(files() === census)
+  }
+
   test("a zero-pair batch still seals: publish enumerates batch ids " +
     "across ALL staging tables (ADVICE r8), not just staged_pairs") {
     import spark.implicits._
