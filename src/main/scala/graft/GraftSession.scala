@@ -50,6 +50,19 @@ object GraftSession {
       // bloom filter on the big side's scan — at 100 TB this prunes
       // most of a fact-table read when the dim filter is selective.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // ObjectHashAggregate (collect_list, the Vec*/ArgPick typed
+      // aggregates) falls back to SORT-BASED aggregation after 4096
+      // in-memory keys per task BY DEFAULT — which turned every
+      // vec_id-keyed trainer/encode/embed aggregation into a full
+      // sort of its input stream and produced the 2.51×/octave
+      // ss_rag_index cold crossing (round 13 find; BASELINE round-12
+      // octave note). 4M keys/task keeps these pure hash passes at
+      // every measured scale (128× ≈ 440k keys/task; 640× ≈ 2M) for
+      // tens of MB of map per task — well inside the unified pool;
+      // genuinely unbounded-state aggs still spill via the fallback
+      // beyond it.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (4 * 1024 * 1024).toString)
       // InferFiltersFromGenerate re-infers isnotnull/size filters on a
       // generator input every optimizer iteration; alias substitution
       // expands each copy into the full derived-column expression tree

@@ -160,6 +160,16 @@ object RagRetrieve {
 
   /** (keys…, v: dense Dim-vector of signed token counts, nrm = ‖v‖²),
     * zero-norm chunks dropped.
+    *
+    * ONE hash pass (round 13, [[graft.functions.VecScatterSumAgg]]):
+    * token → (d, ±1) → scatter-add into a dense `long[Dim]` buffer
+    * per chunk. The former two-shuffle form (groupBy(keys, d) sums,
+    * then collect_list + map re-expansion) carried up to Dim rows
+    * per chunk per shuffle — the stage whose spill blew the round-12
+    * disk ceiling on the 640× rung-16 attempt; the buffer form
+    * crosses one pre-reduced (key, Dim-long) row per (chunk × task)
+    * and needs no reassembly. Values identical by exact-integer
+    * associativity (untouched dims 0, exactly the old coalesce).
     */
   private[sim] def embed(chunks: DataFrame, keys: Seq[String]): DataFrame = {
     val kc = keys.map(col)
@@ -168,14 +178,9 @@ object RagRetrieve {
       .select(kc :+ explode(TextHash.tokens(col("chunk_text"))).as("t"): _*)
       .select(kc ++ Seq((h % Dim).cast("int").as("d"),
         when(shiftright(h, 6) % 2 === 0, 1L).otherwise(-1L).as("sgn")): _*)
-      .groupBy(kc :+ col("d"): _*).agg(sum("sgn").as("w"))
       .groupBy(kc: _*)
-      .agg(map_from_entries(collect_list(struct(col("d"), col("w"))))
-        .as("m"))
-      .select(kc ++ Seq(
-        transform(sequence(lit(0), lit(Dim - 1)),
-          i => coalesce(element_at(col("m"), i.cast("int")), lit(0L)))
-          .as("v")): _*)
+      .agg(graft.functions.VecScatterSumAgg
+        .vecScatterAgg(col("d"), col("sgn"), Dim).as("v"))
       .withColumn("nrm", aggregate(col("v"), lit(0L),
         (a, x) => a + x * x))
       .filter(col("nrm") > 0)
@@ -489,8 +494,10 @@ object RagRetrieve {
         transform(col("v"), x => x.cast("double")).as("qv"))
       .withColumn("qn", l2norm(col("qv"))))
     graft.operators.Lineage.ensure(s, dir, "ss_rag_index_store") {
-      val et = VectorIndex.withThreshold(
-        corpV.select("vec_id", "v", "nrm")).localCheckpoint()
+      val et = VectorIndex.phase("rag: threshold ckpt") {
+        VectorIndex.withThreshold(
+          corpV.select("vec_id", "v", "nrm")).localCheckpoint()
+      }
       VectorIndex.build(
         et.filter(col("vec_id") < col("thr")).drop("thr"), path)
       VectorIndex.append(s, path,

@@ -52,6 +52,12 @@ object VectorIndex {
   private[graft] def centPath(path: String) = s"$path/centroids"
   private[graft] def cbPath(path: String) = s"$path/codebooks"
 
+  /** [[graft.operators.PhaseLog.phase]], kept under its historical
+    * name for the sim tier's call sites.
+    */
+  private[sim] def phase[T](tag: String)(f: => T): T =
+    graft.operators.PhaseLog.phase(tag)(f)
+
   /** Train quantizers on `base` and write the full artifact (the
     * base corpus encoded). Overwrites any previous index at `path`.
     */
@@ -67,12 +73,18 @@ object VectorIndex {
     import scala.concurrent.ExecutionContext.Implicits.global
     val fCent = Future { lloydCentroids(base) }
     val fCb = Future { lloydCodebooks(base) }
-    val cent = Await.result(fCent, Duration.Inf)
-    val cb = Await.result(fCb, Duration.Inf)
-    cent.write.mode("overwrite").parquet(centPath(path))
-    cb.write.mode("overwrite").parquet(cbPath(path))
-    encode(base, cent, cb)
-      .write.mode("overwrite").partitionBy("cid").parquet(lists(path))
+    val (cent, cb) = phase("train(cent||cb)") {
+      (Await.result(fCent, Duration.Inf),
+        Await.result(fCb, Duration.Inf))
+    }
+    phase("write quantizers") {
+      cent.write.mode("overwrite").parquet(centPath(path))
+      cb.write.mode("overwrite").parquet(cbPath(path))
+    }
+    phase("encode+write base") {
+      encode(base, cent, cb)
+        .write.mode("overwrite").partitionBy("cid").parquet(lists(path))
+    }
   }
 
   /** Encode a batch against GIVEN quantizers → (vec_id, codes, cid).
@@ -82,25 +94,25 @@ object VectorIndex {
     */
   private[graft] def encode(batch: DataFrame, cent: DataFrame,
       cb: DataFrame): DataFrame = {
-    // Hash-agg argmax (round 12 — the kmeansRound shape: identical
-    // selection to the former desc(cc), asc(cid) window, planned as
-    // partial aggregation instead of a sort exchange).
+    // Typed hash-agg argmax/argmin (round 13 — the kmeansRound
+    // shape: identical selection to the former max/min(struct)
+    // forms, which planned as SortAggregate and sorted the full
+    // score stream; see ArgPickAgg).
+    import graft.functions.ArgPickAgg.{argMaxId, argMinId}
     val asg = batch.join(broadcast(cent))
       .select(col("vec_id"),
-        struct(cosine(col("v"), col("cv"), col("nrm"), col("cn"))
-          .as("cc"), (-col("cid")).as("nid")).as("sc"))
+        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("cc"),
+        col("cid"))
       .groupBy("vec_id")
-      .agg(max(col("sc")).as("b"))
-      .select(col("vec_id"), (-col("b.nid")).as("cid"))
+      .agg(argMaxId(col("cc"), col("cid")).as("cid"))
     val codes = subvecs(batch)
       .join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("code"),
         subDist(col("sv"), col("cbv")).as("d"))
       .groupBy("vec_id", "m")
-      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .agg(argMinId(col("d"), col("code")).cast("int").as("code"))
       .groupBy("vec_id")
-      .agg(collect_list(struct(col("m"), col("best.code").as("code")))
-        .as("mc"))
+      .agg(collect_list(struct(col("m"), col("code"))).as("mc"))
       .select(col("vec_id"),
         transform(sort_array(col("mc")), x => x.getField("code"))
           .as("codes"))
@@ -113,9 +125,11 @@ object VectorIndex {
     * touched `cid=` directories.
     */
   def append(s: SparkSession, path: String, batch: DataFrame): Unit =
-    encode(batch,
-      s.read.parquet(centPath(path)), s.read.parquet(cbPath(path)))
-      .write.mode("append").partitionBy("cid").parquet(lists(path))
+    phase("encode+append batch") {
+      encode(batch,
+        s.read.parquet(centPath(path)), s.read.parquet(cbPath(path)))
+        .write.mode("append").partitionBy("cid").parquet(lists(path))
+    }
 
   /** Index MAINTENANCE: compact inverted-list partitions whose
     * parquet file count exceeds `maxFiles`. Every [[append]] adds at

@@ -131,28 +131,29 @@ object VectorSearch {
     * the exact-integer mean of its members. `private[graft]` so the
     * plan audit can assert the broadcast + partial-agg shape.
     *
-    * ASSIGNMENT SHAPE (round 12 — the cold-build cost attack): the
-    * argmax is a hash-aggregated `max(struct(cc, −cid))` — identical
-    * selection to the former per-vec_id row_number window (the struct
-    * order is total: max cc, then min cid on exact-equal cosines; no
-    * float is negated, so no −0.0 hazard) but planned as a PARTIAL
-    * aggregation instead of a sort exchange: the shuffle carries one
-    * pre-reduced row per (vector × map task), never the vector ×
-    * centroid score stream, and no task sorts anything. With
-    * [[centroidsOf]]'s one-shuffle update this makes a Lloyd round
-    * 2 exchanges instead of 3 + a sort — the fixed-cost term that
-    * dominated the sf0.1 cold build (8 rounds × 2 trainers measured
-    * 13.1 s of ss_ivfpq_topk's 16.6 s cold).
+    * ASSIGNMENT SHAPE (round 12 cost attack, round 13 fix): the
+    * argmax is [[graft.functions.ArgPickAgg.argMaxId]] — max cosine,
+    * exact-tie to the smallest cid, the identical selection the
+    * former row_number window and the round-12 `max(struct(cc,
+    * −cid))` made. Round 13 found the struct form planned as
+    * SortAggregate (struct buffers are not HashAggregate-mutable):
+    * partial AND final SORTS of the vector × centroid score stream
+    * every round — the `ss_rag_index` 2.51×/octave cold crossing.
+    * The typed argmax plans as ObjectHashAggregate under the
+    * session's raised fallback threshold: a pure hash pass, one
+    * pre-reduced row per (vector × map task) across the shuffle,
+    * nothing sorted at any scale. With [[centroidsOf]]'s one-shuffle
+    * update a Lloyd round is 2 exchanges and 0 sorts.
     */
   private[graft] def kmeansRound(e: DataFrame, eq: DataFrame,
       cent: DataFrame): DataFrame = {
     val asg = e.join(broadcast(cent))
       .select(col("vec_id"),
-        struct(cosine(col("v"), col("cv"), col("nrm"), col("cn"))
-          .as("cc"), (-col("cid")).as("nid")).as("sc"))
+        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("cc"),
+        col("cid"))
       .groupBy("vec_id")
-      .agg(max(col("sc")).as("b"))
-      .select(col("vec_id"), (-col("b.nid")).as("cid"))
+      .agg(graft.functions.ArgPickAgg.argMaxId(col("cc"), col("cid"))
+        .as("cid"))
     centroidsOf(asg, eq)
   }
 
@@ -184,12 +185,24 @@ object VectorSearch {
     */
   private[graft] def lloydCentroids(train: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.statsBarrier
-    val e = train.localCheckpoint()
-    val eq = e.select(col("vec_id"), quantize(col("v")).as("qv"))
-      .localCheckpoint()
+    val e = VectorIndex.phase("cent: seed ckpt")(train.localCheckpoint())
+    // Round 13: the per-round update join (asg ⋈ eq by vec_id)
+    // re-exchanged AND re-sorted this wide quantized frame EVERY
+    // round. Partition + sort it by the join key ONCE — the
+    // checkpoint's LogicalRDD carries outputPartitioning/-Ordering,
+    // so all [[KmIters]] joins reuse the layout and only the slim
+    // per-round assignment side moves.
+    val eq = VectorIndex.phase("cent: quant ckpt") {
+      e.select(col("vec_id"), quantize(col("v")).as("qv"))
+        .repartition(col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .localCheckpoint()
+    }
     var cent = centroids(e)
-    for (_ <- 1 to KmIters)
-      cent = statsBarrier(kmeansRound(e, eq, cent).localCheckpoint())
+    for (i <- 1 to KmIters)
+      cent = VectorIndex.phase(s"cent: round $i") {
+        statsBarrier(kmeansRound(e, eq, cent).localCheckpoint())
+      }
     cent
   }
 
@@ -209,17 +222,20 @@ object VectorSearch {
     */
   private[graft] def pqRound(sub: DataFrame, subq: DataFrame,
       cb: DataFrame): DataFrame = {
-    // Same round-12 shape as [[kmeansRound]]: hash-agg argmin (the
-    // min(struct(d, code)) selection [[pqEncodedBuild]] already uses
-    // — identical to the former asc(d), asc(code) window) and a
-    // one-shuffle VecSumAgg update over the PqDs-dim subvectors.
+    // Same round-13 shape as [[kmeansRound]]: typed hash-agg argmin
+    // (min squared-L2, tie to the smallest code — identical to the
+    // former min(struct(d, code)), which planned as SortAggregate)
+    // and a one-shuffle VecSumAgg update over the PqDs-dim
+    // subvectors. The cast keeps cb.code IntegerType across rounds
+    // (the seed's type and the stored artifact's schema).
     val asg = sub.join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"),
-        struct(subDist(col("sv"), col("cbv")).as("d"), col("code"))
-          .as("dc"))
+        subDist(col("sv"), col("cbv")).as("d"), col("code"))
       .groupBy("vec_id", "m")
-      .agg(min(col("dc")).as("best"))
-      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+      .agg(graft.functions.ArgPickAgg.argMinId(col("d"), col("code"))
+        .as("c0"))
+      .select(col("vec_id"), col("m"),
+        col("c0").cast("int").as("code"))
     asg.join(subq, Seq("vec_id", "m"))
       .groupBy("m", "code")
       .agg(graft.functions.VecSumAgg.vecSumAgg(col("sq"), PqDs)
@@ -243,14 +259,25 @@ object VectorSearch {
     */
   private[graft] def lloydCodebooks(train: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.statsBarrier
-    val sub = subvecs(train).localCheckpoint()
-    val subq = sub.select(col("vec_id"), col("m"),
-      quantize(col("sv")).as("sq")).localCheckpoint()
+    val sub = VectorIndex.phase("cb: subvec ckpt") {
+      subvecs(train).localCheckpoint()
+    }
+    // Same one-time layout as lloydCentroids' eq: the per-round
+    // update join re-used this frame by (vec_id, m) every round.
+    val subq = VectorIndex.phase("cb: quant ckpt") {
+      sub.select(col("vec_id"), col("m"),
+        quantize(col("sv")).as("sq"))
+        .repartition(col("vec_id"), col("m"))
+        .sortWithinPartitions("vec_id", "m")
+        .localCheckpoint()
+    }
     var cb = sub.filter(col("vec_id") < PqCodes)
       .select(col("m"), col("vec_id").cast("int").as("code"),
         col("sv").as("cbv"))
-    for (_ <- 1 to KmIters)
-      cb = statsBarrier(pqRound(sub, subq, cb).localCheckpoint())
+    for (i <- 1 to KmIters)
+      cb = VectorIndex.phase(s"cb: round $i") {
+        statsBarrier(pqRound(sub, subq, cb).localCheckpoint())
+      }
     cb
   }
 
@@ -287,18 +314,18 @@ object VectorSearch {
   private def ivfAssignBuild(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val cent = trainedCentroids(s, dir)
-    // Hash-agg argmax (round 12, the kmeansRound shape); v/nrm ride
-    // the aggregate as first() — functionally dependent on the
-    // grouping key, so the pick is deterministic.
-    e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        struct(cosine(col("v"), col("cv"), col("nrm"), col("cn"))
-          .as("ccos"), (-col("cid")).as("nid")).as("sc"))
+    // Typed hash-agg argmax (round 13 — the round-12 first()+
+    // max(struct) single agg planned as SortAggregate with the
+    // vectors riding the sort); the slim (vec_id, cc, cid) agg never
+    // sorts, and the vectors attach by ONE narrow keyed join after.
+    val asg = e.join(broadcast(cent))
+      .select(col("vec_id"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cn")).as("ccos"),
+        col("cid"))
       .groupBy("vec_id")
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        max(col("sc")).as("b"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        (-col("b.nid")).as("cid"))
+      .agg(graft.functions.ArgPickAgg.argMaxId(col("ccos"), col("cid"))
+        .as("cid"))
+    e.join(asg, "vec_id").select("vec_id", "v", "nrm", "cid")
   }
 
   // -----------------------------------------------------------------
@@ -499,11 +526,14 @@ object VectorSearch {
 
   /** Squared L2 between two pre-sliced PqDs-dim arrays: strict
     * left-to-right fold, same op sequence as the oracle's
-    * list_reduce.
+    * list_reduce. Round 13: the codegen'd
+    * [[graft.functions.DoubleSubDist]] — the interpreted zip_with
+    * form cost ~23 µs/row and ran on the subvector × codebook-entry
+    * stream every cb Lloyd round (the dominant term of the
+    * `ss_rag_index` cold octave trend). Identical IEEE fold.
     */
   private[graft] def subDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    graft.functions.VectorFunctions.dsubdist(a, b)
 
   /** vec_id → codes (array of PqM ints): the PQ-encoded corpus,
     * quantized against the TRAINED codebooks. Lineage-materialized
@@ -522,9 +552,10 @@ object VectorSearch {
       .select(col("vec_id"), col("m"), col("code"),
         subDist(col("sv"), col("cbv")).as("d"))
       .groupBy("vec_id", "m")
-      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .agg(graft.functions.ArgPickAgg.argMinId(col("d"), col("code"))
+        .cast("int").as("code"))
       .groupBy("vec_id")
-      .agg(collect_list(struct(col("m"), col("best.code").as("code")))
+      .agg(collect_list(struct(col("m"), col("code")))
         .as("mc"))
       .select(col("vec_id"),
         transform(sort_array(col("mc")), x => x.getField("code"))

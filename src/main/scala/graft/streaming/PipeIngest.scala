@@ -686,7 +686,9 @@ object PipeIngest {
       fs.delete(root, true)
       val docsAllT = graft.Tables(s, dir, "documents")
         .select("doc_id", "text").transform(ckpt)
-      build(s, docsAllT.filter(col("doc_id") % 10 === HistMod), path)
+      graft.operators.PhaseLog.phase("pipe_compact artifact build") {
+        build(s, docsAllT.filter(col("doc_id") % 10 === HistMod), path)
+      }
       val src = s"$path/src"
       val ckptDir = s"$path/ckpt"
       def stream = s.readStream.schema(docsAllT.schema)
@@ -695,11 +697,21 @@ object PipeIngest {
         .filter(col("doc_id") % 10 =!= HistMod &&
           col("doc_id") % Waves === w)
         .coalesce(1).write.mode("append").parquet(src)
+      // Per-wave walls (VERDICT r12 item 6): the cold floor of this
+      // row is adjudicated from these phase lines — each wave is a
+      // full streaming-query start/ingest/stop plus the greedy
+      // front's store-sized reads.
       (0 until Waves).foreach { w =>
-        writeWave(w); ingest(s, path, stream, ckptDir)
+        graft.operators.PhaseLog.phase(s"pipe_compact wave $w") {
+          writeWave(w); ingest(s, path, stream, ckptDir)
+        }
       }
-      publish(s, path)
-      compact(s, path, docsAllT)
+      graft.operators.PhaseLog.phase("pipe_compact publish") {
+        publish(s, path)
+      }
+      graft.operators.PhaseLog.phase("pipe_compact compact") {
+        compact(s, path, docsAllT)
+      }
       ()
     }
     docsAll(s, path).orderBy("doc_id")
