@@ -93,6 +93,79 @@ class NativeExprEquivalenceSpec extends SparkSpec {
     assert(rows(4).getDouble(0) === 0.0)
   }
 
+  test("DoubleSubDist native == interpreted fold, bit for bit, " +
+    "plus the null contract") {
+    import spark.implicits._
+    val data = Seq.fill(300)((
+      Seq.fill(8)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val df = data.toDF("a", "b")
+      .select(VectorFunctions.dsubdist(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, d) => acc + d).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+    val edge: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] = Seq(
+      (Seq(1.0, 2.0), Seq(3.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]))
+    val er = edge.toDF("a", "b")
+      .select(VectorFunctions.dsubdist(col("a"), col("b")).as("n"))
+      .collect()
+    assert(er(0).isNullAt(0) && er(1).isNullAt(0))
+    assert(er(2).getDouble(0) === 0.0)
+  }
+
+  test("ArgPickAgg == max/min(struct) selection, including exact " +
+    "score ties (tie to the smallest id)") {
+    import graft.functions.ArgPickAgg.{argMaxId, argMinId}
+    import spark.implicits._
+    // Quantized scores force real ties across ids within a key.
+    val rows = Seq.tabulate(5000) { i =>
+      (i % 37L, math.floor(rnd.nextDouble() * 8) / 8.0, i.toLong)
+    }
+    val df = rows.toDF("k", "s", "id").localCheckpoint()
+    val got = df.groupBy("k")
+      .agg(argMaxId(col("s"), col("id")).as("amax"),
+        argMinId(col("s"), col("id")).as("amin"))
+    val want = df.groupBy("k")
+      .agg(max(struct(col("s"), (-col("id")).as("nid"))).as("bx"),
+        min(struct(col("s"), col("id"))).as("bn"))
+      .select(col("k"), (-col("bx.nid")).as("wmax"),
+        col("bn.id").as("wmin"))
+    assert(got.join(want, "k")
+      .filter(col("amax") =!= col("wmax") ||
+        col("amin") =!= col("wmin")).count() === 0)
+  }
+
+  test("VecScatterSumAgg == the two-shuffle groupBy + dense " +
+    "re-expansion it replaced") {
+    import graft.functions.VecScatterSumAgg.vecScatterAgg
+    import spark.implicits._
+    val dim = 16
+    val rows = Seq.fill(4000)(
+      (rnd.nextInt(50).toLong, rnd.nextInt(dim),
+        (rnd.nextInt(5) - 2).toLong))
+    val df = rows.toDF("k", "d", "w").localCheckpoint()
+    val got = df.groupBy("k")
+      .agg(vecScatterAgg(col("d"), col("w"), dim).as("v"))
+    val want = df.groupBy("k", "d").agg(sum("w").as("s"))
+      .groupBy("k")
+      .agg(map_from_entries(collect_list(struct(col("d"), col("s"))))
+        .as("m"))
+      .select(col("k"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("int")), lit(0L)))
+          .as("w2"))
+    assert(got.join(want, "k")
+      .filter(col("v") =!= col("w2")).count() === 0)
+    // Loud-failure discipline: an out-of-range index must throw.
+    intercept[Exception] {
+      Seq((1L, dim, 1L)).toDF("k", "d", "w").groupBy("k")
+        .agg(vecScatterAgg(col("d"), col("w"), dim)).collect()
+    }
+  }
+
   test("MinhashAgg over exploded shingle rows == array-form signature") {
     import graft.functions.TextHash._
     // Array form: per-doc signature from the shingle array.

@@ -116,6 +116,11 @@ def shard(table: pa.Table, name: str, k: int) -> pa.Table:
 
 def main() -> None:
     src, out, k_shards = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # Optional 4th arg: comma list of tables to emit (plus the dims).
+    # The 640x rung-16 retrieval evidence run needs only `documents`
+    # at that scale — writing the 11 GB full fixture would waste the
+    # disk headroom the run itself needs.
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     # Embedding decorrelation: rotation by k % 64 within a block of
     # 64 shards, composed with a per-block sha256-derived Rademacher
     # sign flip beyond. assert_sign_patterns verifies at startup that
@@ -130,6 +135,8 @@ def main() -> None:
                        f"{out}/{name}.parquet")
         print(f"{name}: copied")
     for name in SHIFTS:
+        if only is not None and name not in only:
+            continue
         base = pq.read_table(f"{src}/{name}.parquet")
         shards = [shard(base, name, k) for k in range(k_shards)]
         merged = pa.concat_tables(shards)
