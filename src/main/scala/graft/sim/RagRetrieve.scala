@@ -247,13 +247,17 @@ object RagRetrieve {
             lit(s" corpus chunks > TargetBucket << MaxBits =" +
               s" $ladderCap; extend the MaxBits rung"))))
         .otherwise(col("n0")).as("n_chunks")))
-    val corp = ckpt(withBands(corpE.crossJoin(nF),
-      rungOf(col("n_chunks"))).drop("n_chunks"))
-    val qry = ckpt(withBands(embed(
-      chunks.filter(col("doc_id") % 10 === EvalMod &&
-        col("chunk_idx") === 0L),
-      Seq("doc_id")).crossJoin(nF), rungOf(col("n_chunks")))
-      .drop("n_chunks"))
+    val corp = graft.operators.PhaseLog.phase("rag frames: corp ckpt") {
+      ckpt(withBands(corpE.crossJoin(nF),
+        rungOf(col("n_chunks"))).drop("n_chunks"))
+    }
+    val qry = graft.operators.PhaseLog.phase("rag frames: qry ckpt") {
+      ckpt(withBands(embed(
+        chunks.filter(col("doc_id") % 10 === EvalMod &&
+          col("chunk_idx") === 0L),
+        Seq("doc_id")).crossJoin(nF), rungOf(col("n_chunks")))
+        .drop("n_chunks"))
+    }
     (qry, corp)
   }
 
