@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
   NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{DoubleDot, MinhashSig, Simhash60}
+import graft.functions.{DoubleDot, DoubleSum, LongDot, MinhashSig, Simhash60}
 
 /** Catalyst optimizer rule: rewrite the declarative higher-order
   * dot-product pattern
@@ -47,6 +47,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -61,6 +66,39 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
             aggVars.collect { case v: NamedLambdaVariable => v }) &&
           fin.exprId == finVar.asInstanceOf[NamedLambdaVariable].exprId =>
         DoubleDot(a, b)
+      // The integer twin (round 13): the exact-integer embedding dot
+      // `aggregate(zip_with(a, b, _*_), 0L, _+_)` — the RAG rerank /
+      // recall-truth hot loop — becomes the codegen'd [[LongDot]].
+      // Same conservativeness, same null contract (verified in
+      // RewriteDotProductSpec); the sum is exact integers, so the
+      // fold order could not matter even if it differed.
+      case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(m: Multiply, zipVars, _)),
+          Literal(0L, LongType),
+          LambdaFunction(s: Add, aggVars, _),
+          LambdaFunction(fin: NamedLambdaVariable, Seq(finVar), _))
+        if isLongArray(a) && isLongArray(b) &&
+          isVarPair(m.left, m.right,
+            zipVars.collect { case v: NamedLambdaVariable => v }) &&
+          isVarPair(s.left, s.right,
+            aggVars.collect { case v: NamedLambdaVariable => v }) &&
+          fin.exprId == finVar.asInstanceOf[NamedLambdaVariable].exprId =>
+        LongDot(a, b)
+      // Plain strict sum (round 13): `aggregate(xs, 0.0, _+_)` — the
+      // per-document probability folds over position-ordered
+      // collected arrays — becomes the codegen'd [[DoubleSum]].
+      // Identical strict left-to-right IEEE fold, identical null
+      // contract.
+      case ArrayAggregate(
+          xs,
+          Literal(0.0d, DoubleType),
+          LambdaFunction(s: Add, aggVars, _),
+          LambdaFunction(fin: NamedLambdaVariable, Seq(finVar), _))
+        if isDoubleArray(xs) &&
+          isVarPair(s.left, s.right,
+            aggVars.collect { case v: NamedLambdaVariable => v }) &&
+          fin.exprId == finVar.asInstanceOf[NamedLambdaVariable].exprId =>
+        DoubleSum(xs)
     }
 }
 
@@ -80,6 +118,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_ddot"),
       info("graft_ddot", "graft_ddot(a, b) - strict dot product of two array<double>"),
       (args: Seq[Expression]) => DoubleDot(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("graft_ldot"),
+      info("graft_ldot", "graft_ldot(a, b) - exact dot product of two array<bigint>"),
+      (args: Seq[Expression]) => LongDot(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("graft_simhash60"),
       info("graft_simhash60", "graft_simhash60(hs) - 60-bit simhash of array<bigint>"),
       (args: Seq[Expression]) => Simhash60(args.head)))

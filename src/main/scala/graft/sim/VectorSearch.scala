@@ -581,9 +581,19 @@ object VectorSearch {
         transform(col("kds"), x => x.getField("d")).as("dt"))
 
   /** ADC estimated distance: PqM table lookups, folded left-to-right
-    * (same op sequence as the oracle's list_reduce).
+    * (same op sequence as the oracle's list_reduce). Round 13: the
+    * interpreted HOF fold became the codegen'd
+    * [[graft.functions.AdcEst]] — identical ascending-m IEEE fold,
+    * bit-identical estimates (NativeExprEquivalenceSpec), evaluated
+    * once per ADC candidate in every IVFPQ search path.
     */
   private[graft] def adcEst: Column =
+    graft.functions.AdcEst.adcEst(col("dt"), col("codes"), PqM, PqCodes)
+
+  /** The original HOF fold — the interpreted reference implementation
+    * NativeExprEquivalenceSpec pins [[adcEst]] against.
+    */
+  private[graft] def adcEstHof: Column =
     aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
       (acc, m) => acc + element_at(col("dt"),
         m * PqCodes + element_at(col("codes"), m + 1) + 1))

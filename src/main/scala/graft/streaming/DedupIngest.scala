@@ -356,9 +356,16 @@ object DedupIngest {
       s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
   }
 
-  def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    val path = gatePath(s, dir)
-    graft.operators.Lineage.ensure(s, dir, "dd_stream_store") {
+  def streamDedup(s0: SparkSession, dir: String): DataFrame = {
+    val path = gatePath(s0, dir)
+    graft.operators.Lineage.ensure(s0, dir, "dd_stream_store") {
+      // Store build on a child session with wave-sized shuffle
+      // partitions (round 13, the PipeIngest.scoped rationale): the
+      // micro-batch joins/aggregations otherwise fan 32 ways for a
+      // few-hundred-document wave. Partition count never affects the
+      // discovered pair set (spec-pinned invariance).
+      val s = graft.GraftSession.child(s0,
+        Map("spark.sql.shuffle.partitions" -> "8"))
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true) // a crashed previous run's leftovers
@@ -379,7 +386,7 @@ object DedupIngest {
       writeWave(2)
       ingest(s, path, stream, ckpt) // staged, deliberately unpublished
     }
-    pairsAll(s, path).orderBy("doc_a", "doc_b")
+    pairsAll(s0, path).orderBy("doc_a", "doc_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -130,10 +130,15 @@ object IndexIngest {
       s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
   }
 
-  def ingestSearch(s: SparkSession, dir: String): DataFrame = {
+  def ingestSearch(s0: SparkSession, dir: String): DataFrame = {
     import graft.sim.{VectorIndex, VectorSearch}
-    val path = gatePath(s, dir)
-    graft.operators.Lineage.ensure(s, dir, "ss_ingest_store") {
+    val path = gatePath(s0, dir)
+    graft.operators.Lineage.ensure(s0, dir, "ss_ingest_store") {
+      // Store build on a child session with wave-sized shuffle
+      // partitions (round 13, the PipeIngest.scoped rationale);
+      // results are partition-count invariant.
+      val s = graft.GraftSession.child(s0,
+        Map("spark.sql.shuffle.partitions" -> "8"))
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
@@ -155,11 +160,11 @@ object IndexIngest {
           .option("maxFilesPerTrigger", "1").parquet(src),
         s"$path/ckpt")
     }
-    val e = VectorSearch.vecs(s, dir)
+    val e = VectorSearch.vecs(s0, dir)
     val q = e.filter(col("vec_id") < VectorSearch.NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    searchAll(s, path, q, e)
+    searchAll(s0, path, q, e)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -632,9 +632,25 @@ object PipeIngest {
       s"_${ProcessHandle.current().pid()}_${System.identityHashCode(s)}"
   }
 
-  def pipeStreamIngest(s: SparkSession, dir: String): DataFrame = {
-    val path = gatePath(s, dir, "pipe_ingest")
-    graft.operators.Lineage.ensure(s, dir, "pipe_stream_store") {
+  /** Child session for a store-build lifecycle (round 13): the
+    * micro-batch waves and artifact training ran on the caller's 32
+    * shuffle partitions, so every tiny per-wave stage paid 32 task
+    * launches and the state/sink writers fanned 32 ways for a
+    * few-hundred-document batch. 8 partitions is sized to the WAVE
+    * volume (a micro-batch's shuffle should be a handful of
+    * real-sized partitions — the Resume/RateIngest discipline), not
+    * to the local core count: a production deployment picks this from
+    * its batch size the same way; results are partition-count
+    * invariant (spec-pinned).
+    */
+  private def scoped(s: SparkSession): SparkSession =
+    graft.GraftSession.child(s,
+      Map("spark.sql.shuffle.partitions" -> "8"))
+
+  def pipeStreamIngest(s0: SparkSession, dir: String): DataFrame = {
+    val path = gatePath(s0, dir, "pipe_ingest")
+    graft.operators.Lineage.ensure(s0, dir, "pipe_stream_store") {
+      val s = scoped(s0)
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
@@ -668,7 +684,7 @@ object PipeIngest {
       ingest(s, path, stream, ckptDir) // staged, deliberately unpublished
       ()
     }
-    docsAll(s, path).orderBy("doc_id")
+    docsAll(s0, path).orderBy("doc_id")
   }
 
   // pipe_compact: the full lifecycle PLUS reconciliation — all three
@@ -678,9 +694,10 @@ object PipeIngest {
   // chain members demoted, late-arriving cluster minima admitted with
   // batch_id = −1 through the stored-tokenizer encode, everything
   // else bit-identical to its sealed row.
-  def pipeCompact(s: SparkSession, dir: String): DataFrame = {
-    val path = gatePath(s, dir, "pipe_compact")
-    graft.operators.Lineage.ensure(s, dir, "pipe_compact_store") {
+  def pipeCompact(s0: SparkSession, dir: String): DataFrame = {
+    val path = gatePath(s0, dir, "pipe_compact")
+    graft.operators.Lineage.ensure(s0, dir, "pipe_compact_store") {
+      val s = scoped(s0)
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
@@ -714,7 +731,7 @@ object PipeIngest {
       }
       ()
     }
-    docsAll(s, path).orderBy("doc_id")
+    docsAll(s0, path).orderBy("doc_id")
   }
 
   // pipe_stream_full / pipe_stream_funnel: the FULL-recipe streaming
@@ -729,9 +746,10 @@ object PipeIngest {
   // wave's per-stage acceptance counts.
   private[graft] val EvalMod = CorpusPipeline.PipeEvalMod
 
-  private def fullStore(s: SparkSession, dir: String): String = {
-    val path = gatePath(s, dir, "pipe_full")
-    graft.operators.Lineage.ensure(s, dir, "pipe_stream_full_store") {
+  private def fullStore(s0: SparkSession, dir: String): String = {
+    val path = gatePath(s0, dir, "pipe_full")
+    graft.operators.Lineage.ensure(s0, dir, "pipe_stream_full_store") {
+      val s = scoped(s0)
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)

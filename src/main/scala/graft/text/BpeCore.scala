@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object BpeCore {
 
-  /** Checkpointed per-doc count frames issued by [[packExamples]],
-    * released with the shared-lineage lifecycle (ADVICE r9: every
-    * pack invocation pinned its checkpoint's RDD blocks until the
-    * ContextCleaner happened to GC them — the same class the
-    * `rankedIds` layouts had, fixed with the same hook).
+  /** Checkpointed multi-consumer frames issued by [[packExamples]]
+    * and the score/round-trip chains (round 13: generalized from the
+    * per-doc counts alone), released with the shared-lineage
+    * lifecycle (ADVICE r9: every pack invocation pinned its
+    * checkpoint's RDD blocks until the ContextCleaner happened to GC
+    * them — the same class the `rankedIds` layouts had, fixed with
+    * the same hook).
     */
   private val issuedCounts =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -32,6 +34,18 @@ private[graft] object BpeCore {
     issuedCounts.foreach(releaseCheckpoint)
     issuedCounts.clear()
   })
+
+  /** localCheckpoint + release-registration for a frame consumed by
+    * several subtrees of one query — each un-checkpointed consumer
+    * otherwise re-runs the tokenize + explode + dictionary-join
+    * chain below it per action (measured: 3 full corpus tokenize
+    * passes per pack row, 2 window sorts of the piece-id stream).
+    */
+  private[text] def ckpt(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    issuedCounts.synchronized { issuedCounts += c }
+    c
+  }
 
   /** One greedy left-to-right non-overlapping merge application.
     *
@@ -141,18 +155,17 @@ private[graft] object BpeCore {
     * 2^[[BpeTrainer.ExShift]] ids. Output: (bucket, seq_id, n_pieces,
     * n_docs, id_sum, ids_md5).
     */
-  def packExamples(stream: DataFrame): DataFrame = {
+  def packExamples(stream0: DataFrame): DataFrame = {
     import graft.pipeline.CorpusOps.PackBuckets
     import BpeTrainer.{ExLen, ExShift}
-    val vc = graft.pipeline.CorpusOps.rankedIds(
-        stream.groupBy("sym").agg(count(lit(1)).as("cnt")),
-        "sym", "cnt", "vid")
-      .select("sym", "vid")
-    val wSeq = Window.partitionBy("doc_id").orderBy("ti", "pos")
-    val pieceIds = stream
-      .withColumn("pi", (row_number().over(wSeq) - 1).cast("long"))
-      .join(broadcast(vc), "sym")
-      .select(col("doc_id"), col("pi"), col("vid"))
+    // The piece stream feeds the vocabulary count AND the windowed
+    // id assignment; the id frame feeds the counts AND the example
+    // union — without the checkpoints each consumer re-ran the
+    // tokenize/explode/dictionary chain (3×) and the per-doc window
+    // sort (2×) per pack row (round 13; values unchanged — the
+    // checkpoint is an identity).
+    val stream = ckpt(stream0)
+    val pieceIds = ckpt(pieceIdFrame(stream))
     val counts = pieceIds.groupBy("doc_id")
       .agg(count(lit(1)).as("npc"))
       .localCheckpoint() // shared by the EOS rows and the offsets
@@ -180,6 +193,25 @@ private[graft] object BpeCore {
           sort_array(collect_list(struct(col("pos"), col("vid")))),
           x => x.getField("vid").cast("string")), ",")).as("ids_md5"))
       .orderBy("bucket", "seq_id")
+  }
+
+  /** (doc_id, pi, vid): the usage-ranked piece-id assignment over a
+    * position-ordered piece stream — [[packExamples]]'s front,
+    * factored (round 13) so the plan-audit specs can inspect the
+    * vid-join/window discipline directly (the frame is checkpointed
+    * inside [[packExamples]], which hides its plan from the pack
+    * row's executedPlan).
+    */
+  private[text] def pieceIdFrame(stream: DataFrame): DataFrame = {
+    val vc = graft.pipeline.CorpusOps.rankedIds(
+        stream.groupBy("sym").agg(count(lit(1)).as("cnt")),
+        "sym", "cnt", "vid")
+      .select("sym", "vid")
+    val wSeq = Window.partitionBy("doc_id").orderBy("ti", "pos")
+    stream
+      .withColumn("pi", (row_number().over(wSeq) - 1).cast("long"))
+      .join(broadcast(vc), "sym")
+      .select(col("doc_id"), col("pi"), col("vid"))
   }
 
   /** One unrolled merge round of the DuckDB oracle — the identical

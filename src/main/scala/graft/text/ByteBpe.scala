@@ -288,9 +288,13 @@ object ByteBpe {
           lit(0))).as(Seq("ti0", "t")))
       .select(col("doc_id"), (col("ti0") + 1).cast("long").as("ti"),
         hex(encode(col("t"), "UTF-8")).as("word"))
-    val stream = tokp
+    // stream feeds the vocabulary ranking AND the id assignment —
+    // checkpointed so the byte-level tokenize/explode/dictionary
+    // chain runs once (round 13, the BpeCore.packExamples
+    // discipline; identity on values).
+    val stream = BpeCore.ckpt(tokp
       .join(broadcast(pieces.select("word", "pos", "sym")), "word")
-      .select(col("doc_id"), col("ti"), col("pos"), col("sym"))
+      .select(col("doc_id"), col("ti"), col("pos"), col("sym")))
     val vc = graft.pipeline.CorpusOps.rankedIds(
         stream.groupBy("sym").agg(count(lit(1)).as("cnt")),
         "sym", "cnt", "vid")

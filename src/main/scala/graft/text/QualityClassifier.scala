@@ -70,7 +70,19 @@ object QualityClassifier {
     * m 17, so the packed state never nears BIGINT range. The DuckDB
     * twin is [[dQlog2]].
     */
-  private[graft] def qlog2(c: String): Column = {
+  private[graft] def qlog2(c: String): Column =
+    // Round 13: the interpreted 8-step HOF fold (kept below as
+    // [[qlog2Hof]], the reference implementation the equivalence spec
+    // pins against) became the codegen'd
+    // [[graft.functions.Qlog2]] — identical integer algorithm,
+    // bit-identical on every long input.
+    graft.functions.Qlog2.qlog2Native(c)
+
+  /** The original generated-HOF fold — retained as the interpreted
+    * reference implementation for NativeExprEquivalenceSpec (it is
+    * also the form the DuckDB twin [[dQlog2]] mirrors textually).
+    */
+  private[graft] def qlog2Hof(c: String): Column = {
     val sq = s"(shiftright(acc, $FracBits) * shiftright(acc, $FracBits))"
     expr(
       s"""(CAST(length(bin($c)) - 1 AS BIGINT) * ${1 << FracBits}) +
@@ -100,12 +112,19 @@ object QualityClassifier {
   private def labels(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.filterPipeline(s, dir).select("doc_id", "keep")
 
-  /** Per-word class counts: (w, ck, cd) — BIGINT, zero-filled. */
+  /** Per-word class counts: (w, ck, cd) — BIGINT, zero-filled.
+    * Lineage-materialized (round 13): the vocabulary-sized count
+    * table is the training input of ta_nb_model AND the totals frame
+    * every scorer broadcasts — each nb row re-shuffled the full
+    * token-occurrence stream for it per invocation.
+    */
   private def wordCounts(s: SparkSession, dir: String): DataFrame =
-    tok(s, dir).join(labels(s, dir), "doc_id")
-      .groupBy("w")
-      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("ck"),
-        sum(when(!col("keep"), 1L).otherwise(0L)).as("cd"))
+    graft.operators.Lineage.materialized(s, dir, "ta_nb_counts") {
+      tok(s, dir).join(labels(s, dir), "doc_id")
+        .groupBy("w")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("ck"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("cd"))
+    }
 
   /** 1-row totals frame: class token totals, vocabulary size, class
     * document counts, corpus document count — broadcast everywhere,
@@ -212,6 +231,41 @@ object QualityClassifier {
   // house single-final-division discipline), bit-identical across
   // engines.
   def nbEval(s: SparkSession, dir: String): DataFrame = {
+    // The per-doc scored frame (split, rule_keep, pred_keep) is
+    // Lineage-materialized (round 13): it is the shared prefix of
+    // BOTH consumers — this row's confusion counts and pipe_stages'
+    // funnel health columns — and each invocation re-ran the
+    // train-slice model fit plus two full token-stream joins for a
+    // 5000-row derived table. The stage-boundary discipline; the
+    // query's own aggregation still runs per invocation.
+    val scored = graft.operators.Lineage
+      .materialized(s, dir, "ta_nb_scored")(nbEvalScored(s, dir))
+    scored.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_keep") && col("rule_keep"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("pred_keep") && !col("rule_keep"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(!col("pred_keep") && col("rule_keep"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(!col("pred_keep") && !col("rule_keep"), 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("prec",
+        when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")))
+      .withColumn("rec",
+        when(col("tp") + col("fn") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double")))
+      .orderBy("split")
+  }
+
+  /** The per-doc held-out scoring frame (split, rule_keep,
+    * pred_keep) — [[nbEval]]'s shared prefix, factored for the
+    * Lineage build above.
+    */
+  private def nbEvalScored(s: SparkSession, dir: String): DataFrame = {
     val spl = graft.pipeline.CorpusOps.split(s, dir)
       .select("doc_id", "split")
     val lab = labels(s, dir)
@@ -240,7 +294,7 @@ object QualityClassifier {
     val perDoc = tok(s, dir).join(broadcast(model), "w")
       .groupBy("doc_id")
       .agg(sum("w_keep").as("lk"), sum("w_drop").as("ld"))
-    val scored = graft.Tables(s, dir, "documents").select(col("doc_id"))
+    graft.Tables(s, dir, "documents").select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .join(lab.withColumnRenamed("keep", "rule_keep"), "doc_id")
       .join(spl, "doc_id")
@@ -249,25 +303,6 @@ object QualityClassifier {
         ((qlog2("dk") - qlog2("ndocs") + coalesce(col("lk"), lit(0L)))
           >= (qlog2("dd") - qlog2("ndocs")
             + coalesce(col("ld"), lit(0L)))).as("pred_keep"))
-    scored.groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("pred_keep") && col("rule_keep"), 1L)
-          .otherwise(0L)).as("tp"),
-        sum(when(col("pred_keep") && !col("rule_keep"), 1L)
-          .otherwise(0L)).as("fp"),
-        sum(when(!col("pred_keep") && col("rule_keep"), 1L)
-          .otherwise(0L)).as("fn"),
-        sum(when(!col("pred_keep") && !col("rule_keep"), 1L)
-          .otherwise(0L)).as("tn"))
-      .withColumn("prec",
-        when(col("tp") + col("fp") === 0, lit(null).cast("double"))
-          .otherwise(col("tp").cast("double") /
-            (col("tp") + col("fp")).cast("double")))
-      .withColumn("rec",
-        when(col("tp") + col("fn") === 0, lit(null).cast("double"))
-          .otherwise(col("tp").cast("double") /
-            (col("tp") + col("fn")).cast("double")))
-      .orderBy("split")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

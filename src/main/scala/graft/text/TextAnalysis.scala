@@ -513,7 +513,14 @@ object TextAnalysis {
   // the max-multiplicity reuses [[repetition]]'s O(n log n)
   // sort+longest-run fold rather than a per-token count scan.
   def filterPipeline(s: SparkSession, dir: String): DataFrame =
-    filterPipelineOf(tokenized(s, dir))
+    // Lineage-materialized (round 13): the rule frame is the label
+    // source for the whole NB tier — ta_nb_model/quality/eval and the
+    // pipe_quality stage each re-ran the per-doc interpreted folds
+    // (array_sort + longest-run per doc) two to three times per
+    // invocation. One derived table, the stage-boundary discipline.
+    graft.operators.Lineage.materialized(s, dir, "ta_filter_frame") {
+      filterPipelineOf(tokenized(s, dir))
+    }
 
   /** The rule chain over an arbitrary (doc_id, toks) frame — the
     * seam the streaming corpus build labels its SNAPSHOT through

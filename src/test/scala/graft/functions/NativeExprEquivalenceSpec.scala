@@ -116,6 +116,148 @@ class NativeExprEquivalenceSpec extends SparkSpec {
     assert(er(2).getDouble(0) === 0.0)
   }
 
+  test("LongDot native == interpreted fold, plus the null contract") {
+    import spark.implicits._
+    val data = Seq.fill(300)((
+      Seq.fill(64)((rnd.nextInt(401) - 200).toLong),
+      Seq.fill(64)((rnd.nextInt(401) - 200).toLong)))
+    val df = data.toDF("a", "b")
+      .select(LongDot.ldot(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, p) => acc + p).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+    val edge: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] = Seq(
+      (Seq(1L, 2L), Seq(3L)),                          // unequal lengths
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)),
+      (Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]))
+    val er = edge.toDF("a", "b")
+      .select(LongDot.ldot(col("a"), col("b")).as("n")).collect()
+    assert(er(0).isNullAt(0) && er(1).isNullAt(0))
+    assert(er(2).getLong(0) === 0L)
+  }
+
+  test("RewriteDotProduct rewrites the long HOF fold to LongDot") {
+    import spark.implicits._
+    // localCheckpoint keeps the input non-foldable — over a literal
+    // LocalRelation the whole projection constant-folds away before
+    // the rewrite could be observed.
+    val df = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+      .localCheckpoint()
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, p) => acc + p).as("dot"))
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains("graft_ldot"))
+    assert(df.collect().head.getLong(0) === 11L)
+  }
+
+  test("RungBandSketch native == the three-deep HOF fold it replaced, " +
+    "rungs across both frozen-stride segments") {
+    import spark.implicits._
+    import graft.sim.RagRetrieve.{Dim, MaxBits, NBands, Planes, Seg0}
+    val planesLit: org.apache.spark.sql.Column =
+      typedlit(Planes.map(_.toSeq).toSeq)
+    def hofPlaneIdx(b: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(r < Seg0, b * Seg0 + r)
+        .otherwise(lit(NBands * Seg0) + b * (MaxBits - Seg0) + (r - Seg0))
+    def hofBands(rung: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      transform(sequence(lit(0), lit(NBands - 1)), b =>
+        aggregate(sequence(lit(0), (rung - 1).cast("int")), lit(0L),
+          (acc, r) => {
+            val proj = aggregate(
+              zip_with(col("v"),
+                element_at(planesLit, (hofPlaneIdx(b, r) + 1).cast("int")),
+                (x, w) => x * w),
+              lit(0L), (a, y) => a + y)
+            acc * 2 + when(proj > 0, 1L).otherwise(0L)
+          }))
+    // Sparse signed-count vectors like the real embeddings (many
+    // zeros force proj = 0 edges at the strict > 0 bit test).
+    val data = Seq.fill(200)(Seq.fill(Dim)(
+      if (rnd.nextInt(4) == 0) (rnd.nextInt(9) - 4).toLong else 0L))
+    for (rung <- Seq(4, 8, Seg0, Seg0 + 1, MaxBits)) {
+      val df = data.toDF("v")
+        .select(graft.functions.RungBandSketch
+          .rungBandSketch(col("v"), lit(rung), Planes, NBands, Seg0,
+            MaxBits).as("native"),
+          hofBands(lit(rung)).as("hof"))
+      assert(df.filter(col("native") =!= col("hof")).count() === 0,
+        s"band keys diverge at rung $rung")
+    }
+    // Loud-failure discipline: a rung outside [1, MaxBits] throws.
+    intercept[Exception] {
+      data.take(1).toDF("v")
+        .select(graft.functions.RungBandSketch.rungBandSketch(
+          col("v"), lit(0), Planes, NBands, Seg0, MaxBits)).collect()
+    }
+  }
+
+  test("Qlog2 native == the generated HOF fold on random and edge longs") {
+    import spark.implicits._
+    import graft.text.QualityClassifier.qlog2Hof
+    val edges = Seq(0L, 1L, 2L, 3L, 255L, 256L, 257L, 65535L, 65536L,
+      (1L << 31) - 1, 1L << 31, (1L << 31) + 1, Long.MaxValue,
+      Long.MaxValue - 1)
+    val data = (edges ++ Seq.fill(300)(rnd.nextLong().abs) ++
+      (0 to 62).map(1L << _)).map(Tuple1(_))
+    val df = data.toDF("c").localCheckpoint()
+      .select(graft.functions.Qlog2.qlog2Native("c").as("native"),
+        qlog2Hof("c").as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("AdcEst native == the interpreted lookup fold, bit for bit") {
+    import spark.implicits._
+    import graft.sim.VectorSearch.{PqCodes, PqM}
+    val data = Seq.fill(300)((
+      Seq.fill(PqM * PqCodes)(rnd.nextDouble() * 4),
+      Seq.fill(PqM)(rnd.nextInt(PqCodes))))
+    val df = data.toDF("dt", "codes").localCheckpoint()
+      .select(graft.functions.AdcEst
+        .adcEst(col("dt"), col("codes"), PqM, PqCodes).as("native"),
+        graft.sim.VectorSearch.adcEstHof.as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+    // Loud-failure discipline: an out-of-range code must throw.
+    intercept[Exception] {
+      Seq((Seq.fill(PqM * PqCodes)(0.0), Seq.fill(PqM)(PqCodes)))
+        .toDF("dt", "codes").localCheckpoint()
+        .select(graft.functions.AdcEst
+          .adcEst(col("dt"), col("codes"), PqM, PqCodes)).collect()
+    }
+  }
+
+  test("RewriteDotProduct rewrites the plain double sum to DoubleSum") {
+    import spark.implicits._
+    val data: Seq[Tuple1[Seq[java.lang.Double]]] =
+      Seq.fill(100)(Tuple1(Seq.fill(rnd.nextInt(20))(
+        java.lang.Double.valueOf(rnd.nextDouble() * 2 - 1)))) ++
+        Seq(Tuple1(Seq[java.lang.Double](1.0, null, 2.0)),
+          Tuple1(Seq.empty[java.lang.Double]))
+    val src = data.toDF("xs").localCheckpoint()
+    // The identity-finish HOF column is itself rewritten by the rule
+    // (that is the assertion); the ×1.0-finish twin does NOT match
+    // the conservative pattern, so it stays the interpreted
+    // reference fold (×1.0 is the IEEE identity on every double,
+    // including −0.0 and NaN).
+    val df = src
+      .select(graft.functions.DoubleSum.dsum(col("xs")).as("native"),
+        aggregate(col("xs"), lit(0.0d), (acc, x) => acc + x)
+          .as("rewritten"),
+        aggregate(col("xs"), lit(0.0d), (acc, x) => acc + x,
+          acc => acc * lit(1.0d)).as("hof"))
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains("graft_dsum"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(2), s"null-bit mismatch: $r")
+      if (!r.isNullAt(0)) {
+        assert(r.getDouble(0) === r.getDouble(2))
+        assert(r.getDouble(0) === r.getDouble(1))
+      }
+    }
+  }
+
   test("ArgPickAgg == max/min(struct) selection, including exact " +
     "score ties (tie to the smallest id)") {
     import graft.functions.ArgPickAgg.{argMaxId, argMinId}

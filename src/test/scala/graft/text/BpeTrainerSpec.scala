@@ -130,11 +130,30 @@ class BpeTrainerSpec extends SparkSpec {
     "degrades to a cartesian product, and no window over the piece " +
     "stream runs unpartitioned (VERDICT r7: vid assignment is the " +
     "distributed rankedIds discipline)") {
+    // The pack row's own plan (the tail above packExamples' round-13
+    // checkpoints): nothing degrades to a cartesian product.
     val exec = BpeTrainer.bpePack(spark, sf).queryExecution.executedPlan
     val plan = exec.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      "vocab-id join is not a broadcast join")
     assert(!plan.contains("CartesianProduct"))
+    // The vid-assignment front is checkpointed inside packExamples
+    // (round 13), so its joins/windows are audited on the factored
+    // pre-checkpoint frame: the dictionary AND vocab-id joins must
+    // broadcast, and the same window discipline holds.
+    val front = BpeCore.pieceIdFrame(BpeTrainer.packStream(spark, sf))
+      .queryExecution.executedPlan
+    val frontPlan = front.toString
+    assert(frontPlan.contains("BroadcastHashJoin"),
+      "vocab-id join is not a broadcast join")
+    assert(!frontPlan.contains("CartesianProduct"))
+    val frontWins = front.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    frontWins.foreach { w =>
+      val order = w.orderSpec.map(_.child.toString).mkString(",")
+      assert(order.contains("pid"),
+        s"unpartitioned window over non-offsets frame: $order")
+    }
     // The only permitted empty-partition window is rankedIds'
     // prefix-sum over the VocabParts-row offsets frame (orders by
     // pid); a global window ordering by cnt/sym would be the old
