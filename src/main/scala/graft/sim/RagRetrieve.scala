@@ -288,6 +288,18 @@ object RagRetrieve {
       posexplode(col("bk")).as(Seq("bi", "bh")))
     qB.join(cB, Seq("bi", "bh"))
       .select("q_doc_id", "doc_id", "chunk_idx")
+      // Spread the pair stream by QUERY before the dedup (round 13):
+      // the banded frames are checkpointed small (AQE coalesces them
+      // to ~1 partition at fixture scale), so the band join emits its
+      // skew-inflated pair blowup into one task and the dedup's
+      // partial aggregate built the full distinct set on one core
+      // (measured: the dedup was 4 of ss_rag_retrieve's 7 s; ~1.5 s
+      // after the spread). q_doc_id is the skew-NEUTRAL spread key —
+      // a hot band bucket's pairs distribute across its queries —
+      // and the exchange also pre-clusters for the rerank's
+      // per-query window. Placement-only; the deduped set is
+      // identical.
+      .repartition(col("q_doc_id"))
       .dropDuplicates("q_doc_id", "doc_id", "chunk_idx")
   }
 
