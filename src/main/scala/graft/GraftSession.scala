@@ -34,6 +34,18 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Never coalesce below the cluster's parallelism (round 13):
+      // AQE's target-size math coalesces a small COMPRESSED shuffle
+      // (~1 MB of band keys, piece ids, …) to ONE partition, and any
+      // downstream blowup — a band join's candidate multiset, a
+      // window sort over the re-exploded stream — then runs on one
+      // core. The floor is the CORE COUNT (the same number a real
+      // cluster sets here, scaling with the deployment, not with the
+      // data or this box): partitions stay ≥ parallelism while AQE
+      // still coalesces the long tail of genuinely tiny exchanges
+      // down to it.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        cores)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Scan-split sizing for the fixture scale: the default 128 MB
       // makes every fixture table (even sf1 lineitem at 105 MB) a
